@@ -1,0 +1,289 @@
+"""Codec unit tests.
+
+Hand-built byte vectors ported from the reference's codec spec tests
+(parser/js/test/unit/decoder/decodingUtils.spec.ts:10-147) plus
+hypothesis round-trip properties (an improvement over the reference,
+which has no randomized tests — SURVEY.md §5).
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cov_tiles_ray.functions import codecs as C
+from cov_tiles_ray.functions import fastpfor as F
+from cov_tiles_ray.functions import sfc
+
+
+# ---------------------------------------------------------------- varint
+
+
+class TestVarint:
+    @pytest.mark.parametrize(
+        "value,expected",
+        [
+            (0, b"\x00"),
+            (1, b"\x01"),
+            (127, b"\x7f"),
+            (128, b"\x80\x01"),
+            (300, b"\xac\x02"),  # classic protobuf example
+            (16384, b"\x80\x80\x01"),
+        ],
+    )
+    def test_known_bytes(self, value, expected):
+        assert C.encode_varint(np.array([value], dtype=np.uint64)) == expected
+        out, pos = C.decode_varint(expected, 1)
+        assert out[0] == value and pos == len(expected)
+
+    def test_64bit_values(self):
+        # the TS decoder caps at 53 bits (covtDecoder.ts:44); we do true 64-bit
+        vals = np.array([2**53 - 1, 2**53, 2**53 + 1, 2**63 - 1, 2**64 - 1], dtype=np.uint64)
+        buf = C.encode_varint(vals)
+        out, _ = C.decode_varint(buf, len(vals))
+        np.testing.assert_array_equal(out, vals)
+        assert C.encode_varint(np.array([2**64 - 1], dtype=np.uint64)) == b"\xff" * 9 + b"\x01"
+
+    @given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=200))
+    @settings(max_examples=50, deadline=None)
+    def test_roundtrip(self, values):
+        vals = np.array(values, dtype=np.uint64)
+        out, pos = C.decode_varint(C.encode_varint(vals), len(vals))
+        np.testing.assert_array_equal(out, vals)
+
+
+class TestZigZag:
+    @pytest.mark.parametrize("v,z", [(0, 0), (-1, 1), (1, 2), (-2, 3), (2, 4), (2147483647, 4294967294)])
+    def test_known(self, v, z):
+        assert C.zigzag_encode(np.array([v]))[0] == z
+        assert C.zigzag_decode(np.array([z], dtype=np.uint64))[0] == v
+
+    @given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=100))
+    @settings(max_examples=50, deadline=None)
+    def test_roundtrip(self, values):
+        vals = np.array(values, dtype=np.int64)
+        np.testing.assert_array_equal(C.zigzag_decode(C.zigzag_encode(vals)), vals)
+
+
+class TestDelta:
+    def test_coord_delta(self):
+        xy = np.array([10, 20, 11, 19, 13, 22], dtype=np.int64)
+        d = C.coord_delta_encode(xy)
+        np.testing.assert_array_equal(d, [10, 20, 1, -1, 2, 3])
+        np.testing.assert_array_equal(C.coord_delta_decode(d), xy)
+
+    @given(st.lists(st.integers(min_value=-(10**9), max_value=10**9), max_size=100))
+    @settings(max_examples=30, deadline=None)
+    def test_roundtrip(self, values):
+        vals = np.array(values, dtype=np.int64)
+        np.testing.assert_array_equal(C.delta_decode(C.delta_encode(vals)), vals) if len(vals) else None
+
+
+# ---------------------------------------------------------------- RLE v1
+
+
+class TestRleV1:
+    def test_run_framing(self):
+        # run of 10 sevens: header=10-3=7, delta=0, base varint 7
+        buf = C.encode_rle_v1(np.full(10, 7), signed=False)
+        assert buf == bytes([7, 0, 7])
+        out, pos = C.decode_rle_v1(buf, 10, signed=False)
+        np.testing.assert_array_equal(out, np.full(10, 7))
+        assert pos == 3
+
+    def test_ascending_run_with_delta(self):
+        # 0..99 step 1: single run, header=100-3=97, delta=1, base=0
+        buf = C.encode_rle_v1(np.arange(100), signed=False)
+        assert buf == bytes([97, 1, 0])
+        out, _ = C.decode_rle_v1(buf, 100, signed=False)
+        np.testing.assert_array_equal(out, np.arange(100))
+
+    def test_literals(self):
+        vals = np.array([2, 3, 5, 8, 13], dtype=np.int64)  # no fixed-delta run
+        buf = C.encode_rle_v1(vals, signed=False)
+        assert buf[0] == 256 - 5  # literal header
+        out, _ = C.decode_rle_v1(buf, 5, signed=False)
+        np.testing.assert_array_equal(out, vals)
+
+    def test_long_run_splits_at_130(self):
+        buf = C.encode_rle_v1(np.full(131, 1), signed=False)
+        # 130-run + 1 literal
+        assert buf[:3] == bytes([127, 0, 1])
+        out, _ = C.decode_rle_v1(buf, 131, signed=False)
+        np.testing.assert_array_equal(out, np.full(131, 1))
+
+    def test_run_after_boundary_value(self):
+        # 9,5,6,7: run 5,6,7 must be found even though 9->5 delta differs
+        vals = np.array([9, 5, 6, 7], dtype=np.int64)
+        buf = C.encode_rle_v1(vals, signed=False)
+        out, _ = C.decode_rle_v1(buf, 4, signed=False)
+        np.testing.assert_array_equal(out, vals)
+        # literal(9) then run(5,6,7)
+        assert buf[0] == 255 and buf[2] == 0 and buf[3] == 1
+
+    def test_signed_negative(self):
+        vals = np.array([-5, -5, -5, -5, 100, -100], dtype=np.int64)
+        buf = C.encode_rle_v1(vals, signed=True)
+        out, _ = C.decode_rle_v1(buf, 6, signed=True)
+        np.testing.assert_array_equal(out, vals)
+
+    @given(st.lists(st.integers(min_value=0, max_value=2**40), min_size=0, max_size=400))
+    @settings(max_examples=50, deadline=None)
+    def test_roundtrip_unsigned(self, values):
+        vals = np.array(values, dtype=np.int64)
+        out, _ = C.decode_rle_v1(C.encode_rle_v1(vals, signed=False), len(vals), signed=False)
+        np.testing.assert_array_equal(out, vals)
+
+    @given(
+        st.lists(
+            st.one_of(st.integers(-5, 5), st.integers(-(2**40), 2**40)),
+            max_size=400,
+        )
+    )
+    @settings(max_examples=50, deadline=None)
+    def test_roundtrip_signed(self, values):
+        vals = np.array(values, dtype=np.int64)
+        out, _ = C.decode_rle_v1(C.encode_rle_v1(vals, signed=True), len(vals), signed=True)
+        np.testing.assert_array_equal(out, vals)
+
+    def test_rle_friendly_compresses(self):
+        vals = np.repeat(np.arange(20), 50)  # 1000 values, 20 runs
+        buf = C.encode_rle_v1(vals, signed=False)
+        assert len(buf) < 100
+
+
+class TestByteRle:
+    def test_run(self):
+        buf = C.encode_byte_rle(np.full(40, 3, dtype=np.uint8))
+        assert buf == bytes([37, 3])
+        out, _ = C.decode_byte_rle(buf, 40)
+        np.testing.assert_array_equal(out, np.full(40, 3))
+
+    def test_literals(self):
+        vals = np.array([1, 2, 3, 4, 5], dtype=np.uint8) * 7 % 11
+        buf = C.encode_byte_rle(vals)
+        out, _ = C.decode_byte_rle(buf, 5)
+        np.testing.assert_array_equal(out, vals)
+
+    @given(st.lists(st.integers(0, 255), max_size=500))
+    @settings(max_examples=50, deadline=None)
+    def test_roundtrip(self, values):
+        vals = np.array(values, dtype=np.uint8)
+        out, _ = C.decode_byte_rle(C.encode_byte_rle(vals), len(vals))
+        np.testing.assert_array_equal(out, vals)
+
+
+class TestBooleanRle:
+    def test_bit_order_lsb_first(self):
+        # bit i of byte b tests 2**i (isBitSet, decodingUtils.ts:404-409)
+        vals = np.array([True] + [False] * 7 + [True, True], dtype=bool)
+        buf = C.encode_boolean_rle(vals)
+        out, _ = C.decode_boolean_rle(buf, 10)
+        np.testing.assert_array_equal(out, vals)
+
+    @given(st.lists(st.booleans(), max_size=300))
+    @settings(max_examples=50, deadline=None)
+    def test_roundtrip(self, values):
+        vals = np.array(values, dtype=bool)
+        out, _ = C.decode_boolean_rle(C.encode_boolean_rle(vals), len(vals))
+        np.testing.assert_array_equal(out, vals)
+
+
+# ---------------------------------------------------------------- floats / strings
+
+
+class TestFloatsStrings:
+    def test_float_roundtrip(self):
+        vals = np.array([0.0, -1.5, 3.14159, 1e30], dtype=np.float32)
+        out, _ = C.decode_floats_le(C.encode_floats_le(vals), 4)
+        np.testing.assert_array_equal(out, vals)
+
+    def test_string(self):
+        buf = C.encode_string("héllo")
+        s, pos = C.decode_string(buf)
+        assert s == "héllo" and pos == len(buf)
+
+    def test_string_dictionary(self):
+        strings = ["water", "land", "", "wöods"]
+        lb, db = C.encode_string_dictionary(strings)
+        assert C.decode_string_dictionary(lb, db, 4) == strings
+
+
+# ---------------------------------------------------------------- fastpfor
+
+
+class TestFastPfor:
+    def test_small_dense(self):
+        vals = np.arange(1000, dtype=np.uint32) % 17
+        buf = F.encode_fastpfor(vals)
+        out, pos = F.decode_fastpfor(buf)
+        np.testing.assert_array_equal(out, vals)
+        assert pos == len(buf)
+        assert len(buf) < 1000  # <8 bits/value on 5-bit data
+
+    def test_outliers_patched(self):
+        vals = np.full(256, 3, dtype=np.uint32)
+        vals[[5, 130]] = 2**30  # outliers should become exceptions
+        buf = F.encode_fastpfor(vals)
+        out, _ = F.decode_fastpfor(buf)
+        np.testing.assert_array_equal(out, vals)
+        assert len(buf) < 200
+
+    @given(st.lists(st.integers(0, 2**32 - 1), max_size=300))
+    @settings(max_examples=40, deadline=None)
+    def test_roundtrip(self, values):
+        vals = np.array(values, dtype=np.uint32)
+        out, _ = F.decode_fastpfor(F.encode_fastpfor(vals))
+        np.testing.assert_array_equal(out, vals)
+
+    @given(st.lists(st.integers(-(2**30), 2**30), max_size=300))
+    @settings(max_examples=30, deadline=None)
+    def test_delta_zigzag_roundtrip(self, values):
+        vals = np.array(values, dtype=np.int64)
+        out, _ = F.decode_fastpfor_delta_zigzag(F.encode_fastpfor_delta_zigzag(vals))
+        np.testing.assert_array_equal(out, vals)
+
+
+# ---------------------------------------------------------------- sfc
+
+
+class TestSfc:
+    def test_morton_known(self):
+        # interleave: x=0b11, y=0b01 -> bits x0,y0,x1,y1 = 1,1,1,0 -> 0b0111
+        assert sfc.morton_encode(np.array([3]), np.array([1]))[0] == 7
+
+    @given(st.lists(st.tuples(st.integers(0, 2**16 - 1), st.integers(0, 2**16 - 1)), max_size=100))
+    @settings(max_examples=30, deadline=None)
+    def test_morton_roundtrip(self, pts):
+        x = np.array([p[0] for p in pts], dtype=np.int64)
+        y = np.array([p[1] for p in pts], dtype=np.int64)
+        mx, my = sfc.morton_decode(sfc.morton_encode(x, y))
+        np.testing.assert_array_equal(mx, x)
+        np.testing.assert_array_equal(my, y)
+
+    def test_hilbert_locality(self):
+        # consecutive d values are adjacent cells
+        d = np.arange(256)
+        x, y = sfc.hilbert_d2xy(d, 4)
+        dist = np.abs(np.diff(x)) + np.abs(np.diff(y))
+        assert (dist == 1).all()
+
+    @given(st.lists(st.tuples(st.integers(-4000, 4000), st.integers(-4000, 4000)), max_size=100))
+    @settings(max_examples=30, deadline=None)
+    def test_hilbert_signed_roundtrip(self, pts):
+        x = np.array([p[0] for p in pts], dtype=np.int64)
+        y = np.array([p[1] for p in pts], dtype=np.int64)
+        d = sfc.hilbert_encode_signed(x, y, 14)
+        hx, hy = sfc.hilbert_decode_signed(d, 14)
+        np.testing.assert_array_equal(hx, x)
+        np.testing.assert_array_equal(hy, y)
+
+    @given(st.lists(st.tuples(st.integers(-4000, 4000), st.integers(-4000, 4000)), max_size=100))
+    @settings(max_examples=30, deadline=None)
+    def test_morton_signed_roundtrip(self, pts):
+        x = np.array([p[0] for p in pts], dtype=np.int64)
+        y = np.array([p[1] for p in pts], dtype=np.int64)
+        m = sfc.morton_encode_signed(x, y, 14)
+        mx, my = sfc.morton_decode_signed(m, 14)
+        np.testing.assert_array_equal(mx, x)
+        np.testing.assert_array_equal(my, y)
