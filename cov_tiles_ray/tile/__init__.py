@@ -1,0 +1,4 @@
+"""Per-tile COVT-R encode/decode kernels (pure functions, no Ray)."""
+
+from .decode import decode_tile  # noqa: F401
+from .encode import EncodeOptions, encode_tile  # noqa: F401

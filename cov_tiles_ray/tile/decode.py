@@ -1,0 +1,173 @@
+"""COVT-R tile decoder (pure kernel; inverse of encode.py).
+
+Decodes straight into numpy/Arrow-shaped columns — the model is the
+reference's columnar TS decoder (parser/js/src/decoder/covtDecoder.ts:32-87,
+layerTable.ts), never per-feature objects.  Stream byte lengths come from
+metadata (we trust byteLength rather than re-encoding to find it — the
+reference's decode-side hack at DecodingUtils.java:268-270 is deliberately
+not reproduced; see SURVEY.md §7.5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..functions import codecs as C
+from ..functions import sfc
+from ..model.format import (
+    ColumnDataType,
+    ColumnType,
+    LayerData,
+    PropertyColumn,
+    StreamEncoding,
+    StreamType,
+)
+from .encode import _sfc_num_bits
+from .streams import decode_stream
+
+I64 = np.int64
+
+
+def _read_streams(buf, pos: int, n_streams: int):
+    """Read stream descriptors; returns (list of (type, enc, nvals, blen), pos)."""
+    metas = []
+    for _ in range(n_streams):
+        desc = int(C._as_u8(buf)[pos])
+        pos += 1
+        stype = StreamType(desc >> 4)
+        senc = StreamEncoding(desc & 0xF)
+        nv, pos = C.decode_varint(buf, 2, pos)
+        metas.append((stype, senc, int(nv[0]), int(nv[1])))
+    return metas, pos
+
+
+def _decode_geometry(col_type: ColumnType, extent: int, data: dict) -> dict:
+    """Resolve ICE indirection back to a plain interleaved vertex buffer."""
+    out = {
+        "geometry_types": data[StreamType.GEOMETRY_TYPES].astype(np.uint8),
+        "geometry_offsets": data.get(StreamType.GEOMETRY_OFFSETS),
+        "part_offsets": data.get(StreamType.PART_OFFSETS),
+        "ring_offsets": data.get(StreamType.RING_OFFSETS),
+    }
+    if col_type == ColumnType.PLAIN:
+        out["vertex_buffer"] = data[StreamType.VERTEX_BUFFER].astype(np.int32)
+        return out
+    offsets = data[StreamType.VERTEX_OFFSETS]
+    if col_type == ColumnType.ICE_MORTON_CODE:
+        codes = data[StreamType.VERTEX_BUFFER]
+        num_bits = _sfc_num_bits(extent)
+        dx, dy = sfc.morton_decode_signed(codes.view(np.uint64), num_bits)
+    elif col_type == ColumnType.ICE:
+        dict_vb = data[StreamType.VERTEX_BUFFER]
+        dx, dy = dict_vb[0::2], dict_vb[1::2]
+    else:
+        raise ValueError(f"unsupported geometry column type {col_type}")
+    vb = np.empty(2 * len(offsets), dtype=np.int32)
+    vb[0::2] = dx[offsets]
+    vb[1::2] = dy[offsets]
+    out["vertex_buffer"] = vb
+    return out
+
+
+def decode_layer(buf, pos: int) -> tuple[LayerData, int]:
+    b = C._as_u8(buf)
+    header = int(b[pos])
+    pos += 1
+    version = header >> 1
+    optimized = bool(header & 1)
+    if optimized:
+        raise NotImplementedError("optimized (TileJSON-id) metadata not emitted by this encoder")
+    name, pos = C.decode_string(b, pos)
+    hdr, pos = C.decode_varint(b, 3, pos)
+    extent, num_features, num_columns = (int(v) for v in hdr)
+
+    # pass 1: all column/stream descriptors
+    columns = []
+    for _ in range(num_columns):
+        cid, pos = C.decode_varint(b, 1, pos)
+        cid = int(cid[0])
+        col_name = None
+        if cid >= 2:
+            col_name, pos = C.decode_string(b, pos)
+        desc = int(b[pos])
+        pos += 1
+        dt = ColumnDataType((desc >> 3) & 0xF)
+        ct = ColumnType(desc & 0x7)
+        ns, pos = C.decode_varint(b, 1, pos)
+        metas, pos = _read_streams(b, pos, int(ns[0]))
+        columns.append((cid, col_name, dt, ct, metas))
+
+    # pass 2: stream payloads in metadata order
+    layer = LayerData(
+        name=name,
+        extent=extent,
+        geometry_types=np.empty(0, dtype=np.uint8),
+        vertex_buffer=np.empty(0, dtype=np.int32),
+    )
+    for cid, col_name, dt, ct, metas in columns:
+        data: dict[StreamType, np.ndarray] = {}
+        raw: dict[StreamType, tuple] = {}
+        for stype, senc, nvals, blen in metas:
+            interleaved = stype == StreamType.VERTEX_BUFFER and ct != ColumnType.ICE_MORTON_CODE
+            if dt == ColumnDataType.FLOAT and stype == StreamType.DATA:
+                vals, _ = C.decode_floats_le(b, nvals, pos)
+            elif dt == ColumnDataType.DOUBLE and stype == StreamType.DATA:
+                vals, _ = C.decode_doubles_le(b, nvals, pos)
+            elif stype == StreamType.DICTIONARY:
+                vals = b[pos : pos + blen]  # raw utf-8 concat; lengths decoded separately
+            elif stype in (StreamType.PRESENT,) or (
+                stype == StreamType.DATA and dt == ColumnDataType.BOOLEAN
+            ):
+                vals, _ = C.decode_boolean_rle(b, nvals, pos)
+            else:
+                vals, _ = decode_stream(b, nvals, senc, pos, interleaved=interleaved)
+            data[stype] = vals
+            raw[stype] = (senc, nvals, blen)
+            pos += blen
+
+        if cid == 0:  # id column
+            layer.ids = data[StreamType.DATA].view(np.uint64)
+        elif cid == 1:  # geometry
+            geo = _decode_geometry(ct, extent, data)
+            layer.geometry_types = geo["geometry_types"]
+            layer.vertex_buffer = geo["vertex_buffer"]
+            layer.geometry_offsets = geo["geometry_offsets"]
+            layer.part_offsets = geo["part_offsets"]
+            layer.ring_offsets = geo["ring_offsets"]
+        else:
+            present = data[StreamType.PRESENT].astype(bool)
+            if dt == ColumnDataType.STRING:
+                n_dict = raw[StreamType.DICTIONARY][1]
+                strings = _gather_dictionary(data, n_dict)
+                idx = data[StreamType.DATA].astype(np.int64)
+                values = np.array(strings, dtype=object)[idx] if n_dict else np.empty(0, dtype=object)
+            elif dt == ColumnDataType.BOOLEAN:
+                values = data[StreamType.DATA].astype(bool)
+            elif dt in (ColumnDataType.FLOAT, ColumnDataType.DOUBLE):
+                values = data[StreamType.DATA]
+            else:
+                values = data[StreamType.DATA]
+            layer.properties[col_name] = PropertyColumn(data_type=dt, present=present, values=values)
+    return layer, pos
+
+
+def _gather_dictionary(data: dict, n_dict: int) -> list[str]:
+    lengths = data[StreamType.LENGTH].astype(np.int64)
+    concat = bytes(data[StreamType.DICTIONARY])
+    out = []
+    p = 0
+    for ln in lengths.tolist():
+        out.append(concat[p : p + ln].decode("utf-8"))
+        p += ln
+    return out
+
+
+def decode_tile(buf) -> list[LayerData]:
+    b = C._as_u8(buf)
+    head, pos = C.decode_varint(b, 2, 0)
+    version, num_layers = int(head[0]), int(head[1])
+    layers = []
+    for _ in range(num_layers):
+        layer, pos = decode_layer(b, pos)
+        layers.append(layer)
+    return layers
