@@ -1,0 +1,103 @@
+"""Text-analysis kernels for large-scale training-data pipelines.
+
+Each function is batch-vectorized (pandas string ops / numpy) and designed
+to run inside ``map_batches``; regexes are compiled at module import so an
+actor pays the cost once.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+_WORD_RE = re.compile(r"[A-Za-zÀ-ÿ]+|\d+|[^\sA-Za-zÀ-ÿ\d]")
+# BPE-ish pre-tokenizer: GPT-2-style contractions + word/number/punct chunks
+_BPE_RE = re.compile(r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-zÀ-ÿ]+| ?\d+| ?[^\sA-Za-zÀ-ÿ\d]+|\s+(?!\S)|\s+")
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+_LANG_PROFILES: dict[str, frozenset[str]] = {
+    "en": frozenset("the of and to in a is that it was for on are with as be at by this".split()),
+    "de": frozenset("der die das und ist nicht ein eine zu mit von auf für den im sich des".split()),
+    "fr": frozenset("le la les de des et un une est pour dans que qui sur pas au avec".split()),
+    "es": frozenset("el la los las de y un una es en que no por con para su al se".split()),
+    "it": frozenset("il la le di e un una è che in non per con del si da sono".split()),
+}
+
+
+def token_count_whitespace(texts: pd.Series) -> np.ndarray:
+    """Whitespace token count (vectorized)."""
+    return texts.fillna("").str.split().str.len().to_numpy(dtype=np.int64)
+
+
+def token_count_bpe(texts: pd.Series) -> np.ndarray:
+    """Count of BPE-ish pre-tokens (GPT-2-style regex split)."""
+    return texts.fillna("").str.findall(_BPE_RE).str.len().to_numpy(dtype=np.int64)
+
+
+def detect_language(texts: pd.Series) -> np.ndarray:
+    """Stopword-profile language id: argmax over per-language hit ratios.
+
+    Returns 'und' (undetermined) when no profile scores > 0.
+    """
+    out = np.full(len(texts), "und", dtype=object)
+    token_lists = texts.fillna("").str.lower().str.findall(_WORD_RE)
+    langs = list(_LANG_PROFILES)
+    scores = np.zeros((len(texts), len(langs)), dtype=np.int64)
+    for j, lang in enumerate(langs):
+        prof = _LANG_PROFILES[lang]
+        scores[:, j] = token_lists.map(lambda ws, p=prof: sum(w in p for w in ws)).to_numpy()
+    best = scores.argmax(axis=1)
+    has = scores.max(axis=1) > 0
+    out[has] = np.array(langs, dtype=object)[best[has]]
+    return out
+
+
+def quality_score(texts: pd.Series) -> pd.DataFrame:
+    """Heuristic quality features: length, punct ratio, stopword ratio,
+    mean word length, alpha ratio — the classic C4/Gopher-style signals."""
+    t = texts.fillna("")
+    n_chars = t.str.len().to_numpy(dtype=np.int64)
+    n_alpha = t.str.count(r"[A-Za-zÀ-ÿ]").to_numpy(dtype=np.int64)
+    n_punct = t.str.count(r"[^\w\s]").to_numpy(dtype=np.int64)
+    n_digit = t.str.count(r"\d").to_numpy(dtype=np.int64)
+    words = t.str.split()
+    n_words = words.str.len().to_numpy(dtype=np.int64)
+    stop = _LANG_PROFILES["en"]
+    n_stop = words.map(lambda ws: sum(w.lower() in stop for w in (ws or []))).to_numpy(dtype=np.int64)
+    denom_c = np.maximum(n_chars, 1)
+    denom_w = np.maximum(n_words, 1)
+    return pd.DataFrame(
+        {
+            "n_chars": n_chars,
+            "n_words": n_words,
+            "alpha_ratio": n_alpha / denom_c,
+            "punct_ratio": n_punct / denom_c,
+            "digit_ratio": n_digit / denom_c,
+            "stopword_ratio": n_stop / denom_w,
+            "mean_word_len": np.where(n_words > 0, (n_chars - (n_words - 1).clip(0)) / denom_w, 0.0),
+        }
+    )
+
+
+def fingerprint(texts: pd.Series) -> np.ndarray:
+    """64-bit rolling-hash document fingerprint (polynomial hash of bytes).
+
+    Deterministic across runs/processes (no PYTHONHASHSEED dependence).
+    Cold path (python loop per doc) — prefer ``fingerprint_fast`` in hot
+    stages; this variant exists for its simple, documentable definition.
+    """
+    out = np.empty(len(texts), dtype=np.uint64)
+    mask = (1 << 64) - 1
+    for i, s in enumerate(texts.fillna("")):
+        h = 1469598103934665603
+        for b in s.encode("utf-8"):
+            h = (h * 1000003 + b) & mask
+        out[i] = h
+    return out
+
+
+def fingerprint_fast(texts: pd.Series) -> np.ndarray:
+    """Vectorized deterministic 64-bit content hash (pandas hash_array)."""
+    return pd.util.hash_array(texts.fillna("").to_numpy(dtype=object)).astype(np.uint64)
