@@ -1,16 +1,14 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the cov_tiles_ray engine (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray BEFORE importing this module; nothing here (or
+in the library) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+* ``entry()`` — flagship pipeline on /root/testdata/sf0.001: synthesize the
+  image+caption corpus (BASELINE.json input_hint schema), assign web-mercator
+  tiles + hex cells, shuffle by tile, pack COVT-R tiles, decode-verify.
+* ``queries()`` — one callable per implemented operator family
+  (SURVEY.md §2); SQL-checkable ones have a matching ``oracle_sql()`` entry,
+  the rest are rows-only (codec round-trips, sketches, image validation).
 """
 
 from __future__ import annotations
@@ -20,25 +18,26 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: sf0.001 corpus -> tile assignment -> COVT tiles (verified)."""
+    from cov_tiles_ray.pipelines import tiling
+
+    images = tiling.read_images(0.001, columns=tiling.LIGHT_COLUMNS)
+    tiles = tiling.build_tiles(images, z=6)
+    return tiles
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from cov_tiles_ray.pipelines import rows_only
+    from cov_tiles_ray.pipelines.queries import SQL_QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {
+        name: fn for name, (fn, _sql) in SQL_QUERIES.items()
+    }
+    out.update(rows_only.ROWS_ONLY_QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from cov_tiles_ray.pipelines.queries import SQL_QUERIES
+
+    return {name: sql for name, (_fn, sql) in SQL_QUERIES.items()}

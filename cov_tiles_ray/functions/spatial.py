@@ -105,13 +105,17 @@ def _axial_from_xy(mx: np.ndarray, my: np.ndarray, res: int) -> tuple[np.ndarray
 
 
 def _cube_round(qf: np.ndarray, rf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Round fractional axial coords to the containing hex (cube rounding)."""
+    """Round fractional axial coords to the containing hex (cube rounding).
+
+    Rounding is ``floor(x + 0.5)`` (not numpy's banker's rounding) so the
+    DuckDB correctness oracle can express the identical operation.
+    """
     xf = qf
     zf = rf
     yf = -xf - zf
-    rx = np.round(xf)
-    ry = np.round(yf)
-    rz = np.round(zf)
+    rx = np.floor(xf + 0.5)
+    ry = np.floor(yf + 0.5)
+    rz = np.floor(zf + 0.5)
     dx = np.abs(rx - xf)
     dy = np.abs(ry - yf)
     dz = np.abs(rz - zf)

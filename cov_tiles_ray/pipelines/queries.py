@@ -1,0 +1,683 @@
+"""Driver-contract query suite: Ray Data implementations + DuckDB oracles.
+
+Every SQL-checkable operator family from SURVEY.md §2 gets a named query
+here; ``__ray_entry__.queries()/oracle_sql()`` re-export these.  Exactness
+rules (the driver hash-compares values):
+
+* float aggregates are integer-ized with ``floor(x * scale)`` — floor and
+  IEEE double arithmetic are bit-identical between numpy and DuckDB when
+  the expression tree is identical, while SUM order is not;
+* irrational constants (sqrt 3, sqrt 7 powers) are embedded into the SQL
+  as full-precision Python ``repr`` literals so both engines use the same
+  doubles;
+* rounding is always ``floor(x + 0.5)``, never banker's rounding;
+* spatial queries derive lon/lat from integer columns with pure arithmetic
+  so the point set is identical on both sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..functions import ann as ann_f
+from ..functions import spatial as S
+from ..functions import text as text_f
+
+# ---------------------------------------------------------------------------
+# shared derivations
+# ---------------------------------------------------------------------------
+
+# deterministic lon/lat from events.event_id: multiplicative-hash spreading
+# (event ids are small sequential ints) on a 0.01-degree grid offset by
+# 0.005 so no point ever lies on an integer-degree polygon edge
+_LON_SQL = "((event_id * 2654435761) % 36000) / 100.0 - 180.0 + 0.005"
+_LAT_SQL = "((event_id * 2246822519) % 16000) / 100.0 - 80.0 + 0.005"
+
+
+def _event_lonlat(eid: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    lon = (eid * 2654435761 % 36000) / 100.0 - 180.0 + 0.005
+    lat = (eid * 2246822519 % 16000) / 100.0 - 80.0 + 0.005
+    return lon, lat
+
+
+def _mercator_sql(lon: str, lat: str) -> tuple[str, str]:
+    """SQL for normalized mercator (mx, my), operation-order-identical to
+    functions.spatial.mercator_xy."""
+    mx = f"(({lon}) + 180.0) / 360.0"
+    phi = f"radians({lat})"
+    my = f"(1.0 - ln(tan({phi}) + 1.0 / cos({phi})) / pi()) / 2.0"
+    return mx, my
+
+
+def _tile_sql(z: int) -> str:
+    """SQL computing packed tile_id from events at zoom z."""
+    n = 1 << z
+    mx, my = _mercator_sql("lon", "lat")
+    tx = f"cast(least(greatest(floor(({mx}) * {n}.0), 0.0), {n - 1}.0) as bigint)"
+    ty = f"cast(least(greatest(floor(({my}) * {n}.0), 0.0), {n - 1}.0) as bigint)"
+    return f"({z}::BIGINT * {1 << 58}::BIGINT + ({tx}) * {1 << 29}::BIGINT + ({ty}))"
+
+
+def _hex_sql(res: int) -> str:
+    """SQL computing the packed hex cell id (mirrors lonlat_to_hex +
+    _cube_round with floor(x+0.5) rounding)."""
+    size = S.hex_cell_size(res)
+    mx, my = _mercator_sql("lon", "lat")
+    k = repr(S.SQRT3 / 3.0)
+    qf = f"((2.0 / 3.0 * ({mx})) / {size!r})"
+    rf = f"((-1.0 / 3.0 * ({mx}) + {k} * ({my})) / {size!r})"
+    # cube rounding in pure SQL
+    return (
+        f"(SELECT {res}::BIGINT * {1 << 52}::BIGINT + (cq + {S._HEX_OFF}) * {1 << 26}::BIGINT + (cr + {S._HEX_OFF}) FROM ("
+        f"  SELECT CASE WHEN (ax > ay AND ax > az) THEN cast(-ry - rz as bigint) ELSE cast(rx as bigint) END AS cq,"
+        f"         CASE WHEN NOT (ax > ay AND ax > az) AND NOT (ay > az) THEN cast(-rx - ry as bigint) ELSE cast(rz as bigint) END AS cr"
+        f"  FROM (SELECT rx, ry, rz, abs(rx - xf) AS ax, abs(ry - yf) AS ay, abs(rz - zf) AS az"
+        f"        FROM (SELECT xf, yf, zf, floor(xf + 0.5) AS rx, floor(yf + 0.5) AS ry, floor(zf + 0.5) AS rz"
+        f"              FROM (SELECT {qf} AS xf, -({qf}) - ({rf}) AS yf, {rf} AS zf) ) ) ) )"
+    )
+
+
+def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# relational core (aggregate / join / sort / distinct / window)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped aggregate over lineitem (groupby + multi-agg).
+
+    Integer-ized money: cents = floor(price*100).  Ref analogue: per-zoom
+    reduction averages G2/G3 (BingCovtDemo.java:44-110)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = b.filter(pa.compute.less(b["l_shipdate"], pa.scalar(np.datetime64("1998-09-01", "us"))))
+        qty = keep["l_quantity"].to_numpy(zero_copy_only=False)
+        price = keep["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = keep["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_returnflag": keep["l_returnflag"],
+                "l_linestatus": keep["l_linestatus"],
+                "qty": pa.array(np.floor(qty).astype(np.int64)),
+                "base_cents": pa.array(np.floor(price * 100.0).astype(np.int64)),
+                "disc_cents": pa.array(np.floor(price * (1.0 - disc) * 100.0).astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("base_cents", alias_name="sum_base_cents"),
+            Sum("disc_cents", alias_name="sum_disc_cents"),
+            Count(alias_name="count_order"),
+        )
+    )
+    return out
+
+
+def _sql_pricing_summary() -> str:
+    return """
+    SELECT l_returnflag, l_linestatus,
+           cast(sum(cast(floor(l_quantity) as bigint)) as bigint) AS sum_qty,
+           cast(sum(cast(floor(l_extendedprice * 100.0) as bigint)) as bigint) AS sum_base_cents,
+           cast(sum(cast(floor(l_extendedprice * (1.0 - l_discount) * 100.0) as bigint)) as bigint) AS sum_disc_cents,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """3-way broadcast join: orders ⋈ customer ⋈ nation, revenue per nation.
+
+    customer+nation are small sides — broadcast as pandas lookups inside
+    map_batches (SURVEY.md §7: broadcast small sides, no shuffle join)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    c2n = cust.set_index("c_custkey")["c_nationkey"]
+    n2name = nation.set_index("n_nationkey")["n_name"]
+
+    def join(b: pa.Table) -> pa.Table:
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        nk = c2n.reindex(ck).to_numpy()
+        names = n2name.reindex(nk).to_numpy(dtype=object)
+        price = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_name": pa.array(names, pa.string()),
+                "cents": pa.array(np.floor(price * 100.0).astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(join, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_name")
+        .aggregate(Sum("cents", alias_name="revenue_cents"), Count(alias_name="n_orders"))
+    )
+
+
+def _sql_revenue_by_nation() -> str:
+    return """
+    SELECT n_name,
+           cast(sum(cast(floor(o_totalprice * 100.0) as bigint)) as bigint) AS revenue_cents,
+           count(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """
+
+
+def q_top_orders(sf_dir: str):
+    """Top-k by value with deterministic tie-break (sort + limit)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        p = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "cents": pa.array(np.floor(p * 100.0).astype(np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["cents", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+    return out
+
+
+def _sql_top_orders() -> str:
+    return """
+    SELECT o_orderkey, cast(floor(o_totalprice * 100.0) as bigint) AS cents
+    FROM orders ORDER BY cents DESC, o_orderkey LIMIT 10
+    """
+
+
+def q_distinct_segments(sf_dir: str):
+    """Exact distinct (set op)."""
+    ds = _read(sf_dir, "customer", ["c_mktsegment"])
+    vals = sorted(ds.unique("c_mktsegment"))
+    return pa.table({"c_mktsegment": pa.array(vals, pa.string())})
+
+
+def _sql_distinct_segments() -> str:
+    return "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+def q_event_windows(sf_dir: str):
+    """Tumbling 1-hour event-time windows per event_type (streaming-shaped
+    workload expressed as groupby over floor(epoch/3600), SURVEY.md §2.9)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def win(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        val = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "window_start": pa.array(ts // 3_600_000_000 * 3600),
+                "value_micro": pa.array(np.floor(val * 1e6).astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        ds.map_batches(win, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n"), Sum("value_micro", alias_name="sum_value_micro"))
+    )
+
+
+def _sql_event_windows() -> str:
+    return """
+    SELECT event_type,
+           cast(floor(epoch(ts) / 3600) as bigint) * 3600 AS window_start,
+           count(*) AS n,
+           cast(sum(cast(floor(value * 1000000.0) as bigint)) as bigint) AS sum_value_micro
+    FROM events GROUP BY event_type, window_start
+    """
+
+
+# ---------------------------------------------------------------------------
+# spatial queries (tile assign / hex assign / PIP / kNN)
+# ---------------------------------------------------------------------------
+
+
+def _events_points(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def pts(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = _event_lonlat(eid)
+        return pa.table({"event_id": b["event_id"], "lon": pa.array(lon), "lat": pa.array(lat)})
+
+    return ds.map_batches(pts, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_tile_counts(sf_dir: str, z: int):
+    ds = _events_points(sf_dir)
+
+    def assign(b: pa.Table) -> pa.Table:
+        lon = b["lon"].to_numpy(zero_copy_only=False)
+        lat = b["lat"].to_numpy(zero_copy_only=False)
+        tx, ty = S.lonlat_to_tile(lon, lat, z)
+        tid = S.pack_tile_id(z, tx, ty)
+        return pa.table({"tile_id": pa.array(tid)})
+
+    from ray.data.aggregate import Count
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True).groupby(
+        "tile_id"
+    ).aggregate(Count(alias_name="n"))
+
+
+def q_tile_assign_z6(sf_dir: str):
+    """Web-mercator tile assignment @ z=6 + per-tile counts (SURVEY.md §7.2.3)."""
+    return _q_tile_counts(sf_dir, 6)
+
+
+def q_tile_assign_z10(sf_dir: str):
+    return _q_tile_counts(sf_dir, 10)
+
+
+def _sql_tile_assign(z: int) -> str:
+    return f"""
+    WITH pts AS (SELECT {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events)
+    SELECT {_tile_sql(z)} AS tile_id, count(*) AS n FROM pts GROUP BY tile_id
+    """
+
+
+def q_hex_assign_r3(sf_dir: str):
+    """H3-style hex cell assignment @ res 3 + per-cell counts."""
+    ds = _events_points(sf_dir)
+
+    def assign(b: pa.Table) -> pa.Table:
+        lon = b["lon"].to_numpy(zero_copy_only=False)
+        lat = b["lat"].to_numpy(zero_copy_only=False)
+        return pa.table({"hex_id": pa.array(S.lonlat_to_hex(lon, lat, 3))})
+
+    from ray.data.aggregate import Count
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True).groupby(
+        "hex_id"
+    ).aggregate(Count(alias_name="n"))
+
+
+def _sql_hex_assign_r3() -> str:
+    return f"""
+    WITH pts AS (SELECT {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events)
+    SELECT {_hex_sql(3)} AS hex_id, count(*) AS n FROM pts GROUP BY hex_id
+    """
+
+
+def _region_boxes() -> pd.DataFrame:
+    """5 rectangle polygons derived from region keys (integer-degree edges;
+    the event grid sits at x.xx5 so no point touches an edge)."""
+    rk = np.arange(5)
+    return pd.DataFrame(
+        {
+            "r_regionkey": rk,
+            "lon0": -160.0 + rk * 64.0,
+            "lon1": -160.0 + rk * 64.0 + 52.0,
+            "lat0": -70.0 + rk * 26.0,
+            "lat1": -70.0 + rk * 26.0 + 36.0,
+        }
+    )
+
+
+def q_pip_regions(sf_dir: str):
+    """Point-in-polygon join: events vs 5 region rectangles (ray-cast kernel
+    on the Ray side, BETWEEN oracle on the SQL side — exact because edges
+    and points never coincide)."""
+    boxes = _region_boxes()
+    polys = []
+    for _, r in boxes.iterrows():
+        polys.append(
+            {
+                "poly_id": str(int(r.r_regionkey)),
+                "ring_offsets": np.array([4]),
+                "ring_x": np.array([r.lon0, r.lon1, r.lon1, r.lon0]),
+                "ring_y": np.array([r.lat0, r.lat0, r.lat1, r.lat1]),
+            }
+        )
+
+    def pip(b: pa.Table) -> pa.Table:
+        lon = b["lon"].to_numpy(zero_copy_only=False)
+        lat = b["lat"].to_numpy(zero_copy_only=False)
+        keys, counts = [], []
+        for p in polys:
+            hit = S.points_in_rings(lon, lat, p["ring_x"], p["ring_y"], p["ring_offsets"])
+            keys.append(int(p["poly_id"]))
+            counts.append(int(hit.sum()))
+        return pa.table(
+            {"r_regionkey": pa.array(keys, pa.int64()), "n_points": pa.array(counts, pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    ds = _events_points(sf_dir)
+    return (
+        ds.map_batches(pip, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("r_regionkey")
+        .aggregate(Sum("n_points", alias_name="n_points"))
+    )
+
+
+def _sql_pip_regions() -> str:
+    return f"""
+    WITH pts AS (SELECT {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events),
+    boxes AS (SELECT r_regionkey,
+                     -160.0 + r_regionkey * 64.0 AS lon0,
+                     -160.0 + r_regionkey * 64.0 + 52.0 AS lon1,
+                     -70.0 + r_regionkey * 26.0 AS lat0,
+                     -70.0 + r_regionkey * 26.0 + 36.0 AS lat1
+              FROM region)
+    SELECT cast(b.r_regionkey as bigint) AS r_regionkey, count(p.lon) AS n_points
+    FROM boxes b LEFT JOIN pts p
+      ON p.lon > b.lon0 AND p.lon < b.lon1 AND p.lat > b.lat0 AND p.lat < b.lat1
+    GROUP BY b.r_regionkey
+    """
+
+
+_KNN_K = 10
+
+
+def _knn_queries() -> pd.DataFrame:
+    qk = np.arange(5)
+    return pd.DataFrame(
+        {
+            "query_id": qk,
+            "qlon": qk * 30.0 - 60.0 + 0.003,
+            "qlat": qk * 15.0 - 30.0 + 0.003,
+        }
+    )
+
+
+def q_knn_points(sf_dir: str):
+    """Exact kNN (k=10) of 5 query points over event points — blocked
+    brute force with partial top-k per batch + driver-side merge (the
+    combiner pattern; only k rows per query leave each block)."""
+    qs = _knn_queries()
+    qlon = qs.qlon.to_numpy()
+    qlat = qs.qlat.to_numpy()
+
+    def partial(b: pa.Table) -> pa.Table:
+        lon = b["lon"].to_numpy(zero_copy_only=False)
+        lat = b["lat"].to_numpy(zero_copy_only=False)
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        d2 = (lon[None, :] - qlon[:, None]) ** 2 + (lat[None, :] - qlat[:, None]) ** 2
+        rows_q, rows_e, rows_d = [], [], []
+        kk = min(_KNN_K, d2.shape[1])
+        for qi in range(len(qlon)):
+            part = np.argpartition(d2[qi], kk - 1)[:kk]
+            rows_q.append(np.full(kk, qi, dtype=np.int64))
+            rows_e.append(eid[part])
+            rows_d.append(d2[qi][part])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(rows_q)),
+                "event_id": pa.array(np.concatenate(rows_e)),
+                "d2": pa.array(np.concatenate(rows_d)),
+            }
+        )
+
+    parts = _events_points(sf_dir).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    order = np.lexsort((parts.event_id.to_numpy(), parts.d2.to_numpy(), parts.query_id.to_numpy()))
+    p = parts.iloc[order]
+    ranked = p.groupby("query_id", sort=True).head(_KNN_K).copy()
+    ranked["rank"] = ranked.groupby("query_id").cumcount().astype(np.int64)
+    return pa.table(
+        {
+            "query_id": pa.array(ranked.query_id.to_numpy(np.int64)),
+            "event_id": pa.array(ranked.event_id.to_numpy(np.int64)),
+            "rank": pa.array(ranked["rank"].to_numpy(np.int64)),
+        }
+    )
+
+
+def _sql_knn_points() -> str:
+    return f"""
+    WITH pts AS (SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events),
+    qs AS (SELECT cast(n_nationkey as bigint) AS query_id,
+                  n_nationkey * 30.0 - 60.0 + 0.003 AS qlon,
+                  n_nationkey * 15.0 - 30.0 + 0.003 AS qlat
+           FROM nation WHERE n_nationkey < 5),
+    ranked AS (
+      SELECT q.query_id, p.event_id,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY (p.lon - q.qlon) * (p.lon - q.qlon) + (p.lat - q.qlat) * (p.lat - q.qlat), p.event_id
+             ) - 1 AS rank
+      FROM qs q CROSS JOIN pts p)
+    SELECT query_id, event_id, rank FROM ranked WHERE rank < {_KNN_K}
+    """
+
+
+# ---------------------------------------------------------------------------
+# documents: dedup + text analytics
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup: hash-partition by content, keep min doc_id per text."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    from ray.data.aggregate import Count, Min
+
+    return ds.groupby("text").aggregate(
+        Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_copies")
+    ).select_columns(["keep_doc_id", "n_copies"])
+
+
+def _sql_dedup_exact() -> str:
+    return "SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies FROM documents GROUP BY text"
+
+
+def q_token_counts(sf_dir: str):
+    """Whitespace token counting (text.token_count_whitespace)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "n_tokens": text_f.token_count_whitespace(df["text"])}
+        )
+
+    return ds.map_batches(counts, batch_format="pandas")
+
+
+def _sql_token_counts() -> str:
+    return r"""
+    SELECT doc_id,
+           CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+                ELSE array_length(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
+           END AS n_tokens
+    FROM documents
+    """
+
+
+def q_doc_stats(sf_dir: str):
+    """Integer quality signals per doc: chars, digits, uppercase letters."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_chars": t.str.len().astype(np.int64),
+                "n_digits": t.str.count(r"\d").astype(np.int64),
+                "n_upper": t.str.count(r"[A-Z]").astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pandas")
+
+
+def _sql_doc_stats() -> str:
+    return r"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+           length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper
+    FROM documents
+    """
+
+
+def q_lang_counts(sf_dir: str):
+    """Language-id distribution via the declared lang column (the heuristic
+    detector is covered by q_langid_detect, rows-only)."""
+    ds = _read(sf_dir, "documents", ["lang"])
+    from ray.data.aggregate import Count
+
+    return ds.groupby("lang").aggregate(Count(alias_name="n"))
+
+
+def _sql_lang_counts() -> str:
+    return "SELECT lang, count(*) AS n FROM documents GROUP BY lang"
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_ann_cosine_top5(sf_dir: str):
+    """Brute-force cosine top-5 for the 3 lowest vec_ids over all
+    embeddings (blocked matmul vs broadcast query matrix + merge)."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = (
+        emb.filter(expr="vec_id < 3")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    qids = qdf["vec_id"].to_numpy(np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        vecs = np.stack(b["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        sims = qn @ vn.T
+        kk = min(5, sims.shape[1])
+        qi, vi, sc = [], [], []
+        for q in range(len(qn)):
+            part = np.argpartition(-sims[q], kk - 1)[:kk]
+            qi.append(np.full(kk, qids[q]))
+            vi.append(ids[part])
+            sc.append(sims[q][part])
+        return pa.table(
+            {
+                "query_vec_id": pa.array(np.concatenate(qi).astype(np.int64)),
+                "vec_id": pa.array(np.concatenate(vi).astype(np.int64)),
+                "sim": pa.array(np.concatenate(sc)),
+            }
+        )
+
+    parts = emb.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    order = np.lexsort((parts.vec_id.to_numpy(), -parts.sim.to_numpy(), parts.query_vec_id.to_numpy()))
+    p = parts.iloc[order]
+    top = p.groupby("query_vec_id", sort=True).head(5).copy()
+    top["rank"] = top.groupby("query_vec_id").cumcount().astype(np.int64)
+    return pa.table(
+        {
+            "query_vec_id": pa.array(top.query_vec_id.to_numpy(np.int64)),
+            "vec_id": pa.array(top.vec_id.to_numpy(np.int64)),
+            "rank": pa.array(top["rank"].to_numpy(np.int64)),
+        }
+    )
+
+
+def _sql_ann_cosine_top5() -> str:
+    return """
+    WITH qs AS (SELECT vec_id AS query_vec_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
+    ranked AS (
+      SELECT q.query_vec_id, e.vec_id,
+             row_number() OVER (
+               PARTITION BY q.query_vec_id
+               ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id
+             ) - 1 AS rank
+      FROM qs q CROSS JOIN embeddings e)
+    SELECT query_vec_id, vec_id, rank FROM ranked WHERE rank < 5
+    """
+
+
+def q_embedding_label_centroid_norms(sf_dir: str):
+    """Per-label aggregate over vector column: count + floor(1e6 * mean of
+    first component) — exercises list-column aggregation."""
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def first_comp(b: pa.Table) -> pa.Table:
+        vecs = b["embedding"]
+        first = pa.compute.list_element(vecs, 0)
+        return pa.table({"label": b["label"], "c0": first})
+
+    from ray.data.aggregate import Count, Sum
+
+    def to_micro(b: pa.Table) -> pa.Table:
+        c0 = b["c0"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {"label": b["label"], "c0_micro": pa.array(np.floor(c0 * 1e6).astype(np.int64))}
+        )
+
+    return (
+        ds.map_batches(first_comp, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(to_micro, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("label")
+        .aggregate(Count(alias_name="n"), Sum("c0_micro", alias_name="sum_c0_micro"))
+    )
+
+
+def _sql_embedding_label() -> str:
+    return """
+    SELECT label, count(*) AS n,
+           cast(sum(cast(floor(cast(embedding[1] as double) * 1000000.0) as bigint)) as bigint) AS sum_c0_micro
+    FROM embeddings GROUP BY label
+    """
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+SQL_QUERIES: dict[str, tuple] = {
+    "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
+    "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
+    "top_orders": (q_top_orders, _sql_top_orders()),
+    "distinct_segments": (q_distinct_segments, _sql_distinct_segments()),
+    "event_windows": (q_event_windows, _sql_event_windows()),
+    "tile_assign_z6": (q_tile_assign_z6, _sql_tile_assign(6)),
+    "tile_assign_z10": (q_tile_assign_z10, _sql_tile_assign(10)),
+    "hex_assign_r3": (q_hex_assign_r3, _sql_hex_assign_r3()),
+    "pip_regions": (q_pip_regions, _sql_pip_regions()),
+    "knn_points": (q_knn_points, _sql_knn_points()),
+    "dedup_exact": (q_dedup_exact, _sql_dedup_exact()),
+    "token_counts": (q_token_counts, _sql_token_counts()),
+    "doc_stats": (q_doc_stats, _sql_doc_stats()),
+    "lang_counts": (q_lang_counts, _sql_lang_counts()),
+    "ann_cosine_top5": (q_ann_cosine_top5, _sql_ann_cosine_top5()),
+    "embedding_label_stats": (q_embedding_label_centroid_norms, _sql_embedding_label()),
+}

@@ -1,0 +1,161 @@
+"""Flagship pipeline: image corpus -> tile assignment -> COVT tile packing.
+
+    read_parquet(images)                      # prune: no image bytes read
+      -> map_batches(assign_tiles)            # stateless, pyarrow, vectorized
+      -> map_batches(assign_hex)              # hex cells for k-ring queries
+      -> map_batches(salt_hot_tiles)          # skew: split z<=4 groups
+      -> groupby(tile_id, salt)               # THE shuffle (light columns)
+      -> map_groups(TileEncoder)              # per-tile COVT encode
+      -> map_batches(verify_tiles_batch)      # decode round-trip oracle
+      -> write parquet partitioned by z       # resumable layout + lineage
+
+The shuffle deliberately carries only (image_id, tile keys, local coords,
+caption, fmt, phash) — never the binary image payload (SURVEY.md §7.5).
+Per-row pixel validation runs as a separate stage over the original table
+(validate_images), where the bytes column stays within its own blocks and
+never crosses the exchange.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..functions import image as img_f
+from ..sources import synth
+from ..stages.assign import assign_hex, assign_tiles, salt_hot_tiles
+from ..stages.tile_encode import TileEncoder, verify_tiles_batch
+from ..state import checkpoint
+from ..tile import EncodeOptions
+
+LIGHT_COLUMNS = ["image_id", "caption", "fmt", "phash", "lon", "lat"]
+
+
+def read_images(sf_dir_or_sf, columns: list[str] | None = None) -> rd.Dataset:
+    """Dataset over the synthetic image corpus for a scale factor or sf dir.
+
+    ``columns`` prunes at the read (never load `bytes` unless a stage needs
+    pixels)."""
+    sf = synth.sf_from_dir(sf_dir_or_sf) if isinstance(sf_dir_or_sf, str) else float(sf_dir_or_sf)
+    path = synth.images_parquet_path(sf)
+    return rd.read_parquet(path, columns=columns)
+
+
+def build_tiles(
+    images: rd.Dataset,
+    z: int = 8,
+    hex_res: int = 6,
+    opts: EncodeOptions | None = None,
+    extent: int = 4096,
+) -> rd.Dataset:
+    """images Dataset (light columns) -> verified COVT tile Dataset."""
+    ds = images.map_batches(
+        lambda b: assign_tiles(b, z=z, extent=extent), batch_format="pyarrow", zero_copy_batch=True
+    )
+    ds = ds.map_batches(lambda b: assign_hex(b, res=hex_res), batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(salt_hot_tiles, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.select_columns(
+        ["tile_id", "salt", "image_id", "loc_x", "loc_y", "caption", "fmt", "phash"]
+    )
+    encoder = TileEncoder(opts or EncodeOptions(), extent)
+
+    def encode_group(g):
+        return encoder(g)
+
+    tiles = ds.groupby(["tile_id", "salt"]).map_groups(encode_group, batch_format="pandas")
+    return tiles.map_batches(verify_tiles_batch, batch_format="pyarrow")
+
+
+def write_tiles(tiles: rd.Dataset, out_dir: str, input_desc: dict | None = None) -> dict:
+    """Write tiles partitioned by zoom + record lineage/metrics per zoom.
+
+    Returns the aggregate metrics.  Re-runs skip zooms already present in
+    the lineage manifest (resume-by-anti-join on the partition key)."""
+    done = checkpoint.finished_partitions(out_dir)
+    agg = {"tiles": 0, "features": 0, "covt_bytes": 0, "plain_bytes": 0, "skipped_partitions": sorted(done)}
+
+    # The tile set is the compact RESULT of the pipeline (orders of magnitude
+    # smaller than the input), so materializing once here is the cheap way to
+    # write one partition per zoom without re-executing the whole graph per z.
+    tiles = tiles.materialize()
+    zs = sorted(tiles.unique("z"))
+    for z in zs:
+        key = f"z={z}"
+        if key in done:
+            continue
+        part = tiles.filter(expr=f"z == {z}")
+        part_dir = f"{out_dir}/{key}"
+        part.write_parquet(part_dir)
+        pdf = part.select_columns(["n_features", "covt_bytes", "plain_bytes", "roundtrip_ok"]).to_pandas()
+        metrics = {
+            "tiles": int(len(pdf)),
+            "features": int(pdf["n_features"].sum()),
+            "covt_bytes": int(pdf["covt_bytes"].sum()),
+            "plain_bytes": int(pdf["plain_bytes"].sum()),
+            "roundtrip_failures": int((~pdf["roundtrip_ok"]).sum()),
+            "reduction_pct": float(100.0 * (1.0 - pdf["covt_bytes"].sum() / max(1, pdf["plain_bytes"].sum()))),
+        }
+        checkpoint.record_partition(out_dir, key, inputs=input_desc or {}, metrics=metrics)
+        agg["tiles"] += metrics["tiles"]
+        agg["features"] += metrics["features"]
+        agg["covt_bytes"] += metrics["covt_bytes"]
+        agg["plain_bytes"] += metrics["plain_bytes"]
+    return agg
+
+
+def validate_images(images: rd.Dataset) -> rd.Dataset:
+    """Per-row validation stage (input_hint invariant): decode stored bytes,
+    compare against the deterministically re-rendered original — PSNR >= 40dB
+    for lossy formats, exact for lossless — plus caption equality."""
+
+    def _check(batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_numpy(zero_copy_only=False)
+        idx = np.array([int(s[3:]) for s in ids], dtype=np.int64)
+        # re-render ORIGINAL content (ground truth) from the content key
+        dup = synth._u01(idx, 21) < 0.01
+        content_idx = np.where(dup, idx // 100 * 100, idx)
+        originals = synth._render_images(content_idx)
+        cap_ok = np.empty(len(idx), dtype=bool)
+        psnr_db = np.empty(len(idx), dtype=np.float64)
+        for i in range(len(idx)):
+            img = img_f.decode_image(batch["bytes"][i].as_py(), batch["fmt"][i].as_py())
+            p = img_f.psnr(originals[i], img)
+            psnr_db[i] = min(p, 99.0)
+            cap_ok[i] = True  # caption column is authoritative; re-derived below
+        # caption equality against regenerated ground truth
+        cap_len = 4 + (synth._u01(idx, 30) * 8).astype(np.int64)
+        vocab = np.array(synth._VOCAB, dtype=object)
+        for i, (g, ln) in enumerate(zip(idx, cap_len)):
+            want = " ".join(
+                vocab[
+                    (
+                        synth._splitmix64(
+                            np.uint64(g) * np.uint64(131) + np.arange(ln, dtype=np.uint64)
+                        )
+                        % len(vocab)
+                    ).astype(np.int64)
+                ]
+            )
+            cap_ok[i] = batch["caption"][i].as_py() == want
+        valid = (psnr_db >= 40.0) & cap_ok
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "fmt": batch["fmt"],
+                "psnr_db": pa.array(psnr_db),
+                "caption_ok": pa.array(cap_ok),
+                "valid": pa.array(valid),
+            }
+        )
+
+    return images.map_batches(_check, batch_format="pyarrow", batch_size=2048)
+
+
+def tiling_pipeline(sf_dir_or_sf, out_dir: str, z: int = 8, **kw) -> dict:
+    """Full flagship run; returns aggregate metrics."""
+    images = read_images(sf_dir_or_sf, columns=LIGHT_COLUMNS)
+    tiles = build_tiles(images, z=z, **kw)
+    return write_tiles(tiles, out_dir, input_desc={"sf": str(sf_dir_or_sf), "z": z})

@@ -1,0 +1,211 @@
+"""Deterministic synthetic image+caption corpus (FIXTURES.md T1).
+
+Schema matches BASELINE.json input_hint exactly:
+(image_id:string, bytes:binary, w:int32, h:int32, fmt:string,
+ caption:string, phash:int64) plus lon/lat:float64 for spatial assignment.
+
+Everything is keyed by (seed, row index) so any shard can be regenerated
+independently — the generator is itself a Ray-friendly source: row ranges
+are generated inside ``map_batches`` over an index range, no driver-side
+materialization.  A parquet cache under /tmp makes repeated test/bench
+runs cheap.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions import image as img_f
+
+SEED = 42
+_VOCAB = (
+    "aerial satellite photo view city coast mountain river forest desert harbor "
+    "island bridge road field village rooftop snow cloud shadow sunset night "
+    "market tower park lake glacier dune reef canyon plain delta"
+).split()
+
+# hot cluster centers (lon, lat, weight) — exercises tile/cell skew
+_CLUSTERS = [
+    (-74.0, 40.7, 0.25),  # NYC
+    (2.35, 48.85, 0.2),  # Paris
+    (139.7, 35.7, 0.15),  # Tokyo
+    (-46.6, -23.5, 0.1),  # São Paulo
+    (151.2, -33.9, 0.05),  # Sydney
+]
+_BG_WEIGHT = 1.0 - sum(w for _, _, w in _CLUSTERS)
+
+
+def rows_for_sf(sf: float) -> int:
+    return max(1, int(round(sf * 6_000_000 * 0.001)) * 1000)  # 6k @ 0.001, 600k @ 0.1
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return float(base.replace("sf", "")) if base.startswith("sf") else 0.001
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Counter-based hash: deterministic per-index randomness (vectorized)."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _u01(idx: np.ndarray, salt: int) -> np.ndarray:
+    """Uniform [0,1) keyed by (row index, salt) — shard-boundary independent."""
+    h = _splitmix64(idx.astype(np.uint64) ^ np.uint64(salt * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF))
+    return (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+_IMG_W = _IMG_H = 16
+
+
+def _render_images(content_idx: np.ndarray) -> np.ndarray:
+    """(n,) content keys -> (n, 16, 16, 3) uint8 deterministic rasters."""
+    n = len(content_idx)
+    slope = 0.2 + 0.8 * _u01(content_idx, 1)
+    ch = np.stack([0.5 + 0.5 * _u01(content_idx, 2 + c) for c in range(3)], axis=1)  # (n,3)
+    base = np.linspace(0, 255, _IMG_W, dtype=np.float64)
+    grad = (base[None, None, :] + base[None, :, None] * slope[:, None, None]) / 2  # (n,16,16)
+    im = grad[:, :, :, None] * ch[:, None, None, :]  # (n,16,16,3)
+    # deterministic per-pixel noise from (content key, pixel#)
+    pix = np.arange(_IMG_W * _IMG_H * 3, dtype=np.uint64)
+    noise_h = _splitmix64(
+        (content_idx.astype(np.uint64)[:, None] * np.uint64(0x100000001B3)) ^ pix[None, :]
+    )
+    noise = ((noise_h >> np.uint64(40)).astype(np.float64) / (1 << 24) - 0.5) * 40.0
+    im = im + noise.reshape(n, _IMG_H, _IMG_W, 3)
+    return np.clip(im, 0, 255).astype(np.uint8)
+
+
+def _phash_batch(imgs: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit DCT phash of (n, h, w, 3) uint8 images."""
+    g = imgs.astype(np.float64).mean(axis=3)  # (n,h,w)
+    h, w = g.shape[1:]
+    yi = (np.arange(32) * h) // 32
+    xi = (np.arange(32) * w) // 32
+    small = g[:, yi][:, :, xi]  # (n,32,32)
+    D = img_f._dct_matrix(32)
+    d = np.einsum("ij,njk,lk->nil", D, small, D, optimize=True)
+    low = d[:, :8, :8].copy()
+    low[:, 0, 0] = 0.0
+    med = np.median(low.reshape(len(low), -1), axis=1, keepdims=True)
+    bits = (low.reshape(len(low), -1) > med).astype(np.uint8)
+    return np.packbits(bits, axis=1, bitorder="little").view(np.uint64)[:, 0]
+
+
+def generate_images_batch(start: int, n: int, seed: int = SEED) -> pa.Table:
+    """Generate rows [start, start+n) of the corpus as a pyarrow Table.
+
+    Fully deterministic per GLOBAL row index (counter-based hashing, not
+    sequential RNG state), so any shard range regenerates identically —
+    the property that makes the source resumable and Ray-parallel.
+    """
+    idx = np.arange(start, start + n, dtype=np.int64)
+
+    # positions: hot clusters + uniform background (tile-skew generator)
+    u = _u01(idx, 10)
+    weights = np.array([w for _, _, w in _CLUSTERS] + [_BG_WEIGHT])
+    pick = np.searchsorted(np.cumsum(weights), u)
+    bg = pick == len(_CLUSTERS)
+    cl = np.array([(c[0], c[1]) for c in _CLUSTERS] + [(0.0, 0.0)])
+    # triangular-ish jitter (sum of two uniforms) — deterministic per row
+    jlon = (_u01(idx, 11) + _u01(idx, 12) - 1.0) * 2.0
+    jlat = (_u01(idx, 13) + _u01(idx, 14) - 1.0) * 1.4
+    lons = cl[pick, 0] + jlon
+    lats = cl[pick, 1] + jlat
+    lons[bg] = _u01(idx[bg], 15) * 359.8 - 179.9
+    lats[bg] = _u01(idx[bg], 16) * 160.0 - 80.0
+    np.clip(lons, -179.99, 179.99, out=lons)
+    np.clip(lats, -84.9, 84.9, out=lats)
+
+    fmt_pick = (_u01(idx, 20) * 10).astype(np.int64)  # 0-4 raw, 5-7 png, 8-9 qnt
+    dup = _u01(idx, 21) < 0.01  # ~1% exact content duplicates
+    content_idx = np.where(dup, idx // 100 * 100, idx)
+
+    imgs = _render_images(content_idx)
+    phashes = _phash_batch(imgs).astype(np.int64, casting="unsafe")
+
+    fmts = np.where(fmt_pick < 5, "raw", np.where(fmt_pick < 8, "png", "qnt")).astype(object)
+    out_bytes = [
+        img_f.encode_image(imgs[i], fmts[i]) for i in range(n)
+    ]
+    out_ids = [f"img{g:012d}" for g in idx]
+
+    cap_len = 4 + (_u01(idx, 30) * 8).astype(np.int64)
+    vocab = np.array(_VOCAB, dtype=object)
+    cap_words = [
+        " ".join(vocab[(_splitmix64(np.uint64(g) * np.uint64(131) + np.arange(ln, dtype=np.uint64)) % len(vocab)).astype(np.int64)])
+        for g, ln in zip(idx, cap_len)
+    ]
+
+    ws = np.full(n, _IMG_W, dtype=np.int32)
+    hs = np.full(n, _IMG_H, dtype=np.int32)
+    out_caption = cap_words
+    out_fmt = fmts.tolist()
+
+    return pa.table(
+        {
+            "image_id": pa.array(out_ids, pa.string()),
+            "bytes": pa.array(out_bytes, pa.binary()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+            "fmt": pa.array(out_fmt, pa.string()),
+            "caption": pa.array(out_caption, pa.string()),
+            "phash": pa.array(phashes, pa.int64()),
+            "lon": pa.array(lons, pa.float64()),
+            "lat": pa.array(lats, pa.float64()),
+        }
+    )
+
+
+def images_parquet_path(sf: float, cache_dir: str = "/tmp/cov_tiles_ray_cache") -> str:
+    """Generate (once) and return the parquet path for the corpus at ``sf``.
+
+    Written as a directory of shard files so reads parallelize; shards are
+    generated independently (resumable layout — finished shards are skipped).
+    """
+    n = rows_for_sf(sf)
+    out_dir = os.path.join(cache_dir, f"images_sf{sf:g}")
+    done = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(done):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    shard = 20_000
+    todo = [
+        s
+        for s in range(0, n, shard)
+        if not os.path.exists(os.path.join(out_dir, f"part-{s:09d}.parquet"))
+    ]
+
+    def _write(s: int) -> None:
+        tbl = generate_images_batch(s, min(shard, n - s))
+        path = os.path.join(out_dir, f"part-{s:09d}.parquet")
+        tmp = path + f".tmp{os.getpid()}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+
+    # parallelize shard generation when a Ray session exists (the generator
+    # is counter-based, so shards are independent); else serial.
+    try:
+        import ray
+
+        have_ray = ray.is_initialized()
+    except ImportError:  # pragma: no cover
+        have_ray = False
+    if have_ray and len(todo) > 1:
+        import ray
+
+        w = ray.remote(num_cpus=1)(_write)
+        ray.get([w.remote(s) for s in todo])
+    else:
+        for s in todo:
+            _write(s)
+    with open(done, "w") as f:
+        f.write(str(n))
+    return out_dir

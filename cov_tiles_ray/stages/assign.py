@@ -1,0 +1,86 @@
+"""Spatial assignment stages — stateless, zero-copy Arrow ``map_batches``.
+
+Each function is `pa.Table -> pa.Table`; vectorized numpy kernels from
+``functions.spatial`` under the hood.  These are the engine's analogue of
+the reference's implicit "input is already tiled" assumption (S1-S5 read
+pre-tiled MVT; we assign records to tiles ourselves — SURVEY.md §7.2.3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import spatial as S
+
+
+def assign_tiles(batch: pa.Table, z: int, extent: int = 4096, lon_col="lon", lat_col="lat") -> pa.Table:
+    """Add tile_z/tile_x/tile_y/tile_id + tile-local integer coords."""
+    lon = batch[lon_col].to_numpy(zero_copy_only=False)
+    lat = batch[lat_col].to_numpy(zero_copy_only=False)
+    tx, ty, lx, ly = S.tile_local_coords(lon, lat, z, extent)
+    tid = S.pack_tile_id(z, tx, ty)
+    return (
+        batch.append_column("tile_z", pa.array(np.full(len(tx), z, dtype=np.int32)))
+        .append_column("tile_x", pa.array(tx))
+        .append_column("tile_y", pa.array(ty))
+        .append_column("tile_id", pa.array(tid))
+        .append_column("loc_x", pa.array(lx))
+        .append_column("loc_y", pa.array(ly))
+    )
+
+
+def assign_hex(batch: pa.Table, res: int, lon_col="lon", lat_col="lat", out_col=None) -> pa.Table:
+    """Add an H3-style hex cell id column at resolution ``res``."""
+    lon = batch[lon_col].to_numpy(zero_copy_only=False)
+    lat = batch[lat_col].to_numpy(zero_copy_only=False)
+    cell = S.lonlat_to_hex(lon, lat, res)
+    return batch.append_column(out_col or f"hex_r{res}", pa.array(cell))
+
+
+def salt_hot_tiles(batch: pa.Table, hot_z_max: int = 4, num_salts: int = 8) -> pa.Table:
+    """Add a shuffle-salt column: low-zoom (world-scale) tiles split into
+    ``num_salts`` sub-groups so one group never holds an unbounded slice of
+    the corpus (SURVEY.md §7.4 skew row).  Salt is a deterministic hash of
+    image_id so re-runs produce identical grouping."""
+    import pandas as pd
+
+    z = batch["tile_z"].to_numpy(zero_copy_only=False)
+    ids = batch["image_id"].to_numpy(zero_copy_only=False)
+    h = pd.util.hash_array(ids.astype(object)).astype(np.uint64)
+    salt = np.where(z <= hot_z_max, (h % np.uint64(num_salts)).astype(np.int32), 0)
+    return batch.append_column("salt", pa.array(salt.astype(np.int32)))
+
+
+class PipAssigner:
+    """Actor-pool stage: point-in-polygon tagging against a broadcast
+    polygon set (the 'compiled spatial index held by actors' the north rule
+    names; reference analogue: the per-process SQLite handle A5).
+
+    ``polygons_ref`` is a ``ray.put`` handle to a dict with arrays
+    (poly_id, ring_offsets, ring_x, ring_y, bbox) — fetched ONCE per actor
+    in ``__init__``, never per batch.
+    """
+
+    def __init__(self, polygons_ref, lon_col="lon", lat_col="lat"):
+        import ray
+
+        polys = ray.get(polygons_ref)
+        self.lon_col, self.lat_col = lon_col, lat_col
+        self.polys = []
+        for p in polys:
+            bbox = S.rings_bbox(p["ring_x"], p["ring_y"])
+            self.polys.append((p["poly_id"], p["ring_offsets"], p["ring_x"], p["ring_y"], bbox))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch[self.lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
+        out = np.full(len(lon), "", dtype=object)
+        for pid, offs, rx, ry, (x0, y0, x1, y1) in self.polys:
+            cand = (lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1) & (out == "")
+            if not cand.any():
+                continue
+            ii = np.flatnonzero(cand)
+            hit = S.points_in_rings(lon[ii], lat[ii], rx, ry, offs)
+            out[ii[hit]] = pid
+        return batch.append_column("poly_id", pa.array(out, pa.string()))

@@ -1,0 +1,92 @@
+"""Driver-contract conformance: every SQL-checkable query's Ray result must
+match its DuckDB oracle on row count, schema (column names) and values
+(order-insensitive) — the same comparison the driver performs.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def _to_df(res) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = _duck(SF_DIR)
+    yield c
+    c.close()
+
+
+def sql_query_names():
+    from cov_tiles_ray.pipelines.queries import SQL_QUERIES
+
+    return sorted(SQL_QUERIES)
+
+
+@pytest.mark.parametrize("name", sql_query_names())
+def test_sql_query_matches_oracle(name, con, ray_session):
+    from cov_tiles_ray.pipelines.queries import SQL_QUERIES
+
+    fn, sql = SQL_QUERIES[name]
+    got = _normalize(_to_df(fn(SF_DIR)))
+    want = _normalize(con.execute(sql).fetchdf())
+    assert list(got.columns) == list(want.columns), f"{name}: column mismatch"
+    assert len(got) == len(want), f"{name}: row count {len(got)} != {len(want)}"
+    for c in got.columns:
+        g, w = got[c].to_numpy(), want[c].to_numpy()
+        if g.dtype.kind in "iub" or w.dtype.kind in "iub":
+            np.testing.assert_array_equal(g.astype(np.int64), w.astype(np.int64), err_msg=f"{name}.{c}")
+        elif g.dtype.kind == "O":
+            assert list(g) == list(w), f"{name}.{c}"
+        else:
+            np.testing.assert_array_equal(g, w, err_msg=f"{name}.{c}")
+
+
+def test_rows_only_queries_run(ray_session):
+    from cov_tiles_ray.pipelines.rows_only import ROWS_ONLY_QUERIES
+
+    slow = {"covt_compression"}  # exercised via entry()/bench instead
+    for name, fn in ROWS_ONLY_QUERIES.items():
+        if name in slow:
+            continue
+        df = _to_df(fn(SF_DIR))
+        assert len(df) >= 0, name
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+
+    res = e.entry()
+    df = _to_df(res)
+    assert len(df) > 0
+    assert df["roundtrip_ok"].all()
+    qs, sql = e.queries(), e.oracle_sql()
+    assert set(sql) <= set(qs)
