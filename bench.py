@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32)
+and print ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+--scaling: run the headline pipeline twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and print both throughputs
+plus scaling efficiency (two-cluster-size evidence, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _run_bench() -> dict:
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from cov_tiles_ray.pipelines import tiling
+    from cov_tiles_ray.pipelines.queries import SQL_QUERIES
+    from cov_tiles_ray.sources import synth
+
+    sf = synth.sf_from_dir(sf_dir)
+
+    # untimed: corpus generation (cached) + page-cache warm read
+    images_path = synth.images_parquet_path(sf)
+    ray.data.read_parquet(images_path, columns=["image_id"]).count()
+
+    # ---- headline: flagship encode+assign pipeline ----
+    t0 = time.perf_counter()
+    images = tiling.read_images(sf, columns=tiling.LIGHT_COLUMNS)
+    tiles = tiling.build_tiles(images, z=8).materialize()
+    headline_sec = time.perf_counter() - t0
+    pdf = tiles.select_columns(
+        ["n_features", "covt_bytes", "plain_bytes", "roundtrip_ok"]
+    ).to_pandas()
+    features = int(pdf["n_features"].sum())
+    n_tiles = int(len(pdf))
+
+    # ---- per-query timings (the SQL-checkable operator suite) ----
+    bench_queries = [
+        "pricing_summary",
+        "revenue_by_nation",
+        "event_windows",
+        "tile_assign_z10",
+        "hex_assign_r3",
+        "pip_regions",
+        "knn_points",
+        "dedup_exact",
+        "token_counts",
+        "ann_cosine_top5",
+    ]
+    qtimes: dict[str, float] = {}
+    for name in bench_queries:
+        fn, _sql = SQL_QUERIES[name]
+        tq = time.perf_counter()
+        res = fn(sf_dir)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        qtimes[name] = round(time.perf_counter() - tq, 3)
+
+    result = {
+        "metric": "covt_encode_assign_headline",
+        "value": round(headline_sec, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "rows": features,
+        "tiles": n_tiles,
+        "rows_per_sec": round(features / headline_sec, 1),
+        "tiles_per_sec": round(n_tiles / headline_sec, 1),
+        "covt_bytes": int(pdf["covt_bytes"].sum()),
+        "plain_bytes": int(pdf["plain_bytes"].sum()),
+        "roundtrip_failures": int((~pdf["roundtrip_ok"]).sum()),
+    }
+    ray.shutdown()
+    return result
+
+
+def _run_at(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        lo_cpu, hi_cpu = 8, 32
+        lo = _run_at(lo_cpu)
+        hi = _run_at(hi_cpu)
+        eff = (lo["value"] / hi["value"]) / (hi_cpu / lo_cpu)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency",
+                    "value": round(eff, 3),
+                    "unit": "ratio",
+                    "sec_8": lo["value"],
+                    "sec_32": hi["value"],
+                    "rows_per_sec_8": lo["rows_per_sec"],
+                    "rows_per_sec_32": hi["rows_per_sec"],
+                    "sf": lo["sf"],
+                }
+            )
+        )
+        return
+    print(json.dumps(_run_bench()))
+
+
+if __name__ == "__main__":
+    main()

@@ -41,9 +41,25 @@ def varint_encoded_size(values: np.ndarray) -> np.ndarray:
     """Per-value encoded byte length (1..10) for uint64 input."""
     v = np.ascontiguousarray(values, dtype=U64)
     nbytes = np.ones(len(v), dtype=np.int64)
+    if len(v) == 0:
+        return nbytes
+    vmax = int(v.max())
     for k in range(1, 10):
+        if vmax < (1 << (7 * k)):
+            break
         nbytes += v >= U64(1 << (7 * k))
     return nbytes
+
+
+def encode_varint_scalar(value: int) -> bytes:
+    """Single-value varint (python-int fast path for metadata framing)."""
+    out = bytearray()
+    v = int(value)
+    while v >= 0x80:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+    return bytes(out)
 
 
 def encode_varint(values: np.ndarray) -> bytes:
@@ -52,6 +68,10 @@ def encode_varint(values: np.ndarray) -> bytes:
     n = len(v)
     if n == 0:
         return b""
+    if n <= 2:  # scalar fast path (metadata descriptors, tiny streams)
+        return b"".join(encode_varint_scalar(int(x)) for x in v)
+    if int(v.max()) < 0x80:  # all single-byte
+        return v.astype(np.uint8).tobytes()
     nbytes = varint_encoded_size(v)
     ends = np.cumsum(nbytes)
     total = int(ends[-1])
@@ -74,6 +94,22 @@ def decode_varint(buf: bytes | np.ndarray, n: int, offset: int = 0) -> tuple[np.
     """Vectorized varint decode of ``n`` uint64 values starting at ``offset``."""
     if n == 0:
         return np.empty(0, dtype=U64), offset
+    if n <= 4:  # scalar fast path (metadata descriptors, tiny streams)
+        bb = _as_u8(buf)
+        out = np.empty(n, dtype=U64)
+        pos = offset
+        for i in range(n):
+            val = 0
+            shift = 0
+            while True:
+                byte = int(bb[pos])
+                pos += 1
+                val |= (byte & 0x7F) << shift
+                if byte < 0x80:
+                    break
+                shift += 7
+            out[i] = val & 0xFFFFFFFFFFFFFFFF
+        return out, pos
     b = _as_u8(buf)[offset:]
     # only need at most 10*n bytes
     b = b[: 10 * n]

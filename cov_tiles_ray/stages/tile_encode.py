@@ -20,17 +20,21 @@ from ..tile import EncodeOptions, decode_tile, encode_tile
 _POINT_LAYER = "images"
 
 
-def group_to_layer(g: pd.DataFrame, extent: int = 4096) -> LayerData:
-    """Build a point LayerData from one tile group (deterministic order:
-    sorted by image index — ordering is load-bearing, SURVEY.md §7.5)."""
-    g = g.sort_values("image_id", kind="mergesort").reset_index(drop=True)
-    n = len(g)
+def group_to_layer(g: dict, extent: int = 4096) -> LayerData:
+    """Build a point LayerData from one tile group (dict of numpy arrays).
+
+    Rows are ordered by image id — ordering is load-bearing (SURVEY.md
+    §7.5): feature order ties ids, geometry and property streams together.
+    """
+    image_id = np.asarray(g["image_id"], dtype=object)
+    order = np.argsort(image_id, kind="stable")
+    n = len(image_id)
     vb = np.empty(2 * n, dtype=np.int64)
-    vb[0::2] = g["loc_x"].to_numpy(dtype=np.int64)
-    vb[1::2] = g["loc_y"].to_numpy(dtype=np.int64)
-    ids = (
-        g["image_id"].str.slice(3).astype(np.int64).to_numpy().astype(np.uint64)
-    )  # img%012d -> numeric id
+    vb[0::2] = np.asarray(g["loc_x"], dtype=np.int64)[order]
+    vb[1::2] = np.asarray(g["loc_y"], dtype=np.int64)[order]
+    # img%012d -> numeric id (vectorized slice-parse)
+    ids = np.char.lstrip(np.asarray(image_id[order], dtype="U15"), "img").astype(np.uint64)
+    ones = np.ones(n, bool)
     return LayerData(
         name=_POINT_LAYER,
         extent=extent,
@@ -39,13 +43,13 @@ def group_to_layer(g: pd.DataFrame, extent: int = 4096) -> LayerData:
         ids=ids,
         properties={
             "caption": PropertyColumn(
-                ColumnDataType.STRING, np.ones(n, bool), g["caption"].to_numpy(dtype=object)
+                ColumnDataType.STRING, ones, np.asarray(g["caption"], dtype=object)[order]
             ),
             "fmt": PropertyColumn(
-                ColumnDataType.STRING, np.ones(n, bool), g["fmt"].to_numpy(dtype=object)
+                ColumnDataType.STRING, ones, np.asarray(g["fmt"], dtype=object)[order]
             ),
             "phash": PropertyColumn(
-                ColumnDataType.INT_64, np.ones(n, bool), g["phash"].to_numpy(dtype=np.int64)
+                ColumnDataType.INT_64, ones, np.asarray(g["phash"], dtype=np.int64)[order]
             ),
         },
     )
@@ -71,36 +75,66 @@ def plain_columnar_bytes(layer: LayerData) -> int:
 
 
 class TileEncoder:
-    """Actor-pool map_groups kernel: holds EncodeOptions + warm codec state
-    once per actor (stateful-stage pattern, SURVEY.md §7.3)."""
+    """map_groups kernel (numpy batch format — no per-group pandas
+    construction): one tile group in, one output row (dict of arrays) out.
+    Holds EncodeOptions once per worker (stateful-stage pattern,
+    SURVEY.md §7.3)."""
 
     def __init__(self, opts: EncodeOptions | None = None, extent: int = 4096):
         self.opts = opts or EncodeOptions()
         self.extent = extent
 
-    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, g: dict) -> dict:
         layer = group_to_layer(g, self.extent)
         buf = encode_tile([layer], self.opts)
-        tid = int(g["tile_id"].iloc[0])
-        salt = int(g["salt"].iloc[0]) if "salt" in g else 0
+        tid = int(g["tile_id"][0])
+        salt = int(g["salt"][0]) if "salt" in g else 0
         z, x, y = (int(a[0]) for a in S.unpack_tile_id(np.array([tid])))
-        return pd.DataFrame(
-            {
-                "tile_id": [tid],
-                "z": np.int32(z),
-                "x": np.int32(x),
-                "y": np.int32(y),
-                "salt": np.int32(salt),
-                "n_features": [layer.num_features],
-                "covt": [buf],
-                "covt_bytes": [len(buf)],
-                "plain_bytes": [plain_columnar_bytes(layer)],
-            }
-        )
+        return {
+            "tile_id": np.array([tid], dtype=np.int64),
+            "z": np.array([z], dtype=np.int32),
+            "x": np.array([x], dtype=np.int32),
+            "y": np.array([y], dtype=np.int32),
+            "salt": np.array([salt], dtype=np.int32),
+            "n_features": np.array([layer.num_features], dtype=np.int64),
+            "covt": np.array([buf], dtype=object),
+            "covt_bytes": np.array([len(buf)], dtype=np.int64),
+            "plain_bytes": np.array([plain_columnar_bytes(layer)], dtype=np.int64),
+        }
 
 
-def encode_tile_group(g: pd.DataFrame, opts: EncodeOptions | None = None) -> pd.DataFrame:
+def encode_tile_group(g: dict, opts: EncodeOptions | None = None) -> dict:
     return TileEncoder(opts)(g)
+
+
+class MultiTileEncoder:
+    """Encode MANY tiles per call: the input group is a hash partition
+    (``part = hash(tile_id) mod P``), segmented by (tile_id, salt) inside
+    the kernel with numpy, so the Ray per-group wrapper cost is paid P
+    times instead of once per tile.  Hash partitioning also spreads dense
+    spatial regions across the pool (skew control beyond salting)."""
+
+    def __init__(self, opts: EncodeOptions | None = None, extent: int = 4096):
+        self.enc = TileEncoder(opts, extent)
+
+    def __call__(self, g: dict) -> dict:
+        tid = np.asarray(g["tile_id"], dtype=np.int64)
+        salt = np.asarray(g["salt"], dtype=np.int64)
+        order = np.lexsort((salt, tid))
+        cols = {k: np.asarray(v)[order] for k, v in g.items()}
+        tid, salt = cols["tile_id"], cols["salt"]
+        key_change = np.concatenate(
+            [[True], (tid[1:] != tid[:-1]) | (salt[1:] != salt[:-1])]
+        )
+        starts = np.flatnonzero(key_change)
+        ends = np.concatenate([starts[1:], [len(tid)]])
+        outs: list[dict] = []
+        for s, e in zip(starts, ends):
+            sub = {k: v[s:e] for k, v in cols.items()}
+            outs.append(self.enc(sub))
+        if not outs:
+            return self.enc({k: v[:0] for k, v in cols.items()})
+        return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
 
 
 def verify_tiles_batch(batch: pa.Table) -> pa.Table:

@@ -54,14 +54,21 @@ class EncodeOptions:
     sfc: str = "hilbert"  # vertex-dictionary ordering curve: "hilbert" | "morton"
 
 
-def _topology_candidates(opts: EncodeOptions):
-    if opts.allow_fastpfor_topology:
+# Deterministic fast-path policy: FastPFOR's block framing can't win on
+# short streams, so candidates are pruned below this length (a fixed rule,
+# not data-dependent — output stays deterministic).
+FASTPFOR_MIN_VALUES = 64
+ICE_MIN_VERTICES = 16
+
+
+def _topology_candidates(opts: EncodeOptions, n: int = 1 << 30):
+    if opts.allow_fastpfor_topology and n >= FASTPFOR_MIN_VALUES:
         return TOPOLOGY_CANDIDATES
     return (StreamEncoding.RLE,)
 
 
-def _vertex_candidates(opts: EncodeOptions):
-    if opts.allow_fastpfor_vertex:
+def _vertex_candidates(opts: EncodeOptions, n: int = 1 << 30):
+    if opts.allow_fastpfor_vertex and n >= FASTPFOR_MIN_VALUES:
         return VERTEX_CANDIDATES
     return (StreamEncoding.VARINT_DELTA_ZIG_ZAG,)
 
@@ -88,7 +95,7 @@ def _encode_geometry_plain(layer: LayerData, opts: EncodeOptions) -> _StreamBloc
     blk = _StreamBlock()
     gt = np.ascontiguousarray(layer.geometry_types, dtype=np.uint8)
     blk.add(StreamType.GEOMETRY_TYPES, StreamEncoding.BYTE_RLE, len(gt), C.encode_byte_rle(gt))
-    topo = _topology_candidates(opts)
+    topo = _topology_candidates(opts, layer.num_features)
     if layer.geometry_offsets is not None and len(layer.geometry_offsets):
         blk.add_best(StreamType.GEOMETRY_OFFSETS, np.asarray(layer.geometry_offsets, dtype=I64), topo)
     if layer.part_offsets is not None and len(layer.part_offsets):
@@ -96,7 +103,7 @@ def _encode_geometry_plain(layer: LayerData, opts: EncodeOptions) -> _StreamBloc
     if layer.ring_offsets is not None and len(layer.ring_offsets):
         blk.add_best(StreamType.RING_OFFSETS, np.asarray(layer.ring_offsets, dtype=I64), topo)
     vb = np.asarray(layer.vertex_buffer, dtype=I64)
-    blk.add_best(StreamType.VERTEX_BUFFER, vb, _vertex_candidates(opts), interleaved=True)
+    blk.add_best(StreamType.VERTEX_BUFFER, vb, _vertex_candidates(opts, len(vb)), interleaved=True)
     return blk
 
 
@@ -117,7 +124,7 @@ def _encode_geometry_ice(layer: LayerData, opts: EncodeOptions, morton: bool) ->
     858-870, getVertexOffsets :950-956, encodeVertexBuffer :771-856.
     """
     vb = np.asarray(layer.vertex_buffer, dtype=I64)
-    if len(vb) == 0:
+    if len(vb) < 2 * ICE_MIN_VERTICES:
         return None
     x, y = vb[0::2], vb[1::2]
     num_bits = _sfc_num_bits(layer.extent)
@@ -135,7 +142,7 @@ def _encode_geometry_ice(layer: LayerData, opts: EncodeOptions, morton: bool) ->
     blk = _StreamBlock()
     gt = np.ascontiguousarray(layer.geometry_types, dtype=np.uint8)
     blk.add(StreamType.GEOMETRY_TYPES, StreamEncoding.BYTE_RLE, len(gt), C.encode_byte_rle(gt))
-    topo = _topology_candidates(opts)
+    topo = _topology_candidates(opts, layer.num_features)
     if layer.geometry_offsets is not None and len(layer.geometry_offsets):
         blk.add_best(StreamType.GEOMETRY_OFFSETS, np.asarray(layer.geometry_offsets, dtype=I64), topo)
     if layer.part_offsets is not None and len(layer.part_offsets):
@@ -143,15 +150,16 @@ def _encode_geometry_ice(layer: LayerData, opts: EncodeOptions, morton: bool) ->
     if layer.ring_offsets is not None and len(layer.ring_offsets):
         blk.add_best(StreamType.RING_OFFSETS, np.asarray(layer.ring_offsets, dtype=I64), topo)
 
-    blk.add_best(StreamType.VERTEX_OFFSETS, inverse.astype(I64), _vertex_candidates(opts))
+    vc = _vertex_candidates(opts, len(inverse))
+    blk.add_best(StreamType.VERTEX_OFFSETS, inverse.astype(I64), vc)
     if morton:
         # dictionary stored as delta'd sorted morton codes (ref :939-948)
-        blk.add_best(StreamType.VERTEX_BUFFER, dict_keys, _vertex_candidates(opts))
+        blk.add_best(StreamType.VERTEX_BUFFER, dict_keys, _vertex_candidates(opts, len(dict_keys)))
     else:
         dx, dy = sfc.hilbert_decode_signed(dict_keys, num_bits)
         dict_vb = np.empty(2 * len(dict_keys), dtype=I64)
         dict_vb[0::2], dict_vb[1::2] = dx, dy
-        blk.add_best(StreamType.VERTEX_BUFFER, dict_vb, _vertex_candidates(opts), interleaved=True)
+        blk.add_best(StreamType.VERTEX_BUFFER, dict_vb, _vertex_candidates(opts, len(dict_vb)), interleaved=True)
     return blk
 
 
