@@ -62,11 +62,11 @@ def _tile_sql(z: int) -> str:
     return f"({z}::BIGINT * {1 << 58}::BIGINT + ({tx}) * {1 << 29}::BIGINT + ({ty}))"
 
 
-def _hex_sql(res: int) -> str:
+def _hex_sql(res: int, lon: str = "lon", lat: str = "lat") -> str:
     """SQL computing the packed hex cell id (mirrors lonlat_to_hex +
     _cube_round with floor(x+0.5) rounding)."""
     size = S.hex_cell_size(res)
-    mx, my = _mercator_sql("lon", "lat")
+    mx, my = _mercator_sql(lon, lat)
     k = repr(S.SQRT3 / 3.0)
     qf = f"((2.0 / 3.0 * ({mx})) / {size!r})"
     rf = f"((-1.0 / 3.0 * ({mx}) + {k} * ({my})) / {size!r})"
@@ -476,6 +476,236 @@ def _sql_knn_points() -> str:
     """
 
 
+def q_knn_kring(sf_dir: str):
+    """kNN pruned by hex k-ring expansion (the north rule's 'kNN via H3
+    k-ring' shape): assign points to hex cells, restrict each query's
+    candidates to cells within hex-distance k of the query's cell, exact
+    top-k among candidates.  Partial top-k per batch; only k rows per query
+    leave each block."""
+    qs = _knn_queries()
+    qlon = qs.qlon.to_numpy()
+    qlat = qs.qlat.to_numpy()
+    res, k = 2, 2
+    qcells = S.lonlat_to_hex(qlon, qlat, res)
+    rings = [set(S.k_ring(np.array([c]), k).reshape(-1).tolist()) for c in qcells]
+    ring_arrays = [np.fromiter(r, dtype=np.int64) for r in rings]
+
+    def partial(b: pa.Table) -> pa.Table:
+        lon = b["lon"].to_numpy(zero_copy_only=False)
+        lat = b["lat"].to_numpy(zero_copy_only=False)
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        cells = S.lonlat_to_hex(lon, lat, res)
+        rows_q, rows_e, rows_d = [], [], []
+        for qi in range(len(qlon)):
+            cand = np.isin(cells, ring_arrays[qi])
+            if not cand.any():
+                continue
+            d2 = (lon[cand] - qlon[qi]) ** 2 + (lat[cand] - qlat[qi]) ** 2
+            kk = min(_KNN_K, len(d2))
+            part = np.argpartition(d2, kk - 1)[:kk] if kk < len(d2) else np.arange(len(d2))
+            rows_q.append(np.full(len(part), qi, dtype=np.int64))
+            rows_e.append(eid[cand][part])
+            rows_d.append(d2[part])
+        if not rows_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "event_id": pa.array([], pa.int64()),
+                    "d2": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(rows_q)),
+                "event_id": pa.array(np.concatenate(rows_e)),
+                "d2": pa.array(np.concatenate(rows_d)),
+            }
+        )
+
+    parts = (
+        _events_points(sf_dir)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    order = np.lexsort((parts.event_id.to_numpy(), parts.d2.to_numpy(), parts.query_id.to_numpy()))
+    p = parts.iloc[order]
+    ranked = p.groupby("query_id", sort=True).head(_KNN_K).copy()
+    ranked["rank"] = ranked.groupby("query_id").cumcount().astype(np.int64)
+    return pa.table(
+        {
+            "query_id": pa.array(ranked.query_id.to_numpy(np.int64)),
+            "event_id": pa.array(ranked.event_id.to_numpy(np.int64)),
+            "rank": pa.array(ranked["rank"].to_numpy(np.int64)),
+        }
+    )
+
+
+def _sql_knn_kring() -> str:
+    res, k = 2, 2
+    mask = (1 << 26) - 1
+    off = S._HEX_OFF
+    return f"""
+    WITH pts AS (SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events),
+    pc AS (SELECT event_id, lon, lat, {_hex_sql(res)} AS cell FROM pts),
+    qs AS (SELECT cast(n_nationkey as bigint) AS query_id,
+                  n_nationkey * 30.0 - 60.0 + 0.003 AS qlon,
+                  n_nationkey * 15.0 - 30.0 + 0.003 AS qlat
+           FROM nation WHERE n_nationkey < 5),
+    qc AS (SELECT query_id, qlon, qlat, {_hex_sql(res, lon="qlon", lat="qlat")} AS qcell FROM qs),
+    pu AS (SELECT event_id, lon, lat, ((cell >> 26) & {mask}) - {off} AS pq, (cell & {mask}) - {off} AS pr FROM pc),
+    qu AS (SELECT query_id, qlon, qlat, ((qcell >> 26) & {mask}) - {off} AS qq, (qcell & {mask}) - {off} AS qr FROM qc),
+    cand AS (
+      SELECT q.query_id, p.event_id,
+             (p.lon - q.qlon) * (p.lon - q.qlon) + (p.lat - q.qlat) * (p.lat - q.qlat) AS d2
+      FROM qu q JOIN pu p
+        ON (abs(p.pq - q.qq) + abs(p.pr - q.qr) + abs(p.pq - q.qq + p.pr - q.qr)) / 2 <= {k}),
+    ranked AS (
+      SELECT query_id, event_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY d2, event_id) - 1 AS rank
+      FROM cand)
+    SELECT query_id, event_id, rank FROM ranked WHERE rank < {_KNN_K}
+    """
+
+
+_RASTER_GRID = 512
+
+
+def q_raster_pixel_counts(sf_dir: str):
+    """Rasterize event points onto a global 512x512 mercator pixel grid
+    (the rasterize half of the raster<->vector bridge) + per-pixel counts."""
+    ds = _events_points(sf_dir)
+    from ..functions import raster as R
+
+    def assign(b: pa.Table) -> pa.Table:
+        lon = b["lon"].to_numpy(zero_copy_only=False)
+        lat = b["lat"].to_numpy(zero_copy_only=False)
+        mx, my = S.mercator_xy(lon, lat)
+        px, py = R.pixel_coords(mx, my, _RASTER_GRID)
+        return pa.table({"pixel_id": pa.array(py * _RASTER_GRID + px)})
+
+    from ray.data.aggregate import Count
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True).groupby(
+        "pixel_id"
+    ).aggregate(Count(alias_name="n"))
+
+
+def _sql_raster_pixel_counts() -> str:
+    g = _RASTER_GRID
+    mx, my = _mercator_sql("lon", "lat")
+    px = f"cast(least(greatest(floor(({mx}) * {g}.0), 0.0), {g - 1}.0) as bigint)"
+    py = f"cast(least(greatest(floor(({my}) * {g}.0), 0.0), {g - 1}.0) as bigint)"
+    return f"""
+    WITH pts AS (SELECT {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events)
+    SELECT ({py}) * {g} + ({px}) AS pixel_id, count(*) AS n FROM pts GROUP BY pixel_id
+    """
+
+
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization per user (30-min inactivity gap): the
+    canonical streaming-shaped stateful operator, expressed as
+    groupby(user_id).map_groups with an in-group sort by timestamp."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        t = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // 1_000_000)
+        gaps = np.diff(t)
+        n_sessions = 1 + int((gaps > 1800).sum())
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_sessions": np.array([n_sessions], dtype=np.int64),
+                "n_events": np.array([len(t)], dtype=np.int64),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def _sql_sessionize() -> str:
+    return """
+    WITH e AS (SELECT user_id, epoch(ts) AS t FROM events),
+    o AS (SELECT user_id, t,
+                 CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL THEN 1
+                      WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800 THEN 1
+                      ELSE 0 END AS brk
+          FROM e)
+    SELECT user_id, cast(sum(brk) as bigint) AS n_sessions, count(*) AS n_events
+    FROM o GROUP BY user_id
+    """
+
+
+def q_parts_by_brand(sf_dir: str):
+    """Groupby over part: count, total retail cents, total size."""
+    ds = _read(sf_dir, "part", ["p_brand", "p_size", "p_retailprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        price = b["p_retailprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "p_brand": b["p_brand"],
+                "size": pa.array(b["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)),
+                "cents": pa.array(np.floor(price * 100.0).astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("p_brand")
+        .aggregate(
+            Count(alias_name="n_parts"),
+            Sum("cents", alias_name="retail_cents"),
+            Sum("size", alias_name="sum_size"),
+        )
+    )
+
+
+def _sql_parts_by_brand() -> str:
+    return """
+    SELECT p_brand, count(*) AS n_parts,
+           cast(sum(cast(floor(p_retailprice * 100.0) as bigint)) as bigint) AS retail_cents,
+           cast(sum(cast(p_size as bigint)) as bigint) AS sum_size
+    FROM part GROUP BY p_brand
+    """
+
+
+def q_supplier_balance(sf_dir: str):
+    """supplier ⋈ nation broadcast join + per-nation account balance."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    n2name = nation.set_index("n_nationkey")["n_name"]
+
+    def join(b: pa.Table) -> pa.Table:
+        nk = b["s_nationkey"].to_numpy(zero_copy_only=False)
+        bal = b["s_acctbal"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_name": pa.array(n2name.reindex(nk).to_numpy(dtype=object), pa.string()),
+                "bal_cents": pa.array(np.floor(bal * 100.0).astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+        .map_batches(join, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_name")
+        .aggregate(Sum("bal_cents", alias_name="bal_cents"), Count(alias_name="n_suppliers"))
+    )
+
+
+def _sql_supplier_balance() -> str:
+    return """
+    SELECT n_name,
+           cast(sum(cast(floor(s_acctbal * 100.0) as bigint)) as bigint) AS bal_cents,
+           count(*) AS n_suppliers
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """
+
+
 # ---------------------------------------------------------------------------
 # documents: dedup + text analytics
 # ---------------------------------------------------------------------------
@@ -674,6 +904,11 @@ SQL_QUERIES: dict[str, tuple] = {
     "hex_assign_r3": (q_hex_assign_r3, _sql_hex_assign_r3()),
     "pip_regions": (q_pip_regions, _sql_pip_regions()),
     "knn_points": (q_knn_points, _sql_knn_points()),
+    "knn_kring": (q_knn_kring, _sql_knn_kring()),
+    "raster_pixel_counts": (q_raster_pixel_counts, _sql_raster_pixel_counts()),
+    "sessionize": (q_sessionize, _sql_sessionize()),
+    "parts_by_brand": (q_parts_by_brand, _sql_parts_by_brand()),
+    "supplier_balance": (q_supplier_balance, _sql_supplier_balance()),
     "dedup_exact": (q_dedup_exact, _sql_dedup_exact()),
     "token_counts": (q_token_counts, _sql_token_counts()),
     "doc_stats": (q_doc_stats, _sql_doc_stats()),

@@ -209,6 +209,226 @@ def q_ann_lsh_buckets(sf_dir: str):
     )
 
 
+def q_polygonize_tiles(sf_dir: str):
+    """Raster->vector bridge: per z4 tile, rasterize event presence onto a
+    64x64 pixel mask, polygonize to rectilinear rings, then re-rasterize to
+    verify the round trip (the vectorize half of the bridge)."""
+    from ..functions import raster as R
+    from ..functions import spatial as S
+    from .queries import _events_points
+
+    GRID = 64
+
+    def assign(b: pa.Table) -> pa.Table:
+        lon = b["lon"].to_numpy(zero_copy_only=False)
+        lat = b["lat"].to_numpy(zero_copy_only=False)
+        mx, my = S.mercator_xy(lon, lat)
+        n = 1 << 4
+        tx = np.clip(np.floor(mx * n), 0, n - 1).astype(np.int64)
+        ty = np.clip(np.floor(my * n), 0, n - 1).astype(np.int64)
+        px = np.clip(np.floor((mx * n - tx) * GRID), 0, GRID - 1).astype(np.int64)
+        py = np.clip(np.floor((my * n - ty) * GRID), 0, GRID - 1).astype(np.int64)
+        return pa.table(
+            {
+                "tile_id": pa.array(S.pack_tile_id(4, tx, ty)),
+                "px": pa.array(px),
+                "py": pa.array(py),
+            }
+        )
+
+    def polygonize(g: pd.DataFrame) -> pd.DataFrame:
+        mask = np.zeros((GRID, GRID), dtype=bool)
+        mask[g["py"].to_numpy(), g["px"].to_numpy()] = True
+        rings = R.polygonize_mask(mask)
+        rx, ry, offs = R.rings_to_arrays(rings)
+        back = R.rasterize_rings(rx, ry, offs, GRID, GRID)
+        _, n_comp = R.label_components(mask)
+        return pd.DataFrame(
+            {
+                "tile_id": [int(g["tile_id"].iloc[0])],
+                "n_pixels": np.array([int(mask.sum())], dtype=np.int64),
+                "n_rings": np.array([len(rings)], dtype=np.int64),
+                "n_vertices": np.array([len(rx)], dtype=np.int64),
+                "n_components": np.array([n_comp], dtype=np.int64),
+                "roundtrip_ok": [bool(np.array_equal(back, mask))],
+            }
+        )
+
+    return (
+        _events_points(sf_dir)
+        .map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tile_id")
+        .map_groups(polygonize, batch_format="pandas")
+    )
+
+
+def q_ann_ivf_top5(sf_dir: str):
+    """IVF approximate nearest neighbour (the ANN scale path): k-means
+    coarse centroids from a driver-side sample, batch-parallel cluster
+    assignment, probe the nprobe closest clusters per query, exact top-5
+    within probed candidates.  Recall vs brute force is asserted in
+    tests/test_functions.py."""
+    from ..functions import ann as ann_f
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    sample = emb.limit(1024).to_pandas()
+    smat = ann_f.normalize_rows(np.stack(sample["embedding"].to_numpy()).astype(np.float64))
+    cents = ann_f.kmeans_centroids(smat, n_clusters=16)
+
+    qdf = emb.filter(expr="vec_id < 3").to_pandas().sort_values("vec_id")
+    qmat = ann_f.normalize_rows(np.stack(qdf["embedding"].to_numpy()).astype(np.float64))
+    qids = qdf["vec_id"].to_numpy(np.int64)
+    nprobe = 4
+    probe = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]
+
+    def partial(b: pa.Table) -> pa.Table:
+        vecs = ann_f.normalize_rows(
+            np.stack(b["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        )
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        clus = ann_f.ivf_assign(vecs, cents)
+        qi, vi, sc = [], [], []
+        for q in range(len(qmat)):
+            cand = np.isin(clus, probe[q])
+            if not cand.any():
+                continue
+            sims = vecs[cand] @ qmat[q]
+            kk = min(5, len(sims))
+            part = np.argpartition(-sims, kk - 1)[:kk] if kk < len(sims) else np.arange(len(sims))
+            qi.append(np.full(len(part), qids[q]))
+            vi.append(ids[cand][part])
+            sc.append(sims[part])
+        if not qi:
+            return pa.table(
+                {
+                    "query_vec_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_vec_id": pa.array(np.concatenate(qi).astype(np.int64)),
+                "vec_id": pa.array(np.concatenate(vi).astype(np.int64)),
+                "sim": pa.array(np.concatenate(sc)),
+            }
+        )
+
+    parts = emb.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    order = np.lexsort((parts.vec_id.to_numpy(), -parts.sim.to_numpy(), parts.query_vec_id.to_numpy()))
+    top = parts.iloc[order].groupby("query_vec_id", sort=True).head(5).copy()
+    top["rank"] = top.groupby("query_vec_id").cumcount().astype(np.int64)
+    return pa.table(
+        {
+            "query_vec_id": pa.array(top.query_vec_id.to_numpy(np.int64)),
+            "vec_id": pa.array(top.vec_id.to_numpy(np.int64)),
+            "rank": pa.array(top["rank"].to_numpy(np.int64)),
+        }
+    )
+
+
+def q_neardup_verified(sf_dir: str):
+    """LSH candidates verified with EXACT n-gram Jaccard >= 0.5 (candidate
+    generation distributed via band-bucket groupby; exact verify joins the
+    texts of each candidate pair via a broadcast doc_id -> text lookup)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts = ds.to_pandas().set_index("doc_id")["text"]
+
+    NUM_PERM, BANDS = 64, 16
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        sig = dedup_f.minhash_signatures(df["text"], num_perm=NUM_PERM)
+        keys = dedup_f.lsh_band_keys(sig, num_bands=BANDS)
+        n = len(df)
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(df["doc_id"].to_numpy(), BANDS),
+                "band": np.tile(np.arange(BANDS, dtype=np.int64), n),
+                "key": keys.reshape(-1),
+            }
+        )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["doc_id"].to_numpy())
+        a, b, jac = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                jx = dedup_f.ngram_jaccard(texts[ids[i]], texts[ids[j]])
+                if jx >= 0.5:
+                    a.append(ids[i]); b.append(ids[j]); jac.append(int(jx * 100))
+        return pd.DataFrame({"doc_a": a, "doc_b": b, "jac_x100": jac}).astype(np.int64)
+
+    pairs = (
+        ds.map_batches(sketch, batch_format="pandas")
+        .groupby(["band", "key"])
+        .map_groups(verify, batch_format="pandas")
+    ).to_pandas()
+    pairs = pairs.drop_duplicates(subset=["doc_a", "doc_b"]).sort_values(["doc_a", "doc_b"])
+    return pa.table(
+        {
+            "doc_a": pa.array(pairs.doc_a.to_numpy(np.int64)),
+            "doc_b": pa.array(pairs.doc_b.to_numpy(np.int64)),
+            "jac_x100": pa.array(pairs.jac_x100.to_numpy(np.int64)),
+        }
+    )
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (sim >= 0.4 — the synthetic
+    vectors are near-orthogonal, max pairwise cosine ~0.51, so 0.4 marks
+    the closest-pair tail): blocked matmul of each batch against the
+    broadcast full normalized matrix; emits only (i < j) pairs so each
+    pair appears once."""
+    import ray
+
+    from ..functions import ann as ann_f
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    full = emb.to_pandas().sort_values("vec_id")
+    fmat = ann_f.normalize_rows(np.stack(full["embedding"].to_numpy()).astype(np.float64))
+    fids = full["vec_id"].to_numpy(np.int64)
+    ref = ray.put((fmat, fids))
+
+    def pairs(b: pa.Table) -> pa.Table:
+        mat, ids_all = ray.get(ref)
+        vecs = ann_f.normalize_rows(
+            np.stack(b["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        )
+        ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = vecs @ mat.T
+        bi, fj = np.nonzero(sims >= 0.4)
+        keep = ids[bi] < ids_all[fj]
+        return pa.table(
+            {
+                "vec_a": pa.array(ids[bi][keep]),
+                "vec_b": pa.array(ids_all[fj][keep]),
+                "sim_x1000": pa.array(np.floor(sims[bi, fj][keep] * 1000.0).astype(np.int64)),
+            }
+        )
+
+    out = emb.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"vec_a": [], "vec_b": [], "sim_x1000": []}).astype(np.int64)
+    out = out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_doc_fingerprints(sf_dir: str):
+    """Rolling-hash document fingerprints + BPE-ish token counts."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "fingerprint": text_f.fingerprint_fast(df["text"]).view(np.int64),
+                "n_bpe_tokens": text_f.token_count_bpe(df["text"]),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pandas")
+
+
 ROWS_ONLY_QUERIES = {
     "covt_tiles": q_covt_tiles,
     "covt_compression": q_covt_compression,
@@ -219,4 +439,9 @@ ROWS_ONLY_QUERIES = {
     "langid_detect": q_langid_detect,
     "quality_scores": q_quality_scores,
     "ann_lsh_buckets": q_ann_lsh_buckets,
+    "polygonize_tiles": q_polygonize_tiles,
+    "ann_ivf_top5": q_ann_ivf_top5,
+    "neardup_verified": q_neardup_verified,
+    "embedding_neardup": q_embedding_neardup,
+    "doc_fingerprints": q_doc_fingerprints,
 }
