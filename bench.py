@@ -60,6 +60,28 @@ def _run_bench() -> dict:
     features = int(pdf["n_features"].sum())
     n_tiles = int(len(pdf))
 
+    # ---- decode throughput: COVT vs MVT (README.md:41-45 analogue) ----
+    from cov_tiles_ray.pipelines import transcode as tc
+    from cov_tiles_ray.sources import mvt as mvt_codec
+    from cov_tiles_ray.tile import decode_tile, encode_tile
+
+    sample = (
+        tc.build_mvt_tiles(tiling.read_images(sf, columns=tiling.LIGHT_COLUMNS), z=6)
+        .limit(400)
+        .to_pandas()
+    )
+    mvt_bufs = [bytes(b) for b in sample["mvt"]]
+    covt_bufs = [encode_tile(mvt_codec.decode_mvt_tile(b)) for b in mvt_bufs]
+    t0 = time.perf_counter()
+    for b in mvt_bufs:
+        mvt_codec.decode_mvt_tile(b)
+    mvt_dec_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for b in covt_bufs:
+        decode_tile(b)
+    covt_dec_sec = time.perf_counter() - t0
+    decode_speedup = mvt_dec_sec / covt_dec_sec if covt_dec_sec > 0 else float("nan")
+
     # ---- per-query timings (the SQL-checkable operator suite) ----
     bench_queries = [
         "pricing_summary",
@@ -96,6 +118,9 @@ def _run_bench() -> dict:
         "covt_bytes": int(pdf["covt_bytes"].sum()),
         "plain_bytes": int(pdf["plain_bytes"].sum()),
         "roundtrip_failures": int((~pdf["roundtrip_ok"]).sum()),
+        "decode_speedup_vs_mvt": round(decode_speedup, 2),
+        "decode_covt_tiles_per_s": round(len(covt_bufs) / covt_dec_sec, 1),
+        "decode_mvt_tiles_per_s": round(len(mvt_bufs) / mvt_dec_sec, 1),
     }
     ray.shutdown()
     return result

@@ -30,15 +30,17 @@ def q_covt_tiles(sf_dir: str):
 
 
 def q_covt_compression(sf_dir: str):
-    """Per-zoom compression summary (reference reduction formula,
-    CovtConverterTest.java:278-291) across a 3-level tile pyramid."""
+    """Per-zoom compression summary (reference reduction formula
+    ``(1 - covt/mvt) * 100``, CovtConverterTest.java:278-291) across a
+    3-level tile pyramid, against BOTH the true MVT wire size and the naive
+    plain-columnar size."""
     from . import tiling
     from ray.data.aggregate import Count, Sum
 
     images = tiling.read_images(sf_dir, columns=tiling.LIGHT_COLUMNS)
     outs = []
     for z in (4, 6, 8):
-        tiles = tiling.build_tiles(images, z=z)
+        tiles = tiling.build_tiles(images, z=z, with_mvt=True)
         agg = (
             tiles.groupby("z")
             .aggregate(
@@ -46,15 +48,31 @@ def q_covt_compression(sf_dir: str):
                 Sum("n_features", alias_name="features"),
                 Sum("covt_bytes", alias_name="covt_bytes"),
                 Sum("plain_bytes", alias_name="plain_bytes"),
+                Sum("mvt_bytes", alias_name="mvt_bytes"),
+                Sum("mvt_gzip_bytes", alias_name="mvt_gzip_bytes"),
             )
             .to_pandas()
         )
         outs.append(agg)
     df = pd.concat(outs, ignore_index=True)
-    df["reduction_pct_x100"] = (
+    df["reduction_vs_mvt_pct_x100"] = (
+        (1.0 - df["covt_bytes"] / df["mvt_bytes"].clip(lower=1)) * 10000.0
+    ).astype(np.int64)
+    df["reduction_vs_plain_pct_x100"] = (
         (1.0 - df["covt_bytes"] / df["plain_bytes"].clip(lower=1)) * 10000.0
     ).astype(np.int64)
     return df
+
+
+def q_mvt_transcode(sf_dir: str):
+    """Reference primary pipeline on Ray: build an MVT corpus from the image
+    table, then MVT -> decode -> COVT -> decode-verify (full LayerData
+    equality per tile, the CovtParserTest.compareTiles oracle)."""
+    from . import tiling, transcode
+
+    images = tiling.read_images(sf_dir, columns=tiling.LIGHT_COLUMNS)
+    mvt_tiles = transcode.build_mvt_tiles(images, z=6)
+    return transcode.mvt_to_covt(mvt_tiles)
 
 
 def q_validate_images(sf_dir: str):
@@ -444,4 +462,5 @@ ROWS_ONLY_QUERIES = {
     "neardup_verified": q_neardup_verified,
     "embedding_neardup": q_embedding_neardup,
     "doc_fingerprints": q_doc_fingerprints,
+    "mvt_transcode": q_mvt_transcode,
 }

@@ -50,6 +50,7 @@ def build_tiles(
     hex_res: int = 6,
     opts: EncodeOptions | None = None,
     extent: int = 4096,
+    with_mvt: bool = False,
 ) -> rd.Dataset:
     """images Dataset (light columns) -> verified COVT tile Dataset."""
     ds = images.map_batches(
@@ -76,7 +77,9 @@ def build_tiles(
         return b.append_column("part", pa.array((h % np.uint64(n_part)).astype(np.int64)))
 
     ds = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
-    encoder = MultiTileEncoder(opts or EncodeOptions(), extent)
+    inner = TileEncoder(opts or EncodeOptions(), extent)
+    inner.with_mvt_baseline = with_mvt  # adds true-MVT size columns
+    encoder = MultiTileEncoder(inner=inner)
 
     def encode_part(g):
         g = {k: v for k, v in g.items() if k != "part"}

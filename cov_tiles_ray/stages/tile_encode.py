@@ -15,6 +15,7 @@ import pyarrow as pa
 
 from ..functions import spatial as S
 from ..model.format import ColumnDataType, GeometryType, LayerData, PropertyColumn
+from ..sources import mvt as mvt_codec
 from ..tile import EncodeOptions, decode_tile, encode_tile
 
 _POINT_LAYER = "images"
@@ -84,13 +85,15 @@ class TileEncoder:
         self.opts = opts or EncodeOptions()
         self.extent = extent
 
+    with_mvt_baseline = False  # set True to also emit true MVT-encoded sizes
+
     def __call__(self, g: dict) -> dict:
         layer = group_to_layer(g, self.extent)
         buf = encode_tile([layer], self.opts)
         tid = int(g["tile_id"][0])
         salt = int(g["salt"][0]) if "salt" in g else 0
         z, x, y = (int(a[0]) for a in S.unpack_tile_id(np.array([tid])))
-        return {
+        out = {
             "tile_id": np.array([tid], dtype=np.int64),
             "z": np.array([z], dtype=np.int32),
             "x": np.array([x], dtype=np.int32),
@@ -100,6 +103,33 @@ class TileEncoder:
             "covt": np.array([buf], dtype=object),
             "covt_bytes": np.array([len(buf)], dtype=np.int64),
             "plain_bytes": np.array([plain_columnar_bytes(layer)], dtype=np.int64),
+        }
+        if self.with_mvt_baseline:
+            mvt_buf = mvt_codec.encode_mvt_tile([layer])
+            out["mvt_bytes"] = np.array([len(mvt_buf)], dtype=np.int64)
+            out["mvt_gzip_bytes"] = np.array(
+                [len(mvt_codec.gzip_tile(mvt_buf))], dtype=np.int64
+            )
+        return out
+
+
+class MvtTileEncoder(TileEncoder):
+    """Same grouping contract as TileEncoder but emits the tile as real MVT
+    wire bytes — the head of the reference's primary pipeline (MVT corpus in,
+    SURVEY.md §3.1 step 2)."""
+
+    def __call__(self, g: dict) -> dict:
+        layer = group_to_layer(g, self.extent)
+        buf = mvt_codec.encode_mvt_tile([layer])
+        tid = int(g["tile_id"][0])
+        z, x, y = (int(a[0]) for a in S.unpack_tile_id(np.array([tid])))
+        return {
+            "tile_id": np.array([tid], dtype=np.int64),
+            "z": np.array([z], dtype=np.int32),
+            "x": np.array([x], dtype=np.int32),
+            "y": np.array([y], dtype=np.int32),
+            "n_features": np.array([layer.num_features], dtype=np.int64),
+            "mvt": np.array([buf], dtype=object),
         }
 
 
@@ -114,8 +144,13 @@ class MultiTileEncoder:
     times instead of once per tile.  Hash partitioning also spreads dense
     spatial regions across the pool (skew control beyond salting)."""
 
-    def __init__(self, opts: EncodeOptions | None = None, extent: int = 4096):
-        self.enc = TileEncoder(opts, extent)
+    def __init__(
+        self,
+        opts: EncodeOptions | None = None,
+        extent: int = 4096,
+        inner: TileEncoder | None = None,
+    ):
+        self.enc = inner if inner is not None else TileEncoder(opts, extent)
 
     def __call__(self, g: dict) -> dict:
         tid = np.asarray(g["tile_id"], dtype=np.int64)
