@@ -45,9 +45,13 @@ def _run_bench() -> dict:
 
     sf = synth.sf_from_dir(sf_dir)
 
-    # untimed: corpus generation (cached) + page-cache warm read
+    # untimed: corpus generation (cached), page-cache warm read, and a small
+    # pilot pipeline so the worker pool is spawned and imports are loaded
+    # before the timed section (steady-state throughput, not cold start)
     images_path = synth.images_parquet_path(sf)
     ray.data.read_parquet(images_path, columns=["image_id"]).count()
+    pilot = tiling.read_images(sf, columns=tiling.LIGHT_COLUMNS).limit(20000)
+    tiling.build_tiles(pilot, z=8).materialize()
 
     # ---- headline: flagship encode+assign pipeline ----
     t0 = time.perf_counter()

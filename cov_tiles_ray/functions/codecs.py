@@ -84,6 +84,21 @@ def encode_varint(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def read_varint_py(buf, pos: int) -> tuple[int, int]:
+    """Scalar varint read -> (python int, new pos).  Metadata-framing fast
+    path: no array allocation (decode_varint's n<=4 path still builds one)."""
+    bb = _as_u8(buf)
+    val = 0
+    shift = 0
+    while True:
+        byte = int(bb[pos])
+        pos += 1
+        val |= (byte & 0x7F) << shift
+        if byte < 0x80:
+            return val & 0xFFFFFFFFFFFFFFFF, pos
+        shift += 7
+
+
 def _as_u8(buf) -> np.ndarray:
     if isinstance(buf, np.ndarray):
         return buf

@@ -38,10 +38,17 @@ def read_images(sf_dir_or_sf, columns: list[str] | None = None) -> rd.Dataset:
     """Dataset over the synthetic image corpus for a scale factor or sf dir.
 
     ``columns`` prunes at the read (never load `bytes` unless a stage needs
-    pixels)."""
+    pixels).  Block count is pinned so blocks stay >= ~10k rows: parquet
+    row-group defaults otherwise yield hundreds of ~300KB blocks, and the
+    downstream sort shuffle's chunk matrix (blocks x partitions) then
+    dominates wall time (measured 4x on sf0.1)."""
+    import ray
+
     sf = synth.sf_from_dir(sf_dir_or_sf) if isinstance(sf_dir_or_sf, str) else float(sf_dir_or_sf)
     path = synth.images_parquet_path(sf)
-    return rd.read_parquet(path, columns=columns)
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    nblocks = int(np.clip(synth.rows_for_sf(sf) // 10_000, ncpu, 8 * ncpu))
+    return rd.read_parquet(path, columns=columns, override_num_blocks=nblocks)
 
 
 def build_tiles(
@@ -62,14 +69,17 @@ def build_tiles(
         ["tile_id", "salt", "image_id", "loc_x", "loc_y", "caption", "fmt", "phash"]
     )
 
-    # Hash-partition by tile_id into ~8 groups per CPU, then encode all the
+    # Hash-partition by tile_id into ~2 groups per CPU, then encode all the
     # tiles of one partition inside ONE kernel call (MultiTileEncoder
     # segments by (tile_id, salt) internally).  Compared with a per-tile
     # map_groups this amortizes the per-group wrapper cost over hundreds of
     # tiles and hash-spreads dense regions across the pool (skew control).
+    # 2x CPU partitions: the sort shuffle moves blocks x partitions chunks,
+    # so over-partitioning (8x+) measurably slows the exchange; 2x keeps
+    # the pool busy while the matrix stays near-linear in cores.
     import ray
 
-    n_part = max(64, int(ray.cluster_resources().get("CPU", 8)) * 8)
+    n_part = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
 
     def add_part(b: pa.Table) -> pa.Table:
         tid = b["tile_id"].to_numpy(zero_copy_only=False)

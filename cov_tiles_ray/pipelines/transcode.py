@@ -34,7 +34,7 @@ def build_mvt_tiles(images: rd.Dataset, z: int = 6, extent: int = 4096) -> rd.Da
 
     import ray
 
-    n_part = max(64, int(ray.cluster_resources().get("CPU", 8)) * 8)
+    n_part = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
 
     def add_keys(b: pa.Table) -> pa.Table:
         tid = b["tile_id"].to_numpy(zero_copy_only=False)

@@ -87,30 +87,45 @@ class TileEncoder:
 
     with_mvt_baseline = False  # set True to also emit true MVT-encoded sizes
 
-    def __call__(self, g: dict) -> dict:
+    def encode_one(self, g: dict) -> dict:
+        """One tile group -> dict of PYTHON SCALARS (callers assemble columns)."""
         layer = group_to_layer(g, self.extent)
         buf = encode_tile([layer], self.opts)
         tid = int(g["tile_id"][0])
         salt = int(g["salt"][0]) if "salt" in g else 0
-        z, x, y = (int(a[0]) for a in S.unpack_tile_id(np.array([tid])))
         out = {
-            "tile_id": np.array([tid], dtype=np.int64),
-            "z": np.array([z], dtype=np.int32),
-            "x": np.array([x], dtype=np.int32),
-            "y": np.array([y], dtype=np.int32),
-            "salt": np.array([salt], dtype=np.int32),
-            "n_features": np.array([layer.num_features], dtype=np.int64),
-            "covt": np.array([buf], dtype=object),
-            "covt_bytes": np.array([len(buf)], dtype=np.int64),
-            "plain_bytes": np.array([plain_columnar_bytes(layer)], dtype=np.int64),
+            "tile_id": tid,
+            "z": tid >> 58,
+            "x": (tid >> 29) & ((1 << 29) - 1),
+            "y": tid & ((1 << 29) - 1),
+            "salt": salt,
+            "n_features": layer.num_features,
+            "covt": buf,
+            "covt_bytes": len(buf),
+            "plain_bytes": plain_columnar_bytes(layer),
         }
         if self.with_mvt_baseline:
             mvt_buf = mvt_codec.encode_mvt_tile([layer])
-            out["mvt_bytes"] = np.array([len(mvt_buf)], dtype=np.int64)
-            out["mvt_gzip_bytes"] = np.array(
-                [len(mvt_codec.gzip_tile(mvt_buf))], dtype=np.int64
-            )
+            out["mvt_bytes"] = len(mvt_buf)
+            out["mvt_gzip_bytes"] = len(mvt_codec.gzip_tile(mvt_buf))
         return out
+
+    _DTYPES = {
+        "tile_id": np.int64, "z": np.int32, "x": np.int32, "y": np.int32,
+        "salt": np.int32, "n_features": np.int64, "covt": object,
+        "covt_bytes": np.int64, "plain_bytes": np.int64,
+        "mvt_bytes": np.int64, "mvt_gzip_bytes": np.int64, "mvt": object,
+    }
+
+    @classmethod
+    def rows_to_columns(cls, rows: list[dict]) -> dict:
+        return {
+            k: np.array([r[k] for r in rows], dtype=cls._DTYPES.get(k, object))
+            for k in rows[0]
+        }
+
+    def __call__(self, g: dict) -> dict:
+        return self.rows_to_columns([self.encode_one(g)])
 
 
 class MvtTileEncoder(TileEncoder):
@@ -118,18 +133,17 @@ class MvtTileEncoder(TileEncoder):
     wire bytes — the head of the reference's primary pipeline (MVT corpus in,
     SURVEY.md §3.1 step 2)."""
 
-    def __call__(self, g: dict) -> dict:
+    def encode_one(self, g: dict) -> dict:
         layer = group_to_layer(g, self.extent)
         buf = mvt_codec.encode_mvt_tile([layer])
         tid = int(g["tile_id"][0])
-        z, x, y = (int(a[0]) for a in S.unpack_tile_id(np.array([tid])))
         return {
-            "tile_id": np.array([tid], dtype=np.int64),
-            "z": np.array([z], dtype=np.int32),
-            "x": np.array([x], dtype=np.int32),
-            "y": np.array([y], dtype=np.int32),
-            "n_features": np.array([layer.num_features], dtype=np.int64),
-            "mvt": np.array([buf], dtype=object),
+            "tile_id": tid,
+            "z": tid >> 58,
+            "x": (tid >> 29) & ((1 << 29) - 1),
+            "y": tid & ((1 << 29) - 1),
+            "n_features": layer.num_features,
+            "mvt": buf,
         }
 
 
@@ -163,13 +177,13 @@ class MultiTileEncoder:
         )
         starts = np.flatnonzero(key_change)
         ends = np.concatenate([starts[1:], [len(tid)]])
-        outs: list[dict] = []
+        rows: list[dict] = []
         for s, e in zip(starts, ends):
             sub = {k: v[s:e] for k, v in cols.items()}
-            outs.append(self.enc(sub))
-        if not outs:
+            rows.append(self.enc.encode_one(sub))
+        if not rows:
             return self.enc({k: v[:0] for k, v in cols.items()})
-        return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+        return TileEncoder.rows_to_columns(rows)
 
 
 def verify_tiles_batch(batch: pa.Table) -> pa.Table:

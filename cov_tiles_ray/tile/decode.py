@@ -29,15 +29,18 @@ I64 = np.int64
 
 
 def _read_streams(buf, pos: int, n_streams: int):
-    """Read stream descriptors; returns (list of (type, enc, nvals, blen), pos)."""
+    """Read stream descriptors; returns (list of (type, enc, nvals, blen), pos).
+
+    Types/encodings stay plain ints (IntEnum-compatible in every comparison
+    and dict lookup) — constructing enums per stream dominated decode time
+    on many-small-tile workloads."""
+    b = C._as_u8(buf)
     metas = []
     for _ in range(n_streams):
-        desc = int(C._as_u8(buf)[pos])
-        pos += 1
-        stype = StreamType(desc >> 4)
-        senc = StreamEncoding(desc & 0xF)
-        nv, pos = C.decode_varint(buf, 2, pos)
-        metas.append((stype, senc, int(nv[0]), int(nv[1])))
+        desc = int(b[pos])
+        nvals, p = C.read_varint_py(b, pos + 1)
+        blen, pos = C.read_varint_py(b, p)
+        metas.append((desc >> 4, desc & 0xF, nvals, blen))
     return metas, pos
 
 
@@ -69,32 +72,41 @@ def _decode_geometry(col_type: ColumnType, extent: int, data: dict) -> dict:
     return out
 
 
-def decode_layer(buf, pos: int) -> tuple[LayerData, int]:
+def decode_layer(buf, pos: int, ids=None) -> tuple[LayerData, int]:
+    """``ids``: SidecarIds required for tiles written with optimized
+    (TileJSON-id) metadata — the J3 broadcast-small-side lookup."""
     b = C._as_u8(buf)
     header = int(b[pos])
     pos += 1
     version = header >> 1
     optimized = bool(header & 1)
     if optimized:
-        raise NotImplementedError("optimized (TileJSON-id) metadata not emitted by this encoder")
-    name, pos = C.decode_string(b, pos)
-    hdr, pos = C.decode_varint(b, 3, pos)
-    extent, num_features, num_columns = (int(v) for v in hdr)
+        if ids is None:
+            raise ValueError("optimized metadata requires the TileJSON sidecar (SidecarIds)")
+        lid, pos = C.read_varint_py(b, pos)
+        name = ids.layer_names[lid]
+    else:
+        name, pos = C.decode_string(b, pos)
+    extent, pos = C.read_varint_py(b, pos)
+    num_features, pos = C.read_varint_py(b, pos)
+    num_columns, pos = C.read_varint_py(b, pos)
 
     # pass 1: all column/stream descriptors
     columns = []
     for _ in range(num_columns):
-        cid, pos = C.decode_varint(b, 1, pos)
-        cid = int(cid[0])
+        cid, pos = C.read_varint_py(b, pos)
         col_name = None
         if cid >= 2:
-            col_name, pos = C.decode_string(b, pos)
+            if optimized:
+                col_name = ids.column_name(lid, cid)
+            else:
+                col_name, pos = C.decode_string(b, pos)
         desc = int(b[pos])
         pos += 1
         dt = ColumnDataType((desc >> 3) & 0xF)
         ct = ColumnType(desc & 0x7)
-        ns, pos = C.decode_varint(b, 1, pos)
-        metas, pos = _read_streams(b, pos, int(ns[0]))
+        ns, pos = C.read_varint_py(b, pos)
+        metas, pos = _read_streams(b, pos, ns)
         columns.append((cid, col_name, dt, ct, metas))
 
     # pass 2: stream payloads in metadata order
@@ -162,12 +174,12 @@ def _gather_dictionary(data: dict, n_dict: int) -> list[str]:
     return out
 
 
-def decode_tile(buf) -> list[LayerData]:
+def decode_tile(buf, ids=None) -> list[LayerData]:
     b = C._as_u8(buf)
-    head, pos = C.decode_varint(b, 2, 0)
-    version, num_layers = int(head[0]), int(head[1])
+    version, pos = C.read_varint_py(b, 0)
+    num_layers, pos = C.read_varint_py(b, pos)
     layers = []
     for _ in range(num_layers):
-        layer, pos = decode_layer(b, pos)
+        layer, pos = decode_layer(b, pos, ids)
         layers.append(layer)
     return layers

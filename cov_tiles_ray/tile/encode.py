@@ -52,6 +52,7 @@ class EncodeOptions:
     allow_fastpfor_vertex: bool = True
     include_ids: bool = True
     sfc: str = "hilbert"  # vertex-dictionary ordering curve: "hilbert" | "morton"
+    optimize_metadata: bool = False  # id-based names resolved via TileJSON sidecar
 
 
 # Deterministic fast-path policy: FastPFOR's block framing can't win on
@@ -209,30 +210,47 @@ def _encode_property_column(col, layer_n: int) -> tuple[ColumnDataType, ColumnTy
     raise ValueError(f"unsupported property data type {dt}")
 
 
-def _serialize_layer(layer: LayerData, columns: list[tuple[int, str | None, ColumnDataType, ColumnType, _StreamBlock]]) -> bytes:
-    """Metadata block + stream bytes for one layer (framing: model/format.py)."""
+def _serialize_layer(
+    layer: LayerData,
+    columns: list[tuple[int, str | None, ColumnDataType, ColumnType, _StreamBlock]],
+    layer_id: int | None = None,
+) -> bytes:
+    """Metadata block + stream bytes for one layer (framing: model/format.py).
+
+    With ``layer_id`` set the optimized layout is written: bit0 of the
+    version byte flips and the layer/column names are u32 ids against a
+    TileJSON sidecar (ref convertOptimizedLayerMetadata,
+    CovtConverter.java:300-363; columns arrive with sidecar field ids and
+    name=None)."""
+    vs = C.encode_varint_scalar
+    optimized = layer_id is not None
     parts: list[bytes] = []
-    version_byte = bytes([(FORMAT_VERSION << 1) | 0])  # optimizeMetadata=0
+    version_byte = bytes([(FORMAT_VERSION << 1) | int(optimized)])
     parts.append(version_byte)
-    parts.append(C.encode_string(layer.name))
-    parts.append(
-        C.encode_varint(np.array([layer.extent, layer.num_features, len(columns)], dtype=U64))
-    )
+    if optimized:
+        parts.append(vs(layer_id))
+    else:
+        parts.append(C.encode_string(layer.name))
+    parts.append(vs(layer.extent))
+    parts.append(vs(layer.num_features))
+    parts.append(vs(len(columns)))
     stream_bytes: list[bytes] = []
     for col_id, name, dt, ct, blk in columns:
-        parts.append(C.encode_varint(np.array([col_id], dtype=U64)))
+        parts.append(vs(col_id))
         if name is not None:
             parts.append(C.encode_string(name))
         parts.append(bytes([(int(dt) << 3) | int(ct)]))
-        parts.append(C.encode_varint(np.array([len(blk.streams)], dtype=U64)))
+        parts.append(vs(len(blk.streams)))
         for stype, senc, nvals, buf in blk.streams:
             parts.append(bytes([(int(stype) << 4) | int(senc)]))
-            parts.append(C.encode_varint(np.array([nvals, len(buf)], dtype=U64)))
+            parts.append(vs(nvals))
+            parts.append(vs(len(buf)))
             stream_bytes.append(buf)
     return b"".join(parts) + b"".join(stream_bytes)
 
 
-def encode_layer(layer: LayerData, opts: EncodeOptions = EncodeOptions()) -> bytes:
+def encode_layer(layer: LayerData, opts: EncodeOptions = EncodeOptions(), sidecar_ids=None) -> bytes:
+    """``sidecar_ids``: SidecarIds when opts.optimize_metadata (names -> u32 ids)."""
     columns: list[tuple[int, str | None, ColumnDataType, ColumnType, _StreamBlock]] = []
 
     # column id 0 = id, 1 = geometry (ref: 'column id 0 and 1 is always
@@ -266,6 +284,16 @@ def encode_layer(layer: LayerData, opts: EncodeOptions = EncodeOptions()) -> byt
         geo_blk, geo_ct = plain_blk, ColumnType.PLAIN
     columns.append((1, None, ColumnDataType.GEOMETRY, geo_ct, geo_blk))
 
+    if opts.optimize_metadata:
+        if sidecar_ids is None:
+            raise ValueError("optimize_metadata requires a SidecarIds")
+        lid = sidecar_ids.layer_id[layer.name]
+        fid = sidecar_ids.field_id[lid]
+        for name, col in layer.properties.items():
+            dt, ct, blk = _encode_property_column(col, layer.num_features)
+            columns.append((fid[name], None, dt, ct, blk))
+        return _serialize_layer(layer, columns, layer_id=lid)
+
     next_id = 2
     for name, col in layer.properties.items():
         dt, ct, blk = _encode_property_column(col, layer.num_features)
@@ -275,6 +303,10 @@ def encode_layer(layer: LayerData, opts: EncodeOptions = EncodeOptions()) -> byt
     return _serialize_layer(layer, columns)
 
 
-def encode_tile(layers: list[LayerData], opts: EncodeOptions = EncodeOptions()) -> bytes:
-    head = C.encode_varint(np.array([FORMAT_VERSION, len(layers)], dtype=U64))
-    return head + b"".join(encode_layer(ly, opts) for ly in layers)
+def encode_tile(layers: list[LayerData], opts: EncodeOptions = EncodeOptions(), ids=None) -> bytes:
+    if opts.optimize_metadata and ids is None:
+        from .sidecar import SidecarIds, build_sidecar
+
+        ids = SidecarIds(build_sidecar(layers))
+    head = C.encode_varint_scalar(FORMAT_VERSION) + C.encode_varint_scalar(len(layers))
+    return head + b"".join(encode_layer(ly, opts, sidecar_ids=ids) for ly in layers)
