@@ -402,6 +402,62 @@ def _sql_pip_regions() -> str:
     """
 
 
+def q_pip_actor(sf_dir: str):
+    """Point-in-polygon tagging via the PipAssigner ACTOR POOL (compiled
+    polygon set fetched once per actor from the object store — the
+    stateful-stage pattern the north rule names), then per-polygon counts."""
+    import ray
+
+    from ..stages.assign import PipAssigner
+
+    boxes = _region_boxes()
+    polys = []
+    for _, r in boxes.iterrows():
+        polys.append(
+            {
+                "poly_id": str(int(r.r_regionkey)),
+                "ring_offsets": np.array([4]),
+                "ring_x": np.array([r.lon0, r.lon1, r.lon1, r.lon0]),
+                "ring_y": np.array([r.lat0, r.lat0, r.lat1, r.lat1]),
+            }
+        )
+    ref = ray.put(polys)
+
+    from ray.data.aggregate import Count
+
+    # fractional num_cpus: the pool must never reserve every core, or the
+    # upstream read tasks starve and the stage deadlocks on small sessions
+    tagged = _events_points(sf_dir).map_batches(
+        PipAssigner,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        concurrency=2,
+        num_cpus=0.5,
+        batch_size=4096,
+    )
+    return (
+        tagged.filter(expr="poly_id != ''")
+        .groupby("poly_id")
+        .aggregate(Count(alias_name="n_points"))
+    )
+
+
+def _sql_pip_actor() -> str:
+    return f"""
+    WITH pts AS (SELECT {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events),
+    boxes AS (SELECT r_regionkey,
+                     -160.0 + r_regionkey * 64.0 AS lon0,
+                     -160.0 + r_regionkey * 64.0 + 52.0 AS lon1,
+                     -70.0 + r_regionkey * 26.0 AS lat0,
+                     -70.0 + r_regionkey * 26.0 + 36.0 AS lat1
+              FROM region)
+    SELECT cast(b.r_regionkey as varchar) AS poly_id, count(*) AS n_points
+    FROM boxes b JOIN pts p
+      ON p.lon > b.lon0 AND p.lon < b.lon1 AND p.lat > b.lat0 AND p.lat < b.lat1
+    GROUP BY b.r_regionkey
+    """
+
+
 _KNN_K = 10
 
 
@@ -903,6 +959,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "tile_assign_z10": (q_tile_assign_z10, _sql_tile_assign(10)),
     "hex_assign_r3": (q_hex_assign_r3, _sql_hex_assign_r3()),
     "pip_regions": (q_pip_regions, _sql_pip_regions()),
+    "pip_actor": (q_pip_actor, _sql_pip_actor()),
     "knn_points": (q_knn_points, _sql_knn_points()),
     "knn_kring": (q_knn_kring, _sql_knn_kring()),
     "raster_pixel_counts": (q_raster_pixel_counts, _sql_raster_pixel_counts()),

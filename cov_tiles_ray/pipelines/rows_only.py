@@ -447,6 +447,64 @@ def q_doc_fingerprints(sf_dir: str):
     return ds.map_batches(fp, batch_format="pandas")
 
 
+def q_codec_eval(sf_dir: str):
+    """Integer-codec size comparison over id/point corpora extracted from
+    the events table (reference evaluation harness parity:
+    IntegerCompressionEvaluation.java:30-153 over sorted/unsorted id and
+    point corpora).  One row per (corpus, codec): encoded bytes + ratio."""
+    from ..functions import codecs as C
+    from ..functions import fastpfor as FP
+    from .queries import _event_lonlat
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def corpora(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = _event_lonlat(eid)
+        xi = np.round(lon * 100).astype(np.int64)
+        yi = np.round(lat * 100).astype(np.int64)
+        pts = np.empty(2 * len(xi), dtype=np.int64)
+        pts[0::2], pts[1::2] = xi, yi
+        corp = {
+            "ids_sorted": np.sort(eid),
+            "ids_unsorted": eid[np.argsort((eid * 2654435761) % 1_000_003, kind="stable")],
+            "points_unsorted": pts,
+        }
+        codecs = {
+            "varint": lambda v: C.encode_varint(np.abs(v).astype(np.uint64)),
+            "varint_zigzag": C.encode_varint_zigzag,
+            "varint_delta_zigzag": C.encode_varint_delta_zigzag,
+            "rle_v1": lambda v: C.encode_rle_v1(v, signed=True),
+            "fastpfor_delta_zigzag": FP.encode_fastpfor_delta_zigzag,
+        }
+        names, cods, sizes, raws = [], [], [], []
+        for cname, arr in corp.items():
+            for kname, fn in codecs.items():
+                names.append(cname)
+                cods.append(kname)
+                sizes.append(len(fn(arr)))
+                raws.append(arr.nbytes)
+        return pa.table(
+            {
+                "corpus": pa.array(names, pa.string()),
+                "codec": pa.array(cods, pa.string()),
+                "encoded_bytes": pa.array(np.array(sizes, dtype=np.int64)),
+                "raw_bytes": pa.array(np.array(raws, dtype=np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(corpora, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["corpus", "codec"])
+        .aggregate(
+            Sum("encoded_bytes", alias_name="encoded_bytes"),
+            Sum("raw_bytes", alias_name="raw_bytes"),
+        )
+    )
+
+
 ROWS_ONLY_QUERIES = {
     "covt_tiles": q_covt_tiles,
     "covt_compression": q_covt_compression,
@@ -463,4 +521,5 @@ ROWS_ONLY_QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "doc_fingerprints": q_doc_fingerprints,
     "mvt_transcode": q_mvt_transcode,
+    "codec_eval": q_codec_eval,
 }

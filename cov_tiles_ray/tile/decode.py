@@ -116,6 +116,7 @@ def decode_layer(buf, pos: int, ids=None) -> tuple[LayerData, int]:
         geometry_types=np.empty(0, dtype=np.uint8),
         vertex_buffer=np.empty(0, dtype=np.int32),
     )
+    fam_dicts: dict[str, np.ndarray] = {}  # localized shared dicts by family prefix
     for cid, col_name, dt, ct, metas in columns:
         data: dict[StreamType, np.ndarray] = {}
         raw: dict[StreamType, tuple] = {}
@@ -148,7 +149,19 @@ def decode_layer(buf, pos: int, ids=None) -> tuple[LayerData, int]:
             layer.ring_offsets = geo["ring_offsets"]
         else:
             present = data[StreamType.PRESENT].astype(bool)
-            if dt == ColumnDataType.STRING:
+            if ct == ColumnType.LOCALIZED_DICTIONARY:
+                # shared-dict family: the head column carries LENGTH +
+                # DICTIONARY; members resolve by family prefix (M15)
+                prefix = col_name.split(":", 1)[0]
+                if StreamType.DICTIONARY in data:
+                    n_dict = raw[StreamType.DICTIONARY][1]
+                    fam_dicts[prefix] = np.array(
+                        _gather_dictionary(data, n_dict), dtype=object
+                    )
+                idx = data[StreamType.DATA].astype(np.int64)
+                shared = fam_dicts[prefix]
+                values = shared[idx] if len(idx) else np.empty(0, dtype=object)
+            elif dt == ColumnDataType.STRING:
                 n_dict = raw[StreamType.DICTIONARY][1]
                 strings = _gather_dictionary(data, n_dict)
                 idx = data[StreamType.DATA].astype(np.int64)

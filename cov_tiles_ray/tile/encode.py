@@ -53,6 +53,7 @@ class EncodeOptions:
     include_ids: bool = True
     sfc: str = "hilbert"  # vertex-dictionary ordering curve: "hilbert" | "morton"
     optimize_metadata: bool = False  # id-based names resolved via TileJSON sidecar
+    allow_localized_dictionary: bool = False  # shared dict across name:* columns
 
 
 # Deterministic fast-path policy: FastPFOR's block framing can't win on
@@ -210,6 +211,71 @@ def _encode_property_column(col, layer_n: int) -> tuple[ColumnDataType, ColumnTy
     raise ValueError(f"unsupported property data type {dt}")
 
 
+LOCALIZED_DELIMITER = ":"
+
+
+def _localized_families(names: list[str]) -> dict[str, list[str]]:
+    """Group property names into localization families: ``name``/``name:en``/
+    ``name:de`` share the prefix before ':' (reference detection at
+    getPropertyColumnMetadata, CovtConverter.java:506-533).  Only families
+    with >= 2 string members localize."""
+    fams: dict[str, list[str]] = {}
+    for n in names:
+        fams.setdefault(n.split(LOCALIZED_DELIMITER, 1)[0], []).append(n)
+    return {k: v for k, v in fams.items() if len(v) >= 2}
+
+
+def _encode_localized_family(
+    members: list[str], layer: LayerData
+) -> list[tuple[str, ColumnDataType, ColumnType, _StreamBlock]]:
+    """One SHARED dictionary across a column family (reference
+    convertLocalizedStringDictionaryColumn, CovtConverter.java:1223-1292 —
+    unimplemented there, working decode in parser/js evaluation/index.ts:
+    507-555).  Framing divergence (documented): each member stays its own
+    column of type LOCALIZED_DICTIONARY carrying PRESENT + DATA; the family
+    head additionally carries the shared LENGTH + DICTIONARY streams.
+    Decoders key the shared dict by the family prefix."""
+    seen: dict[str, int] = {}
+    per_member_idx: list[np.ndarray] = []
+    for name in members:
+        col = layer.properties[name]
+        idx = np.empty(len(col.values), dtype=I64)
+        for i, s in enumerate(col.values):
+            j = seen.get(s)
+            if j is None:
+                j = len(seen)
+                seen[s] = j
+            idx[i] = j
+        per_member_idx.append(idx)
+    raws = [s.encode("utf-8") for s in seen]
+    lengths = np.array([len(r) for r in raws], dtype=I64)
+    dict_buf = b"".join(raws)
+
+    out = []
+    for mi, name in enumerate(members):
+        col = layer.properties[name]
+        blk = _StreamBlock()
+        present = np.ascontiguousarray(col.present, dtype=bool)
+        blk.add(
+            StreamType.PRESENT,
+            StreamEncoding.BOOLEAN_RLE,
+            layer.num_features,
+            C.encode_boolean_rle(present),
+        )
+        enc, data_buf = best_encoding(per_member_idx[mi], INT_STREAM_CANDIDATES)
+        blk.add(StreamType.DATA, enc, len(per_member_idx[mi]), data_buf)
+        if mi == 0:  # family head carries the shared dictionary
+            blk.add(
+                StreamType.LENGTH,
+                StreamEncoding.RLE,
+                len(seen),
+                encode_stream(lengths, StreamEncoding.RLE),
+            )
+            blk.add(StreamType.DICTIONARY, StreamEncoding.PLAIN, len(seen), dict_buf)
+        out.append((name, ColumnDataType.STRING, ColumnType.LOCALIZED_DICTIONARY, blk))
+    return out
+
+
 def _serialize_layer(
     layer: LayerData,
     columns: list[tuple[int, str | None, ColumnDataType, ColumnType, _StreamBlock]],
@@ -284,23 +350,45 @@ def encode_layer(layer: LayerData, opts: EncodeOptions = EncodeOptions(), sideca
         geo_blk, geo_ct = plain_blk, ColumnType.PLAIN
     columns.append((1, None, ColumnDataType.GEOMETRY, geo_ct, geo_blk))
 
+    props = _property_blocks(layer, opts)
     if opts.optimize_metadata:
         if sidecar_ids is None:
             raise ValueError("optimize_metadata requires a SidecarIds")
         lid = sidecar_ids.layer_id[layer.name]
         fid = sidecar_ids.field_id[lid]
-        for name, col in layer.properties.items():
-            dt, ct, blk = _encode_property_column(col, layer.num_features)
+        for name, dt, ct, blk in props:
             columns.append((fid[name], None, dt, ct, blk))
         return _serialize_layer(layer, columns, layer_id=lid)
 
     next_id = 2
-    for name, col in layer.properties.items():
-        dt, ct, blk = _encode_property_column(col, layer.num_features)
+    for name, dt, ct, blk in props:
         columns.append((next_id, name, dt, ct, blk))
         next_id += 1
 
     return _serialize_layer(layer, columns)
+
+
+def _property_blocks(
+    layer: LayerData, opts: EncodeOptions
+) -> list[tuple[str, ColumnDataType, ColumnType, _StreamBlock]]:
+    fam_blocks: dict[str, tuple] = {}
+    if opts.allow_localized_dictionary:
+        string_names = [
+            n
+            for n, c in layer.properties.items()
+            if ColumnDataType(int(c.data_type)) == ColumnDataType.STRING
+        ]
+        for members in _localized_families(string_names).values():
+            for tup in _encode_localized_family(members, layer):
+                fam_blocks[tup[0]] = tup
+    out = []
+    for name, col in layer.properties.items():
+        if name in fam_blocks:
+            out.append(fam_blocks[name])
+        else:
+            dt, ct, blk = _encode_property_column(col, layer.num_features)
+            out.append((name, dt, ct, blk))
+    return out
 
 
 def encode_tile(layers: list[LayerData], opts: EncodeOptions = EncodeOptions(), ids=None) -> bytes:
