@@ -27,7 +27,12 @@ import ray.data as rd
 from ..functions import image as img_f
 from ..sources import synth
 from ..stages.assign import assign_hex, assign_tiles, salt_hot_tiles
-from ..stages.tile_encode import MultiTileEncoder, TileEncoder, verify_tiles_batch
+from ..stages.tile_encode import (
+    MultiTileEncoder,
+    TileEncoder,
+    TileFragmentMerger,
+    verify_tiles_batch,
+)
 from ..state import checkpoint
 from ..tile import EncodeOptions
 
@@ -60,7 +65,36 @@ def read_images(sf_dir_or_sf, columns: list[str] | None = None) -> rd.Dataset:
 # node at 8 waves with near-identical per-chunk overhead.
 N_PART = 64
 
+# Per-group feature cap target: a (tile, salt) group beyond this many rows
+# risks blowing a worker's heap (each feature carries a caption string), so
+# zooms whose EXPECTED density exceeds cap/safety get salted.  Safety factor
+# covers spatial skew (a dense city tile vs the uniform-average tile).
+MAX_GROUP_ROWS = 65_536
+SALT_SAFETY = 8
+
 _SHUFFLE_COLUMNS = ["tile_id", "salt", "image_id", "loc_x", "loc_y", "caption", "fmt", "phash"]
+
+
+def hot_zooms_for(corpus_rows: int, zooms) -> tuple[int, ...]:
+    """Zooms whose expected rows-per-tile would blow the per-group cap.
+
+    Density model: ``corpus_rows / 4**z`` uniform-average rows per tile,
+    times SALT_SAFETY for skew headroom.  At sandbox scales this is empty
+    (tiles stay whole — one row per (z,x,y), no merge pass); at the
+    10^12-image target every z<=9 salts, which is exactly the reference's
+    'low-zoom tiles hold the world' skew case (SURVEY.md §4)."""
+    return tuple(
+        z for z in zooms if corpus_rows / max(1, 4**z) * SALT_SAFETY > MAX_GROUP_ROWS
+    )
+
+
+def _estimate_rows(images: rd.Dataset) -> int:
+    """Corpus size for the salting decision — parquet metadata count (cheap;
+    no execution for a plain read)."""
+    try:
+        return int(images.count())
+    except Exception:
+        return 0
 
 
 def _encode_partitioned(
@@ -68,16 +102,21 @@ def _encode_partitioned(
     opts: EncodeOptions | None,
     extent: int,
     with_mvt: bool,
+    salted: bool = False,
 ) -> rd.Dataset:
-    """Assigned feature rows -> hash-partition by tile_id -> THE shuffle ->
-    per-partition multi-tile encode -> decode-verify.  MultiTileEncoder
-    segments by (tile_id, salt) inside the kernel, so the per-group wrapper
-    cost is paid N_PART times, not once per tile, and dense regions
-    hash-spread across the pool (skew control beyond salting)."""
+    """Assigned feature rows -> hash-partition by (tile_id, salt) -> THE
+    shuffle -> per-partition multi-tile encode -> decode-verify -> (only when
+    salting triggered) fragment merge.  MultiTileEncoder segments by
+    (tile_id, salt) inside the kernel, so the per-group wrapper cost is paid
+    N_PART times, not once per tile, and dense regions hash-spread across
+    the pool (skew control beyond salting)."""
 
     def add_part(b: pa.Table) -> pa.Table:
-        tid = b["tile_id"].to_numpy(zero_copy_only=False)
-        h = (tid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+        tid = b["tile_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        salt = b["salt"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        # salt folded into the partition key: fragments of a hot tile SPREAD
+        # across partitions (that is the whole point of salting)
+        h = ((tid * np.uint64(31) + salt) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
         return b.append_column("part", pa.array((h % np.uint64(N_PART)).astype(np.int64)))
 
     ds = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
@@ -90,7 +129,15 @@ def _encode_partitioned(
         return encoder(g)
 
     tiles = ds.groupby("part").map_groups(encode_part, batch_format="numpy")
-    return tiles.map_batches(verify_tiles_batch, batch_format="pyarrow")
+    tiles = tiles.map_batches(verify_tiles_batch, batch_format="pyarrow")
+    if salted:
+        merger = TileFragmentMerger(opts or EncodeOptions(), extent, with_mvt=with_mvt)
+
+        def merge_fragments(g):
+            return merger(g)
+
+        tiles = tiles.groupby("tile_id").map_groups(merge_fragments, batch_format="numpy")
+    return tiles
 
 
 def build_tiles(
@@ -100,15 +147,22 @@ def build_tiles(
     opts: EncodeOptions | None = None,
     extent: int = 4096,
     with_mvt: bool = False,
+    hot_zooms: tuple[int, ...] | None = None,
 ) -> rd.Dataset:
-    """images Dataset (light columns) -> verified COVT tile Dataset."""
+    """images Dataset (light columns) -> verified COVT tile Dataset.
+
+    ``hot_zooms`` overrides the density-based salting decision (None =
+    derive from corpus size via ``hot_zooms_for``)."""
+    hot = hot_zooms_for(_estimate_rows(images), (z,)) if hot_zooms is None else hot_zooms
     ds = images.map_batches(
         lambda b: assign_tiles(b, z=z, extent=extent), batch_format="pyarrow", zero_copy_batch=True
     )
     ds = ds.map_batches(lambda b: assign_hex(b, res=hex_res), batch_format="pyarrow", zero_copy_batch=True)
-    ds = ds.map_batches(salt_hot_tiles, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(
+        lambda b: salt_hot_tiles(b, hot_zooms=hot), batch_format="pyarrow", zero_copy_batch=True
+    )
     ds = ds.select_columns(_SHUFFLE_COLUMNS)
-    return _encode_partitioned(ds, opts, extent, with_mvt)
+    return _encode_partitioned(ds, opts, extent, with_mvt, salted=bool(hot))
 
 
 def build_tile_pyramid(
@@ -118,6 +172,7 @@ def build_tile_pyramid(
     opts: EncodeOptions | None = None,
     extent: int = 4096,
     with_mvt: bool = False,
+    hot_zooms: tuple[int, ...] | None = None,
 ) -> rd.Dataset:
     """Full tile pyramid in ONE shuffle: every batch emits its rows once per
     zoom (tile_id embeds z, so a single hash exchange co-locates all zooms'
@@ -126,16 +181,18 @@ def build_tile_pyramid(
     ~4x worse scaling on a 32-way node.  (Production tileset shape: the
     reference's corpora span z2-z14, CovtConverterTest.java:156-276.)"""
 
+    hot = hot_zooms_for(_estimate_rows(images), zooms) if hot_zooms is None else hot_zooms
+
     def assign_all(b: pa.Table) -> pa.Table:
         outs = []
         for z in zooms:
             t = assign_tiles(b, z=z, extent=extent)
-            t = salt_hot_tiles(t)
+            t = salt_hot_tiles(t, hot_zooms=hot)
             outs.append(t.select(_SHUFFLE_COLUMNS))
         return pa.concat_tables(outs)
 
     ds = images.map_batches(assign_all, batch_format="pyarrow", zero_copy_batch=True)
-    return _encode_partitioned(ds, opts, extent, with_mvt)
+    return _encode_partitioned(ds, opts, extent, with_mvt, salted=bool(hot))
 
 
 def write_tiles(tiles: rd.Dataset, out_dir: str, input_desc: dict | None = None) -> dict:

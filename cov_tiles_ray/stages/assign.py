@@ -38,18 +38,26 @@ def assign_hex(batch: pa.Table, res: int, lon_col="lon", lat_col="lat", out_col=
     return batch.append_column(out_col or f"hex_r{res}", pa.array(cell))
 
 
-def salt_hot_tiles(batch: pa.Table, hot_z_max: int = 4, num_salts: int = 8) -> pa.Table:
-    """Add a shuffle-salt column: low-zoom (world-scale) tiles split into
+def salt_hot_tiles(batch: pa.Table, hot_zooms=(), num_salts: int = 8) -> pa.Table:
+    """Add a shuffle-salt column: tiles at the given HOT zooms split into
     ``num_salts`` sub-groups so one group never holds an unbounded slice of
-    the corpus (SURVEY.md §7.4 skew row).  Salt is a deterministic hash of
-    image_id so re-runs produce identical grouping."""
+    the corpus (SURVEY.md §7.4 skew row).  Which zooms are hot is a
+    corpus-density decision made once at pipeline-build time
+    (``tiling.hot_zooms_for``): a zoom salts only when the expected rows per
+    tile would blow the per-group cap, so at low densities tiles stay whole
+    (one output row per (z,x,y), no fragment-merge pass needed).  Salt is a
+    deterministic hash of image_id so re-runs produce identical grouping."""
     import pandas as pd
 
-    z = batch["tile_z"].to_numpy(zero_copy_only=False)
-    ids = batch["image_id"].to_numpy(zero_copy_only=False)
-    h = pd.util.hash_array(ids.astype(object)).astype(np.uint64)
-    salt = np.where(z <= hot_z_max, (h % np.uint64(num_salts)).astype(np.int32), 0)
-    return batch.append_column("salt", pa.array(salt.astype(np.int32)))
+    salt = np.zeros(batch.num_rows, dtype=np.int32)
+    if hot_zooms:
+        z = batch["tile_z"].to_numpy(zero_copy_only=False)
+        hot = np.isin(z, np.asarray(list(hot_zooms), dtype=z.dtype))
+        if hot.any():
+            ids = batch["image_id"].to_numpy(zero_copy_only=False)
+            h = pd.util.hash_array(ids.astype(object)).astype(np.uint64)
+            salt = np.where(hot, (h % np.uint64(num_salts)).astype(np.int32), salt)
+    return batch.append_column("salt", pa.array(salt))
 
 
 class PipAssigner:

@@ -115,6 +115,7 @@ class TileEncoder:
         "salt": np.int32, "n_features": np.int64, "covt": object,
         "covt_bytes": np.int64, "plain_bytes": np.int64,
         "mvt_bytes": np.int64, "mvt_gzip_bytes": np.int64, "mvt": object,
+        "roundtrip_ok": np.bool_,
     }
 
     @classmethod
@@ -184,6 +185,85 @@ class MultiTileEncoder:
         if not rows:
             return self.enc({k: v[:0] for k, v in cols.items()})
         return TileEncoder.rows_to_columns(rows)
+
+
+def _concat_point_layers(layers: list[LayerData], extent: int) -> LayerData:
+    """Concatenate per-salt fragments of ONE tile back into a single layer,
+    restoring the canonical id-sorted feature order (group_to_layer sorts by
+    image id, so a merged tile is byte-identical to an unsalted encode of
+    the same rows).  Handles the engine's point-layer shape (no multi-part
+    offsets, all-present properties)."""
+    ids = np.concatenate([ly.ids for ly in layers])
+    order = np.argsort(ids, kind="stable")
+    n = len(ids)
+    vb = np.concatenate([np.asarray(ly.vertex_buffer) for ly in layers])
+    vb2 = np.empty_like(vb)
+    vb2[0::2] = vb[0::2][order]
+    vb2[1::2] = vb[1::2][order]
+    props: dict[str, PropertyColumn] = {}
+    for name, col0 in layers[0].properties.items():
+        vals = np.concatenate([np.asarray(ly.properties[name].values) for ly in layers])
+        present = np.concatenate(
+            [np.asarray(ly.properties[name].present, dtype=bool) for ly in layers]
+        )
+        if not present.all():
+            raise ValueError("fragment merge requires all-present property columns")
+        props[name] = PropertyColumn(col0.data_type, present, vals[order])
+    return LayerData(
+        name=layers[0].name,
+        extent=extent,
+        geometry_types=np.concatenate([ly.geometry_types for ly in layers])[order],
+        vertex_buffer=vb2,
+        ids=ids[order],
+        properties=props,
+    )
+
+
+class TileFragmentMerger:
+    """map_groups kernel over ``groupby(tile_id)`` on the COMPACT tile table:
+    merges salted fragments of a hot tile into one final COVT tile (decode →
+    concat → re-encode).  The expensive feature-level shuffle+encode was
+    spread across salts; this second groupby moves only encoded tile bytes
+    (orders of magnitude smaller than the input), and single-fragment tiles
+    pass through untouched (SURVEY.md §7.4 'pre-encode partial streams per
+    salt, concat-merge in final group')."""
+
+    def __init__(self, opts: EncodeOptions | None = None, extent: int = 4096, with_mvt: bool = False):
+        self.opts = opts or EncodeOptions()
+        self.extent = extent
+        self.with_mvt = with_mvt
+
+    def __call__(self, g: dict) -> dict:
+        k = len(g["tile_id"])
+        if k == 1:
+            out = {key: np.asarray(v) for key, v in g.items()}
+            out["salt"] = np.zeros(1, dtype=np.int32)
+            return out
+        layers = [decode_tile(bytes(buf))[0] for buf in g["covt"]]
+        merged = _concat_point_layers(layers, self.extent)
+        buf = encode_tile([merged], self.opts)
+        row = {
+            "tile_id": int(g["tile_id"][0]),
+            "z": int(g["z"][0]),
+            "x": int(g["x"][0]),
+            "y": int(g["y"][0]),
+            "salt": 0,
+            "n_features": merged.num_features,
+            "covt": buf,
+            "covt_bytes": len(buf),
+            "plain_bytes": plain_columnar_bytes(merged),
+        }
+        if "mvt_bytes" in g:
+            mvt_buf = mvt_codec.encode_mvt_tile([merged])
+            row["mvt_bytes"] = len(mvt_buf)
+            row["mvt_gzip_bytes"] = len(mvt_codec.gzip_tile(mvt_buf))
+        try:
+            rt = decode_tile(buf)
+            row_ok = len(rt) == 1 and rt[0].num_features == merged.num_features
+        except Exception:
+            row_ok = False
+        row["roundtrip_ok"] = row_ok
+        return {key: np.array([v], dtype=TileEncoder._DTYPES.get(key, object)) for key, v in row.items()}
 
 
 def verify_tiles_batch(batch: pa.Table) -> pa.Table:

@@ -1,0 +1,76 @@
+"""Skew handling: density-gated salting + fragment merge (SURVEY.md §7.4).
+
+The contract under test: salting a hot zoom fragments tiles across the
+shuffle, and the fragment-merge pass restores ONE row per (z,x,y) whose
+COVT bytes are identical to an unsalted encode of the same rows — so the
+skew machinery is invisible in the output (tile assignments stay
+bit-for-bit, north_rule).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cov_tiles_ray.pipelines import tiling
+
+
+class TestHotZooms:
+    def test_sandbox_scale_never_salts(self):
+        # sf0.1 corpus: 600k rows -> even z4 stays whole
+        assert tiling.hot_zooms_for(600_000, (4, 6, 8, 10)) == ()
+
+    def test_planet_scale_salts_low_zooms(self):
+        hot = tiling.hot_zooms_for(10**12, (2, 4, 6, 8, 10, 12, 14))
+        assert 2 in hot and 4 in hot and 14 not in hot
+        # monotone: if z is hot every lower zoom in the set is hot
+        assert list(hot) == sorted(hot)
+        assert hot == tuple(z for z in (2, 4, 6, 8, 10, 12, 14) if z <= max(hot))
+
+    def test_zero_rows(self):
+        assert tiling.hot_zooms_for(0, (2, 4)) == ()
+
+
+@pytest.fixture(scope="module")
+def small_images(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "image_id": [f"img{i:012d}" for i in range(n)],
+            "caption": [f"cap {i % 37} word {i % 11}" for i in range(n)],
+            "fmt": np.where(rng.random(n) < 0.5, "ppm", "qoi"),
+            "phash": rng.integers(-(2**62), 2**62, n),
+            "lon": rng.uniform(-179, 179, n),
+            "lat": rng.uniform(-80, 80, n),
+        }
+    )
+    return rd.from_pandas(df)
+
+
+def _tiles_df(ds):
+    return (
+        ds.select_columns(["tile_id", "salt", "n_features", "covt", "covt_bytes"])
+        .to_pandas()
+        .sort_values("tile_id")
+        .reset_index(drop=True)
+    )
+
+
+class TestSaltedMerge:
+    def test_salted_output_matches_unsalted(self, small_images):
+        plain = _tiles_df(tiling.build_tiles(small_images, z=3, hot_zooms=()))
+        salted = _tiles_df(tiling.build_tiles(small_images, z=3, hot_zooms=(3,)))
+        assert (salted["salt"] == 0).all()
+        assert len(salted) == len(plain)
+        assert salted["tile_id"].tolist() == plain["tile_id"].tolist()
+        assert salted["n_features"].tolist() == plain["n_features"].tolist()
+        # merged fragments re-encode to byte-identical tiles
+        for a, b in zip(plain["covt"], salted["covt"]):
+            assert bytes(a) == bytes(b)
+
+    def test_unsalted_has_one_row_per_tile(self, small_images):
+        df = _tiles_df(tiling.build_tiles(small_images, z=3, hot_zooms=()))
+        assert df["tile_id"].is_unique
+        assert int(df["n_features"].sum()) == 3000
