@@ -496,3 +496,66 @@ def decode_string_dictionary(length_buf, dict_buf, n: int) -> list[str]:
         out.append(bytes(mv[pos : pos + ln]).decode("utf-8"))
         pos += ln
     return out
+
+
+# ---------------------------------------------------------------------------
+# Token dictionary (TOKEN_DICT) — engine extension on the format's plugin
+# axis (SURVEY.md §2.10: "a new codec = new enum value + encode/decode
+# pair").  Caption-like string dictionaries are mostly-unique word sequences
+# over a small vocabulary, so the flat utf-8 concat (C12) stores each word
+# once PER STRING; this codec stores each word once PER TILE and each string
+# as varint token ids.  Self-contained layout (replaces LENGTH+DICTIONARY):
+#   varint n_vocab | RLE vocab_byte_lengths | vocab utf-8 concat |
+#   RLE tokens_per_string (n_strings values) | varint token ids (flat)
+# Only single-space-joinable strings are representable; the encoder returns
+# None otherwise (and the caller falls back to the plain concat layout).
+# ---------------------------------------------------------------------------
+
+
+def encode_token_dict(strings: list[str]) -> bytes | None:
+    vocab: dict[str, int] = {}
+    counts = np.empty(len(strings), dtype=np.int64)
+    flat: list[int] = []
+    for si, s in enumerate(strings):
+        toks = s.split(" ")
+        for t in toks:
+            if not t:  # empty token: leading/trailing/double space or ""
+                return None
+            j = vocab.get(t)
+            if j is None:
+                j = len(vocab)
+                vocab[t] = j
+            flat.append(j)
+        counts[si] = len(toks)
+    raws = [t.encode("utf-8") for t in vocab]
+    lengths = np.array([len(r) for r in raws], dtype=np.int64)
+    return b"".join(
+        [
+            encode_varint_scalar(len(raws)),
+            encode_rle_v1(lengths, signed=True),
+            b"".join(raws),
+            encode_rle_v1(counts, signed=True),
+            encode_varint(np.array(flat, dtype=np.int64).view(np.uint64) if flat else np.empty(0, dtype=np.uint64)),
+        ]
+    )
+
+
+def decode_token_dict(buf, n_strings: int, offset: int = 0) -> tuple[list[str], int]:
+    b = _as_u8(buf)
+    n_vocab, pos = read_varint_py(b, offset)
+    lengths, pos = decode_rle_v1(b, n_vocab, signed=True, offset=pos)
+    vocab: list[str] = []
+    mv = memoryview(b)
+    for ln in lengths.tolist():
+        vocab.append(bytes(mv[pos : pos + ln]).decode("utf-8"))
+        pos += ln
+    counts, pos = decode_rle_v1(b, n_strings, signed=True, offset=pos)
+    total = int(counts.sum())
+    ids, pos = decode_varint(b, total, pos)
+    ids = ids.astype(np.int64)
+    out: list[str] = []
+    p = 0
+    for c in counts.tolist():
+        out.append(" ".join(vocab[i] for i in ids[p : p + c]))
+        p += c
+    return out, pos

@@ -58,6 +58,10 @@ class StreamEncoding(IntEnum):
     BYTE_RLE = 7
     FAST_PFOR_DELTA = 8  # positive-only
     FAST_PFOR_DELTA_ZIG_ZAG = 9
+    # Engine extension (plugin axis, SURVEY.md §2.10): second-level word
+    # dictionary for caption-like string DICTIONARY streams; replaces the
+    # LENGTH + DICTIONARY(utf-8 concat) pair when smaller.
+    TOKEN_DICT = 10
 
 
 class ColumnType(IntEnum):
@@ -180,6 +184,10 @@ INT_STREAM_CANDIDATES = (
     StreamEncoding.VARINT_ZIG_ZAG,
     StreamEncoding.VARINT_DELTA_ZIG_ZAG,
     StreamEncoding.RLE,
+    # fixed-width fallback: wins on high-entropy values (e.g. random 64-bit
+    # phashes average 9.5 varint bytes vs 8 plain); listed last so the
+    # variable-length codecs keep the reference's tie-break priority
+    StreamEncoding.PLAIN,
 )
 ID_STREAM_CANDIDATES = (
     StreamEncoding.VARINT,

@@ -127,7 +127,11 @@ def decode_layer(buf, pos: int, ids=None) -> tuple[LayerData, int]:
             elif dt == ColumnDataType.DOUBLE and stype == StreamType.DATA:
                 vals, _ = C.decode_doubles_le(b, nvals, pos)
             elif stype == StreamType.DICTIONARY:
-                vals = b[pos : pos + blen]  # raw utf-8 concat; lengths decoded separately
+                if senc == StreamEncoding.TOKEN_DICT:
+                    strings, _ = C.decode_token_dict(b, nvals, pos)
+                    vals = np.array(strings, dtype=object)
+                else:
+                    vals = b[pos : pos + blen]  # raw utf-8 concat; lengths decoded separately
             elif stype in (StreamType.PRESENT,) or (
                 stype == StreamType.DATA and dt == ColumnDataType.BOOLEAN
             ):
@@ -177,8 +181,11 @@ def decode_layer(buf, pos: int, ids=None) -> tuple[LayerData, int]:
 
 
 def _gather_dictionary(data: dict, n_dict: int) -> list[str]:
+    d = data[StreamType.DICTIONARY]
+    if isinstance(d, np.ndarray) and d.dtype == object:
+        return list(d)  # TOKEN_DICT stream decoded straight to strings
     lengths = data[StreamType.LENGTH].astype(np.int64)
-    concat = bytes(data[StreamType.DICTIONARY])
+    concat = bytes(d)
     out = []
     p = 0
     for ln in lengths.tolist():

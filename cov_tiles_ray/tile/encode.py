@@ -200,15 +200,29 @@ def _encode_property_column(col, layer_n: int) -> tuple[ColumnDataType, ColumnTy
                 j = len(seen)
                 seen[s] = j
             idx[i] = j
-        raws = [s.encode("utf-8") for s in seen]
-        lengths = np.array([len(r) for r in raws], dtype=I64)
-        dict_buf = b"".join(raws)
         enc, data_buf = best_encoding(idx, INT_STREAM_CANDIDATES)
         blk.add(StreamType.DATA, enc, len(idx), data_buf)
-        blk.add(StreamType.LENGTH, StreamEncoding.RLE, len(seen), encode_stream(lengths, StreamEncoding.RLE))
-        blk.add(StreamType.DICTIONARY, StreamEncoding.PLAIN, len(seen), dict_buf)
+        _add_dictionary_streams(blk, list(seen))
         return dt, ColumnType.DICTIONARY, blk
     raise ValueError(f"unsupported property data type {dt}")
+
+
+def _add_dictionary_streams(blk: _StreamBlock, distinct: list[str]) -> None:
+    """Emit the dictionary payload: LENGTH(RLE) + DICTIONARY(utf-8 concat)
+    (ref CovtConverter.java:1136-1167), or the engine's TOKEN_DICT stream
+    when the word-level re-dictionary is representable AND strictly smaller
+    (deterministic choice — same argmin-by-size rule as every other stream,
+    G1)."""
+    raws = [s.encode("utf-8") for s in distinct]
+    lengths = np.array([len(r) for r in raws], dtype=I64)
+    length_buf = encode_stream(lengths, StreamEncoding.RLE)
+    dict_buf = b"".join(raws)
+    tok_buf = C.encode_token_dict(distinct)
+    if tok_buf is not None and len(tok_buf) < len(length_buf) + len(dict_buf):
+        blk.add(StreamType.DICTIONARY, StreamEncoding.TOKEN_DICT, len(distinct), tok_buf)
+        return
+    blk.add(StreamType.LENGTH, StreamEncoding.RLE, len(distinct), length_buf)
+    blk.add(StreamType.DICTIONARY, StreamEncoding.PLAIN, len(distinct), dict_buf)
 
 
 LOCALIZED_DELIMITER = ":"
@@ -247,9 +261,6 @@ def _encode_localized_family(
                 seen[s] = j
             idx[i] = j
         per_member_idx.append(idx)
-    raws = [s.encode("utf-8") for s in seen]
-    lengths = np.array([len(r) for r in raws], dtype=I64)
-    dict_buf = b"".join(raws)
 
     out = []
     for mi, name in enumerate(members):
@@ -265,13 +276,7 @@ def _encode_localized_family(
         enc, data_buf = best_encoding(per_member_idx[mi], INT_STREAM_CANDIDATES)
         blk.add(StreamType.DATA, enc, len(per_member_idx[mi]), data_buf)
         if mi == 0:  # family head carries the shared dictionary
-            blk.add(
-                StreamType.LENGTH,
-                StreamEncoding.RLE,
-                len(seen),
-                encode_stream(lengths, StreamEncoding.RLE),
-            )
-            blk.add(StreamType.DICTIONARY, StreamEncoding.PLAIN, len(seen), dict_buf)
+            _add_dictionary_streams(blk, list(seen))
         out.append((name, ColumnDataType.STRING, ColumnType.LOCALIZED_DICTIONARY, blk))
     return out
 

@@ -287,3 +287,63 @@ class TestSfc:
         mx, my = sfc.morton_decode_signed(m, 14)
         np.testing.assert_array_equal(mx, x)
         np.testing.assert_array_equal(my, y)
+
+
+class TestTokenDict:
+    """TOKEN_DICT — word-level re-dictionary for caption-like string
+    dictionaries (engine extension on the format's plugin axis)."""
+
+    def test_roundtrip(self):
+        strs = [f"red fox {i} jumps over dog {i % 7}" for i in range(500)]
+        buf = C.encode_token_dict(strs)
+        dec, pos = C.decode_token_dict(buf, len(strs), 0)
+        assert dec == strs
+        assert pos == len(buf)
+
+    def test_smaller_than_concat_on_shared_vocab(self):
+        strs = [f"alpha beta gamma delta {i % 13} {i % 29}" for i in range(2000)]
+        buf = C.encode_token_dict(strs)
+        assert len(buf) < sum(len(s.encode()) for s in strs)
+
+    def test_unrepresentable_strings_rejected(self):
+        assert C.encode_token_dict([""]) is None
+        assert C.encode_token_dict(["a  b"]) is None  # double space
+        assert C.encode_token_dict([" a"]) is None  # leading space
+        assert C.encode_token_dict(["a "]) is None  # trailing space
+        # tabs/newlines inside a token are fine (tokens split on ' ' only)
+        strs = ["tab\there ok", "nl\nhere ok"]
+        dec, _ = C.decode_token_dict(C.encode_token_dict(strs), 2, 0)
+        assert dec == strs
+
+    def test_empty_list(self):
+        buf = C.encode_token_dict([])
+        dec, _ = C.decode_token_dict(buf, 0, 0)
+        assert dec == []
+
+    def test_offset_decoding(self):
+        strs = ["one two", "three four"]
+        buf = b"\xaa\xbb" + C.encode_token_dict(strs)
+        dec, pos = C.decode_token_dict(buf, 2, 2)
+        assert dec == strs and pos == len(buf)
+
+
+class TestPlainIntCandidate:
+    def test_plain_wins_on_random_64bit(self):
+        from cov_tiles_ray.model.format import INT_STREAM_CANDIDATES, StreamEncoding
+        from cov_tiles_ray.tile.streams import best_encoding, decode_stream
+
+        rng = np.random.default_rng(3)
+        vals = rng.integers(-(2**62), 2**62, 4096)
+        enc, buf = best_encoding(vals, INT_STREAM_CANDIDATES)
+        assert enc == StreamEncoding.PLAIN
+        assert len(buf) == 8 * len(vals)
+        dec, _ = decode_stream(buf, len(vals), enc)
+        assert np.array_equal(dec, vals)
+
+    def test_varint_still_wins_on_small_values(self):
+        from cov_tiles_ray.model.format import INT_STREAM_CANDIDATES, StreamEncoding
+        from cov_tiles_ray.tile.streams import best_encoding
+
+        vals = np.arange(1000) % 50
+        enc, _ = best_encoding(vals, INT_STREAM_CANDIDATES)
+        assert enc != StreamEncoding.PLAIN
