@@ -51,7 +51,16 @@ def varint_encoded_size(values: np.ndarray) -> np.ndarray:
     return nbytes
 
 
+_VARINT_1B = [bytes((i,)) for i in range(128)]
+
+
 def encode_varint_scalar(value: int) -> bytes:
+    if 0 <= value < 128:  # single-byte fast path (most metadata varints)
+        return _VARINT_1B[value]
+    return _encode_varint_scalar_slow(value)
+
+
+def _encode_varint_scalar_slow(value: int) -> bytes:
     """Single-value varint (python-int fast path for metadata framing)."""
     out = bytearray()
     v = int(value)
@@ -266,10 +275,24 @@ def encode_rle_v1(values: np.ndarray, signed: bool) -> bytes:
     parts: list[bytes] = []
 
     def emit_literals(vals: np.ndarray) -> None:
+        # one vectorized varint pass for the whole literal stretch; 128-value
+        # group headers spliced in by byte-offset slicing (a per-chunk
+        # encode_varint loop dominated encode CPU on random-value streams)
+        if len(vals) == 0:
+            return
+        if len(vals) <= 4:  # scalar path: tiny gaps between runs are common
+            parts.append(bytes([256 - len(vals)]))
+            for x in vals.tolist():
+                u = ((x << 1) ^ (x >> 63)) & 0xFFFFFFFFFFFFFFFF if signed else x & 0xFFFFFFFFFFFFFFFF
+                parts.append(encode_varint_scalar(u))
+            return
+        u = zigzag_encode(vals) if signed else vals.view(U64)
+        enc = encode_varint(u)
+        bounds = np.concatenate([[0], np.cumsum(varint_encoded_size(u))])
         for i in range(0, len(vals), _MAX_LITERALS):
-            chunk = vals[i : i + _MAX_LITERALS]
-            parts.append(bytes([256 - len(chunk)]))
-            parts.append(emit_values(chunk))
+            j = min(i + _MAX_LITERALS, len(vals))
+            parts.append(bytes([256 - (j - i)]))
+            parts.append(enc[bounds[i] : bounds[j]])
 
     if n < _MIN_RUN:
         emit_literals(v)
@@ -286,11 +309,12 @@ def encode_rle_v1(values: np.ndarray, signed: bool) -> bytes:
     seg_delta = d[ds]
     eligible = (seg_delta >= -128) & (seg_delta <= 127)
 
+    # python loop only over stretches that can possibly become runs (span
+    # >= MIN_RUN and int8 delta) — on run-free data this is zero iterations
+    candidates = np.flatnonzero(eligible & ((ve - ds + 1) >= _MIN_RUN))
     next_free = 0  # first value index not yet consumed by a run
     lit_from = 0  # first value index not yet emitted at all
-    for k in range(len(ds)):
-        if not eligible[k]:
-            continue
+    for k in candidates:
         run_start = max(int(ds[k]), next_free)
         run_end = int(ve[k])  # inclusive value index of stretch end
         span = run_end - run_start + 1
@@ -302,9 +326,9 @@ def encode_rle_v1(values: np.ndarray, signed: bool) -> bytes:
         pos = run_start
         while span >= _MIN_RUN:
             take = min(span, _MAX_RUN)
-            parts.append(bytes([take - 3]))
-            parts.append(np.int8(dd).tobytes())
-            parts.append(emit_values(v[pos : pos + 1]))
+            x = int(v[pos])
+            u = ((x << 1) ^ (x >> 63)) & 0xFFFFFFFFFFFFFFFF if signed else x & 0xFFFFFFFFFFFFFFFF
+            parts.append(bytes([take - 3, dd & 0xFF]) + encode_varint_scalar(u))
             pos += take
             span -= take
         next_free = pos
@@ -513,20 +537,22 @@ def decode_string_dictionary(length_buf, dict_buf, n: int) -> list[str]:
 
 
 def encode_token_dict(strings: list[str]) -> bytes | None:
-    vocab: dict[str, int] = {}
-    counts = np.empty(len(strings), dtype=np.int64)
-    flat: list[int] = []
-    for si, s in enumerate(strings):
-        toks = s.split(" ")
-        for t in toks:
-            if not t:  # empty token: leading/trailing/double space or ""
-                return None
-            j = vocab.get(t)
-            if j is None:
-                j = len(vocab)
-                vocab[t] = j
-            flat.append(j)
-        counts[si] = len(toks)
+    import itertools
+
+    import pandas as pd
+
+    tok_lists = [s.split(" ") for s in strings]
+    counts = np.fromiter(map(len, tok_lists), dtype=np.int64, count=len(strings))
+    flat_toks = list(itertools.chain.from_iterable(tok_lists))
+    if any(not t for t in flat_toks):  # empty token: leading/trailing/double space or ""
+        return None
+    if flat_toks:
+        codes, uniques = pd.factorize(np.asarray(flat_toks, dtype=object), use_na_sentinel=False)
+        flat = codes.astype(np.int64)
+        vocab = list(uniques)
+    else:
+        flat = np.empty(0, dtype=np.int64)
+        vocab = []
     raws = [t.encode("utf-8") for t in vocab]
     lengths = np.array([len(r) for r in raws], dtype=np.int64)
     return b"".join(
@@ -535,7 +561,7 @@ def encode_token_dict(strings: list[str]) -> bytes | None:
             encode_rle_v1(lengths, signed=True),
             b"".join(raws),
             encode_rle_v1(counts, signed=True),
-            encode_varint(np.array(flat, dtype=np.int64).view(np.uint64) if flat else np.empty(0, dtype=np.uint64)),
+            encode_varint(flat.view(np.uint64)),
         ]
     )
 

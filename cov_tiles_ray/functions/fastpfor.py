@@ -75,9 +75,10 @@ def encode_fastpfor(values: np.ndarray) -> bytes:
     v = np.ascontiguousarray(values, dtype=np.uint32)
     n = len(v)
     parts = [encode_varint(np.array([n], dtype=U64))]
+    all_widths = _bit_widths(v)  # one vectorized pass (per-block calls were hot)
     for s in range(0, n, BLOCK):
         blk = v[s : s + BLOCK]
-        widths = _bit_widths(blk)
+        widths = all_widths[s : s + BLOCK]
         maxw = int(widths.max()) if len(blk) else 0
         # choose b minimizing packed + exception cost
         best_b, best_cost = maxw, (len(blk) * maxw + 7) // 8 + 2

@@ -3,7 +3,7 @@
     read_parquet(images)                      # prune: no image bytes read
       -> map_batches(assign_tiles)            # stateless, pyarrow, vectorized
       -> map_batches(assign_hex)              # hex cells for k-ring queries
-      -> map_batches(salt_hot_tiles)          # skew: split z<=4 groups
+      -> map_batches(salt_dense_tiles)        # skew: split measured-hot tiles
       -> groupby(tile_id, salt)               # THE shuffle (light columns)
       -> map_groups(TileEncoder)              # per-tile COVT encode
       -> map_batches(verify_tiles_batch)      # decode round-trip oracle
@@ -26,7 +26,7 @@ import ray.data as rd
 
 from ..functions import image as img_f
 from ..sources import synth
-from ..stages.assign import assign_hex, assign_tiles, salt_hot_tiles
+from ..stages.assign import assign_hex, assign_tiles, salt_dense_tiles, salt_hot_tiles
 from ..stages.tile_encode import (
     MultiTileEncoder,
     TileEncoder,
@@ -62,8 +62,11 @@ def read_images(sf_dir_or_sf, columns: list[str] | None = None) -> rd.Dataset:
 # from CPU count made the 4N-node exchange pay 4x the coordination of the
 # N-node one, which is exactly the anti-scaling the north rule's efficiency
 # criterion punishes.  64 keeps a 32-core node busy (2 waves) and an 8-core
-# node at 8 waves with near-identical per-chunk overhead.
-N_PART = 64
+# node at 8 waves with near-identical per-chunk overhead.  256 (not 64):
+# the sort shuffle packs ~4 part-keys per output block, and coarser keys
+# quantized into uneven blocks (measured one 10.9s straggler vs 3.6s mean
+# task at 64 parts / 60 blocks on sf0.1).
+N_PART = 256
 
 # Per-group feature cap target: a (tile, salt) group beyond this many rows
 # risks blowing a worker's heap (each feature carries a caption string), so
@@ -102,7 +105,6 @@ def _encode_partitioned(
     opts: EncodeOptions | None,
     extent: int,
     with_mvt: bool,
-    salted: bool = False,
 ) -> rd.Dataset:
     """Assigned feature rows -> hash-partition by (tile_id, salt) -> THE
     shuffle -> per-partition multi-tile encode -> decode-verify -> (only when
@@ -130,14 +132,41 @@ def _encode_partitioned(
 
     tiles = ds.groupby("part").map_groups(encode_part, batch_format="numpy")
     tiles = tiles.map_batches(verify_tiles_batch, batch_format="pyarrow")
-    if salted:
-        merger = TileFragmentMerger(opts or EncodeOptions(), extent, with_mvt=with_mvt)
 
-        def merge_fragments(g):
-            return merger(g)
+    # Fragment merge — runs ONLY over tiles that actually salted.  The tile
+    # table is the compact RESULT of the heavy shuffle (features already
+    # reduced to per-tile rows), so materializing it once to learn the salted
+    # tile-id set is cheap; the merge exchange then moves just those tiles'
+    # fragments instead of re-shuffling the whole tile table (measured ~8s
+    # of sort + 16-45s of re-encode saved at sf0.1).
+    tiles = tiles.materialize()
+    uniq = tiles.filter(expr="salt != 0").select_columns(["tile_id"]).unique("tile_id")
+    # unique() yields None / [None] on an empty dataset — normalize first
+    uniq = [u for u in (uniq or []) if u is not None]
+    salted_ids = np.sort(np.array(uniq, dtype=np.int64))
+    if len(salted_ids) == 0:
+        return tiles
 
-        tiles = tiles.groupby("tile_id").map_groups(merge_fragments, batch_format="numpy")
-    return tiles
+    def split_mask(b: pa.Table) -> np.ndarray:
+        tid = b["tile_id"].to_numpy(zero_copy_only=False)
+        return np.isin(tid, salted_ids)
+
+    def take_frags(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(split_mask(b)))
+
+    def take_rest(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(~split_mask(b)))
+
+    rest = tiles.map_batches(take_rest, batch_format="pyarrow", zero_copy_batch=True)
+    frags = tiles.map_batches(take_frags, batch_format="pyarrow", zero_copy_batch=True)
+
+    merger = TileFragmentMerger(opts or EncodeOptions(), extent, with_mvt=with_mvt)
+
+    def merge_fragments(g):
+        return merger(g)
+
+    merged = frags.groupby("tile_id").map_groups(merge_fragments, batch_format="numpy")
+    return rest.union(merged)
 
 
 def build_tiles(
@@ -151,18 +180,29 @@ def build_tiles(
 ) -> rd.Dataset:
     """images Dataset (light columns) -> verified COVT tile Dataset.
 
-    ``hot_zooms`` overrides the density-based salting decision (None =
-    derive from corpus size via ``hot_zooms_for``)."""
-    hot = hot_zooms_for(_estimate_rows(images), (z,)) if hot_zooms is None else hot_zooms
+    ``hot_zooms`` forces zoom-level salting (tests / known-hot pyramids);
+    the default is per-batch density-ADAPTIVE salting against the measured
+    corpus size (salt_dense_tiles), which catches clustered hot tiles a
+    uniform model misses."""
+    n_rows = _estimate_rows(images)
     ds = images.map_batches(
         lambda b: assign_tiles(b, z=z, extent=extent), batch_format="pyarrow", zero_copy_batch=True
     )
     ds = ds.map_batches(lambda b: assign_hex(b, res=hex_res), batch_format="pyarrow", zero_copy_batch=True)
-    ds = ds.map_batches(
-        lambda b: salt_hot_tiles(b, hot_zooms=hot), batch_format="pyarrow", zero_copy_batch=True
-    )
+    if hot_zooms is not None:
+        ds = ds.map_batches(
+            lambda b: salt_hot_tiles(b, hot_zooms=hot_zooms),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    else:
+        ds = ds.map_batches(
+            lambda b: salt_dense_tiles(b, corpus_rows=n_rows, max_group_rows=MAX_GROUP_ROWS),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
     ds = ds.select_columns(_SHUFFLE_COLUMNS)
-    return _encode_partitioned(ds, opts, extent, with_mvt, salted=bool(hot))
+    return _encode_partitioned(ds, opts, extent, with_mvt)
 
 
 def build_tile_pyramid(
@@ -181,18 +221,21 @@ def build_tile_pyramid(
     ~4x worse scaling on a 32-way node.  (Production tileset shape: the
     reference's corpora span z2-z14, CovtConverterTest.java:156-276.)"""
 
-    hot = hot_zooms_for(_estimate_rows(images), zooms) if hot_zooms is None else hot_zooms
+    n_rows = _estimate_rows(images)
 
     def assign_all(b: pa.Table) -> pa.Table:
         outs = []
         for z in zooms:
             t = assign_tiles(b, z=z, extent=extent)
-            t = salt_hot_tiles(t, hot_zooms=hot)
+            if hot_zooms is not None:
+                t = salt_hot_tiles(t, hot_zooms=hot_zooms)
+            else:
+                t = salt_dense_tiles(t, corpus_rows=n_rows, max_group_rows=MAX_GROUP_ROWS)
             outs.append(t.select(_SHUFFLE_COLUMNS))
         return pa.concat_tables(outs)
 
     ds = images.map_batches(assign_all, batch_format="pyarrow", zero_copy_batch=True)
-    return _encode_partitioned(ds, opts, extent, with_mvt, salted=bool(hot))
+    return _encode_partitioned(ds, opts, extent, with_mvt)
 
 
 def write_tiles(tiles: rd.Dataset, out_dir: str, input_desc: dict | None = None) -> dict:

@@ -60,6 +60,44 @@ def salt_hot_tiles(batch: pa.Table, hot_zooms=(), num_salts: int = 8) -> pa.Tabl
     return batch.append_column("salt", pa.array(salt))
 
 
+def salt_dense_tiles(
+    batch: pa.Table,
+    corpus_rows: int,
+    max_group_rows: int = 65_536,
+    max_salts: int = 64,
+) -> pa.Table:
+    """Density-ADAPTIVE shuffle salt: estimate each tile's global row count
+    from its in-batch share (``in_batch_count * corpus_rows / batch_rows`` —
+    blocks are row-order samples of the corpus, so shares are unbiased), and
+    split tiles whose estimate blows the per-group cap into
+    ``2^ceil(log2(est / cap))`` salt buckets (capped).  Catches CLUSTERED
+    skew that a uniform rows-per-zoom model misses — the measured corpus has
+    one z4 tile holding ~20% of all rows, a 13x-mean straggler without this.
+    Salt is a deterministic hash of image_id; fragments are re-merged into
+    whole tiles downstream (TileFragmentMerger)."""
+    import pandas as pd
+
+    n = batch.num_rows
+    if n == 0 or corpus_rows <= 0:
+        return batch.append_column("salt", pa.array(np.zeros(n, dtype=np.int32)))
+    tid = batch["tile_id"].to_numpy(zero_copy_only=False)
+    _, inv, counts = np.unique(tid, return_inverse=True, return_counts=True)
+    est = counts.astype(np.float64) * (corpus_rows / n)
+    # salts per tile: next power of two of est/cap, 1 (no salt) when under
+    over = np.maximum(est / max_group_rows, 1.0)
+    salts_per_tile = np.minimum(
+        2 ** np.ceil(np.log2(over)).astype(np.int64), max_salts
+    ).astype(np.uint64)
+    row_salts = salts_per_tile[inv]
+    salt = np.zeros(n, dtype=np.int32)
+    hot = row_salts > 1
+    if hot.any():
+        ids = batch["image_id"].to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(ids[hot].astype(object)).astype(np.uint64)
+        salt[hot] = (h % row_salts[hot]).astype(np.int32)
+    return batch.append_column("salt", pa.array(salt))
+
+
 class PipAssigner:
     """Actor-pool stage: point-in-polygon tagging against a broadcast
     polygon set (the 'compiled spatial index held by actors' the north rule

@@ -67,7 +67,7 @@ def plain_columnar_bytes(layer: LayerData) -> int:
         size += 8 * n
     for col in layer.properties.values():
         if col.data_type == ColumnDataType.STRING:
-            size += int(sum(len(str(s)) + 1 for s in col.values)) + n // 8 + 1
+            size += int(sum(map(len, col.values))) + len(col.values) + n // 8 + 1
         elif col.data_type in (ColumnDataType.FLOAT,):
             size += 4 * len(col.values) + n // 8 + 1
         else:
@@ -220,25 +220,22 @@ def _concat_point_layers(layers: list[LayerData], extent: int) -> LayerData:
 
 
 class TileFragmentMerger:
-    """map_groups kernel over ``groupby(tile_id)`` on the COMPACT tile table:
-    merges salted fragments of a hot tile into one final COVT tile (decode →
-    concat → re-encode).  The expensive feature-level shuffle+encode was
-    spread across salts; this second groupby moves only encoded tile bytes
-    (orders of magnitude smaller than the input), and single-fragment tiles
-    pass through untouched (SURVEY.md §7.4 'pre-encode partial streams per
-    salt, concat-merge in final group')."""
+    """Partition-batched merge kernel over the COMPACT tile table: the input
+    group is a hash partition of tiles (``part = hash(tile_id) mod P``),
+    segmented by tile_id inside the kernel.  Single-fragment tiles (the
+    overwhelming majority) pass through with one vectorized numpy slice; only
+    salted hot tiles decode → concat → re-encode.  The expensive
+    feature-level shuffle+encode was spread across salts; this second
+    exchange moves only encoded tile bytes (orders of magnitude smaller than
+    the input) — SURVEY.md §7.4 'pre-encode partial streams per salt,
+    concat-merge in final group'."""
 
     def __init__(self, opts: EncodeOptions | None = None, extent: int = 4096, with_mvt: bool = False):
         self.opts = opts or EncodeOptions()
         self.extent = extent
         self.with_mvt = with_mvt
 
-    def __call__(self, g: dict) -> dict:
-        k = len(g["tile_id"])
-        if k == 1:
-            out = {key: np.asarray(v) for key, v in g.items()}
-            out["salt"] = np.zeros(1, dtype=np.int32)
-            return out
+    def _merge_one(self, g: dict) -> dict:
         layers = [decode_tile(bytes(buf))[0] for buf in g["covt"]]
         merged = _concat_point_layers(layers, self.extent)
         buf = encode_tile([merged], self.opts)
@@ -263,7 +260,31 @@ class TileFragmentMerger:
         except Exception:
             row_ok = False
         row["roundtrip_ok"] = row_ok
-        return {key: np.array([v], dtype=TileEncoder._DTYPES.get(key, object)) for key, v in row.items()}
+        return row
+
+    def __call__(self, g: dict) -> dict:
+        tid = np.asarray(g["tile_id"], dtype=np.int64)
+        if len(tid) == 0:
+            return {k: np.asarray(v) for k, v in g.items()}
+        order = np.argsort(tid, kind="stable")
+        cols = {k: np.asarray(v)[order] for k, v in g.items()}
+        tid = cols["tile_id"]
+        change = np.concatenate([[True], tid[1:] != tid[:-1]])
+        starts = np.flatnonzero(change)
+        ends = np.concatenate([starts[1:], [len(tid)]])
+        single = (ends - starts) == 1
+        out = {k: v[starts[single]] for k, v in cols.items()}
+        out["salt"] = np.zeros(len(out["tile_id"]), dtype=np.int32)
+        rows = [
+            self._merge_one({k: v[s:e] for k, v in cols.items()})
+            for s, e in zip(starts[~single], ends[~single])
+        ]
+        if rows:
+            merged_cols = TileEncoder.rows_to_columns(rows)
+            out = {
+                k: np.concatenate([out[k], merged_cols[k]]) for k in out
+            }
+        return out
 
 
 def verify_tiles_batch(batch: pa.Table) -> pa.Table:

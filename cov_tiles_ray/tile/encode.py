@@ -62,6 +62,40 @@ class EncodeOptions:
 FASTPFOR_MIN_VALUES = 64
 ICE_MIN_VERTICES = 16
 
+# Below this many values the ORC-RLE candidate is pruned from int streams:
+# its Python-loop encoder dominates per-tile cost on many-tiny-tile
+# workloads (measured ~30% of encode CPU at 4 features/tile) while the
+# best case saving on a <32-value stream is a handful of bytes.  Fixed
+# n-based rule — output stays deterministic.
+RLE_MIN_VALUES = 32
+_INT_SMALL = tuple(e for e in INT_STREAM_CANDIDATES if e != StreamEncoding.RLE)
+_ID_SMALL = tuple(e for e in ID_STREAM_CANDIDATES if e != StreamEncoding.RLE)
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8192)
+def _all_true_present(n: int) -> bytes:
+    """PRESENT stream for an all-present column — pure function of n, and
+    the overwhelmingly common case on many-tiny-tile workloads (cached:
+    boolean-RLE of ones cost ~15% of encode CPU before)."""
+    return C.encode_boolean_rle(np.ones(n, dtype=bool))
+
+
+@lru_cache(maxsize=8192)
+def _const_byte_rle(val: int, n: int) -> bytes:
+    """BYTE_RLE of a constant run (e.g. all-POINT geometry_types)."""
+    return C.encode_byte_rle(np.full(n, val, dtype=np.uint8))
+
+
+def _int_candidates(n: int):
+    return INT_STREAM_CANDIDATES if n >= RLE_MIN_VALUES else _INT_SMALL
+
+
+def _id_candidates(n: int):
+    return ID_STREAM_CANDIDATES if n >= RLE_MIN_VALUES else _ID_SMALL
+
 
 def _topology_candidates(opts: EncodeOptions, n: int = 1 << 30):
     if opts.allow_fastpfor_topology and n >= FASTPFOR_MIN_VALUES:
@@ -96,7 +130,11 @@ class _StreamBlock:
 def _encode_geometry_plain(layer: LayerData, opts: EncodeOptions) -> _StreamBlock:
     blk = _StreamBlock()
     gt = np.ascontiguousarray(layer.geometry_types, dtype=np.uint8)
-    blk.add(StreamType.GEOMETRY_TYPES, StreamEncoding.BYTE_RLE, len(gt), C.encode_byte_rle(gt))
+    if len(gt) and (gt[0] == gt).all():
+        gt_buf = _const_byte_rle(int(gt[0]), len(gt))
+    else:
+        gt_buf = C.encode_byte_rle(gt)
+    blk.add(StreamType.GEOMETRY_TYPES, StreamEncoding.BYTE_RLE, len(gt), gt_buf)
     topo = _topology_candidates(opts, layer.num_features)
     if layer.geometry_offsets is not None and len(layer.geometry_offsets):
         blk.add_best(StreamType.GEOMETRY_OFFSETS, np.asarray(layer.geometry_offsets, dtype=I64), topo)
@@ -143,7 +181,11 @@ def _encode_geometry_ice(layer: LayerData, opts: EncodeOptions, morton: bool) ->
     # ARE unique vertices and `inverse` is the per-vertex dictionary offset.
     blk = _StreamBlock()
     gt = np.ascontiguousarray(layer.geometry_types, dtype=np.uint8)
-    blk.add(StreamType.GEOMETRY_TYPES, StreamEncoding.BYTE_RLE, len(gt), C.encode_byte_rle(gt))
+    if len(gt) and (gt[0] == gt).all():
+        gt_buf = _const_byte_rle(int(gt[0]), len(gt))
+    else:
+        gt_buf = C.encode_byte_rle(gt)
+    blk.add(StreamType.GEOMETRY_TYPES, StreamEncoding.BYTE_RLE, len(gt), gt_buf)
     topo = _topology_candidates(opts, layer.num_features)
     if layer.geometry_offsets is not None and len(layer.geometry_offsets):
         blk.add_best(StreamType.GEOMETRY_OFFSETS, np.asarray(layer.geometry_offsets, dtype=I64), topo)
@@ -168,9 +210,8 @@ def _encode_geometry_ice(layer: LayerData, opts: EncodeOptions, morton: bool) ->
 def _encode_property_column(col, layer_n: int) -> tuple[ColumnDataType, ColumnType, _StreamBlock]:
     blk = _StreamBlock()
     present = np.ascontiguousarray(col.present, dtype=bool)
-    blk.add(
-        StreamType.PRESENT, StreamEncoding.BOOLEAN_RLE, layer_n, C.encode_boolean_rle(present)
-    )
+    present_buf = _all_true_present(layer_n) if present.all() else C.encode_boolean_rle(present)
+    blk.add(StreamType.PRESENT, StreamEncoding.BOOLEAN_RLE, layer_n, present_buf)
     dt = col.data_type
     vals = col.values
     if dt == ColumnDataType.BOOLEAN:
@@ -179,7 +220,7 @@ def _encode_property_column(col, layer_n: int) -> tuple[ColumnDataType, ColumnTy
         return dt, ColumnType.PLAIN, blk
     if dt in (ColumnDataType.INT_32, ColumnDataType.INT_64, ColumnDataType.UINT_32, ColumnDataType.UINT_64):
         dense = np.asarray(vals, dtype=I64)
-        blk.add_best(StreamType.DATA, dense, INT_STREAM_CANDIDATES)
+        blk.add_best(StreamType.DATA, dense, _int_candidates(len(dense)))
         return dt, ColumnType.PLAIN, blk
     if dt == ColumnDataType.FLOAT:
         dense = np.asarray(vals, dtype=np.float32)
@@ -191,18 +232,17 @@ def _encode_property_column(col, layer_n: int) -> tuple[ColumnDataType, ColumnTy
         return dt, ColumnType.PLAIN, blk
     if dt == ColumnDataType.STRING:
         # insertion-order dictionary (ref convertStringDictionaryColumn,
-        # CovtConverter.java:1294-1324): data = dict indices, length+dictionary
-        seen: dict[str, int] = {}
-        idx = np.empty(len(vals), dtype=I64)
-        for i, s in enumerate(vals):
-            j = seen.get(s)
-            if j is None:
-                j = len(seen)
-                seen[s] = j
-            idx[i] = j
-        enc, data_buf = best_encoding(idx, INT_STREAM_CANDIDATES)
+        # CovtConverter.java:1294-1324): data = dict indices, length+dictionary.
+        # pd.factorize keeps first-appearance order == the reference's
+        # insertion-order dict, at C speed (the Python dict loop dominated
+        # dense-tile encode).
+        import pandas as pd
+
+        codes, uniques = pd.factorize(np.asarray(vals, dtype=object), use_na_sentinel=False)
+        idx = codes.astype(I64)
+        enc, data_buf = best_encoding(idx, _int_candidates(len(idx)))
         blk.add(StreamType.DATA, enc, len(idx), data_buf)
-        _add_dictionary_streams(blk, list(seen))
+        _add_dictionary_streams(blk, list(uniques))
         return dt, ColumnType.DICTIONARY, blk
     raise ValueError(f"unsupported property data type {dt}")
 
@@ -217,7 +257,9 @@ def _add_dictionary_streams(blk: _StreamBlock, distinct: list[str]) -> None:
     lengths = np.array([len(r) for r in raws], dtype=I64)
     length_buf = encode_stream(lengths, StreamEncoding.RLE)
     dict_buf = b"".join(raws)
-    tok_buf = C.encode_token_dict(distinct)
+    # tiny dictionaries can't amortize the vocab framing — skip the token
+    # attempt below a fixed byte floor (deterministic n-based rule)
+    tok_buf = C.encode_token_dict(distinct) if len(dict_buf) >= 128 else None
     if tok_buf is not None and len(tok_buf) < len(length_buf) + len(dict_buf):
         blk.add(StreamType.DICTIONARY, StreamEncoding.TOKEN_DICT, len(distinct), tok_buf)
         return
@@ -249,18 +291,16 @@ def _encode_localized_family(
     column of type LOCALIZED_DICTIONARY carrying PRESENT + DATA; the family
     head additionally carries the shared LENGTH + DICTIONARY streams.
     Decoders key the shared dict by the family prefix."""
-    seen: dict[str, int] = {}
-    per_member_idx: list[np.ndarray] = []
-    for name in members:
-        col = layer.properties[name]
-        idx = np.empty(len(col.values), dtype=I64)
-        for i, s in enumerate(col.values):
-            j = seen.get(s)
-            if j is None:
-                j = len(seen)
-                seen[s] = j
-            idx[i] = j
-        per_member_idx.append(idx)
+    import pandas as pd
+
+    member_vals = [np.asarray(layer.properties[name].values, dtype=object) for name in members]
+    sizes = np.cumsum([0] + [len(v) for v in member_vals])
+    codes, uniques = pd.factorize(np.concatenate(member_vals), use_na_sentinel=False)
+    codes = codes.astype(I64)
+    seen = list(uniques)
+    per_member_idx: list[np.ndarray] = [
+        codes[sizes[i] : sizes[i + 1]] for i in range(len(members))
+    ]
 
     out = []
     for mi, name in enumerate(members):
@@ -271,9 +311,9 @@ def _encode_localized_family(
             StreamType.PRESENT,
             StreamEncoding.BOOLEAN_RLE,
             layer.num_features,
-            C.encode_boolean_rle(present),
+            _all_true_present(layer.num_features) if present.all() else C.encode_boolean_rle(present),
         )
-        enc, data_buf = best_encoding(per_member_idx[mi], INT_STREAM_CANDIDATES)
+        enc, data_buf = best_encoding(per_member_idx[mi], _int_candidates(len(per_member_idx[mi])))
         blk.add(StreamType.DATA, enc, len(per_member_idx[mi]), data_buf)
         if mi == 0:  # family head carries the shared dictionary
             _add_dictionary_streams(blk, list(seen))
@@ -329,7 +369,7 @@ def encode_layer(layer: LayerData, opts: EncodeOptions = EncodeOptions(), sideca
     if opts.include_ids and layer.ids is not None:
         ids = np.asarray(layer.ids, dtype=U64).view(I64)
         blk = _StreamBlock()
-        blk.add_best(StreamType.DATA, ids, ID_STREAM_CANDIDATES)
+        blk.add_best(StreamType.DATA, ids, _id_candidates(len(ids)))
         columns.append((0, None, ColumnDataType.UINT_64, ColumnType.PLAIN, blk))
 
     mode = opts.geometry_encoding
