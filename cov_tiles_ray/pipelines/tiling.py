@@ -26,7 +26,7 @@ import ray.data as rd
 
 from ..functions import image as img_f
 from ..sources import synth
-from ..stages.assign import assign_hex, assign_tiles, salt_dense_tiles, salt_hot_tiles
+from ..stages.assign import assign_hex, assign_tiles, parse_fid, salt_dense_tiles, salt_hot_tiles
 from ..stages.tile_encode import (
     MultiTileEncoder,
     TileEncoder,
@@ -75,7 +75,7 @@ N_PART = 256
 MAX_GROUP_ROWS = 65_536
 SALT_SAFETY = 8
 
-_SHUFFLE_COLUMNS = ["tile_id", "salt", "image_id", "loc_x", "loc_y", "caption", "fmt", "phash"]
+_SHUFFLE_COLUMNS = ["tile_id", "salt", "fid", "loc_x", "loc_y", "caption", "fmt", "phash"]
 
 
 def hot_zooms_for(corpus_rows: int, zooms) -> tuple[int, ...]:
@@ -185,6 +185,7 @@ def build_tiles(
     corpus size (salt_dense_tiles), which catches clustered hot tiles a
     uniform model misses."""
     n_rows = _estimate_rows(images)
+    images = images.map_batches(parse_fid, batch_format="pyarrow", zero_copy_batch=True)
     ds = images.map_batches(
         lambda b: assign_tiles(b, z=z, extent=extent), batch_format="pyarrow", zero_copy_batch=True
     )
@@ -224,6 +225,7 @@ def build_tile_pyramid(
     n_rows = _estimate_rows(images)
 
     def assign_all(b: pa.Table) -> pa.Table:
+        b = parse_fid(b)
         outs = []
         for z in zooms:
             t = assign_tiles(b, z=z, extent=extent)

@@ -38,6 +38,31 @@ def assign_hex(batch: pa.Table, res: int, lon_col="lon", lat_col="lat", out_col=
     return batch.append_column(out_col or f"hex_r{res}", pa.array(cell))
 
 
+def parse_fid(batch: pa.Table, id_col: str = "image_id", out: str = "fid") -> pa.Table:
+    """Parse ``img%012d`` ids to int64 ONCE, vectorized in Arrow — the
+    numeric id then rides the shuffle instead of the string (fewer bytes,
+    and per-tile id handling becomes zero-copy numpy instead of per-row
+    Python string parsing)."""
+    import pyarrow.compute as pc
+
+    s = pc.utf8_slice_codeunits(batch[id_col], 3, 64)
+    return batch.append_column(out, pc.cast(s, pa.int64()))
+
+
+def _row_salt_hash(batch: pa.Table, n: int) -> np.ndarray:
+    """Deterministic per-row uint64 hash for salting: splitmix64 of ``fid``
+    when present (vectorized), else pandas hash of the id string."""
+    import pandas as pd
+
+    if "fid" in batch.column_names:
+        from ..sources.synth import _splitmix64
+
+        fid = batch["fid"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return _splitmix64(fid)
+    ids = batch["image_id"].to_numpy(zero_copy_only=False)
+    return pd.util.hash_array(ids.astype(object)).astype(np.uint64)
+
+
 def salt_hot_tiles(batch: pa.Table, hot_zooms=(), num_salts: int = 8) -> pa.Table:
     """Add a shuffle-salt column: tiles at the given HOT zooms split into
     ``num_salts`` sub-groups so one group never holds an unbounded slice of
@@ -54,8 +79,7 @@ def salt_hot_tiles(batch: pa.Table, hot_zooms=(), num_salts: int = 8) -> pa.Tabl
         z = batch["tile_z"].to_numpy(zero_copy_only=False)
         hot = np.isin(z, np.asarray(list(hot_zooms), dtype=z.dtype))
         if hot.any():
-            ids = batch["image_id"].to_numpy(zero_copy_only=False)
-            h = pd.util.hash_array(ids.astype(object)).astype(np.uint64)
+            h = _row_salt_hash(batch, batch.num_rows)
             salt = np.where(hot, (h % np.uint64(num_salts)).astype(np.int32), salt)
     return batch.append_column("salt", pa.array(salt))
 
@@ -92,9 +116,8 @@ def salt_dense_tiles(
     salt = np.zeros(n, dtype=np.int32)
     hot = row_salts > 1
     if hot.any():
-        ids = batch["image_id"].to_numpy(zero_copy_only=False)
-        h = pd.util.hash_array(ids[hot].astype(object)).astype(np.uint64)
-        salt[hot] = (h % row_salts[hot]).astype(np.int32)
+        h = _row_salt_hash(batch, n)
+        salt[hot] = (h[hot] % row_salts[hot]).astype(np.int32)
     return batch.append_column("salt", pa.array(salt))
 
 

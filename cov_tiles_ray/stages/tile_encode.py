@@ -27,14 +27,20 @@ def group_to_layer(g: dict, extent: int = 4096) -> LayerData:
     Rows are ordered by image id — ordering is load-bearing (SURVEY.md
     §7.5): feature order ties ids, geometry and property streams together.
     """
-    image_id = np.asarray(g["image_id"], dtype=object)
-    order = np.argsort(image_id, kind="stable")
-    n = len(image_id)
+    if "fid" in g:
+        fid = np.asarray(g["fid"], dtype=np.int64)
+        order = np.argsort(fid, kind="stable")
+        n = len(fid)
+        ids = fid[order].astype(np.uint64)
+    else:
+        image_id = np.asarray(g["image_id"], dtype=object)
+        order = np.argsort(image_id, kind="stable")
+        n = len(image_id)
+        # img%012d -> numeric id (vectorized slice-parse)
+        ids = np.char.lstrip(np.asarray(image_id[order], dtype="U15"), "img").astype(np.uint64)
     vb = np.empty(2 * n, dtype=np.int64)
     vb[0::2] = np.asarray(g["loc_x"], dtype=np.int64)[order]
     vb[1::2] = np.asarray(g["loc_y"], dtype=np.int64)[order]
-    # img%012d -> numeric id (vectorized slice-parse)
-    ids = np.char.lstrip(np.asarray(image_id[order], dtype="U15"), "img").astype(np.uint64)
     ones = np.ones(n, bool)
     return LayerData(
         name=_POINT_LAYER,
@@ -56,6 +62,35 @@ def group_to_layer(g: dict, extent: int = 4096) -> LayerData:
     )
 
 
+def table_to_layer(sub: pa.Table, extent: int = 4096) -> LayerData:
+    """Arrow-native sibling of ``group_to_layer``: builds a point layer from
+    a zero-copy slice of the partition table, rows ALREADY sorted by fid
+    (the partition sorts once by (tile_id, salt, fid), so every tile slice
+    arrives in canonical id order).  String columns stay Arrow — the encoder
+    dictionary-encodes them in C++ without ever materializing per-row Python
+    strings (the Arrow->numpy object conversion was ~3x the kernel cost)."""
+    n = sub.num_rows
+    ids = sub["fid"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    vb = np.empty(2 * n, dtype=np.int64)
+    vb[0::2] = sub["loc_x"].to_numpy(zero_copy_only=False)
+    vb[1::2] = sub["loc_y"].to_numpy(zero_copy_only=False)
+    ones = np.ones(n, bool)
+    return LayerData(
+        name=_POINT_LAYER,
+        extent=extent,
+        geometry_types=np.full(n, GeometryType.POINT, dtype=np.uint8),
+        vertex_buffer=vb,
+        ids=ids,
+        properties={
+            "caption": PropertyColumn(ColumnDataType.STRING, ones, sub["caption"]),
+            "fmt": PropertyColumn(ColumnDataType.STRING, ones, sub["fmt"]),
+            "phash": PropertyColumn(
+                ColumnDataType.INT_64, ones, sub["phash"].to_numpy(zero_copy_only=False)
+            ),
+        },
+    )
+
+
 def plain_columnar_bytes(layer: LayerData) -> int:
     """Size of the naive uncompressed columnar layout — the 'before'
     denominator for reduction stats until an MVT-equivalent baseline codec
@@ -67,7 +102,13 @@ def plain_columnar_bytes(layer: LayerData) -> int:
         size += 8 * n
     for col in layer.properties.values():
         if col.data_type == ColumnDataType.STRING:
-            size += int(sum(map(len, col.values))) + len(col.values) + n // 8 + 1
+            if isinstance(col.values, (pa.Array, pa.ChunkedArray)):
+                import pyarrow.compute as pc
+
+                nbytes = int(pc.sum(pc.binary_length(col.values)).as_py() or 0)
+            else:
+                nbytes = int(sum(map(len, col.values)))
+            size += nbytes + len(col.values) + n // 8 + 1
         elif col.data_type in (ColumnDataType.FLOAT,):
             size += 4 * len(col.values) + n // 8 + 1
         else:
@@ -87,12 +128,8 @@ class TileEncoder:
 
     with_mvt_baseline = False  # set True to also emit true MVT-encoded sizes
 
-    def encode_one(self, g: dict) -> dict:
-        """One tile group -> dict of PYTHON SCALARS (callers assemble columns)."""
-        layer = group_to_layer(g, self.extent)
+    def _layer_row(self, layer, tid: int, salt: int) -> dict:
         buf = encode_tile([layer], self.opts)
-        tid = int(g["tile_id"][0])
-        salt = int(g["salt"][0]) if "salt" in g else 0
         out = {
             "tile_id": tid,
             "z": tid >> 58,
@@ -109,6 +146,17 @@ class TileEncoder:
             out["mvt_bytes"] = len(mvt_buf)
             out["mvt_gzip_bytes"] = len(mvt_codec.gzip_tile(mvt_buf))
         return out
+
+    def encode_one(self, g: dict) -> dict:
+        """One tile group -> dict of PYTHON SCALARS (callers assemble columns)."""
+        layer = group_to_layer(g, self.extent)
+        tid = int(g["tile_id"][0])
+        salt = int(g["salt"][0]) if "salt" in g else 0
+        return self._layer_row(layer, tid, salt)
+
+    def encode_one_table(self, sub: pa.Table, tid: int, salt: int) -> dict:
+        """Arrow fast path: a pre-sorted zero-copy tile slice in, row out."""
+        return self._layer_row(table_to_layer(sub, self.extent), tid, salt)
 
     _DTYPES = {
         "tile_id": np.int64, "z": np.int32, "x": np.int32, "y": np.int32,
@@ -167,7 +215,9 @@ class MultiTileEncoder:
     ):
         self.enc = inner if inner is not None else TileEncoder(opts, extent)
 
-    def __call__(self, g: dict) -> dict:
+    def __call__(self, g) -> dict:
+        if isinstance(g, pa.Table):
+            return self._encode_table(g)
         tid = np.asarray(g["tile_id"], dtype=np.int64)
         salt = np.asarray(g["salt"], dtype=np.int64)
         order = np.lexsort((salt, tid))
@@ -184,6 +234,37 @@ class MultiTileEncoder:
             rows.append(self.enc.encode_one(sub))
         if not rows:
             return self.enc({k: v[:0] for k, v in cols.items()})
+        return TileEncoder.rows_to_columns(rows)
+
+    def _encode_table(self, t: pa.Table) -> dict:
+        """Arrow partition path: ONE lexsort + take co-sorts the partition by
+        (tile_id, salt, fid); every tile is then a zero-copy slice already in
+        canonical id order, and string columns never leave Arrow (SURVEY.md
+        §1.4 'encode is a per-batch kernel').  Falls back to the numpy path
+        for option combinations whose kernels are row-oriented (MVT baseline,
+        localized dictionaries)."""
+        if self.enc.with_mvt_baseline or self.enc.opts.allow_localized_dictionary:
+            return self(
+                {k: t[k].to_numpy(zero_copy_only=False) for k in t.column_names}
+            )
+        if t.num_rows == 0:
+            return self({k: t[k].to_numpy(zero_copy_only=False) for k in t.column_names})
+        tid = t["tile_id"].to_numpy(zero_copy_only=False)
+        salt = t["salt"].to_numpy(zero_copy_only=False)
+        fid = t["fid"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((fid, salt, tid))
+        t = t.take(pa.array(order)).combine_chunks()
+        tid = t["tile_id"].to_numpy(zero_copy_only=False)
+        salt = t["salt"].to_numpy(zero_copy_only=False)
+        key_change = np.concatenate(
+            [[True], (tid[1:] != tid[:-1]) | (salt[1:] != salt[:-1])]
+        )
+        starts = np.flatnonzero(key_change)
+        ends = np.concatenate([starts[1:], [len(tid)]])
+        rows = [
+            self.enc.encode_one_table(t.slice(s, e - s), int(tid[s]), int(salt[s]))
+            for s, e in zip(starts, ends)
+        ]
         return TileEncoder.rows_to_columns(rows)
 
 

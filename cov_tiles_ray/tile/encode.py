@@ -233,16 +233,41 @@ def _encode_property_column(col, layer_n: int) -> tuple[ColumnDataType, ColumnTy
     if dt == ColumnDataType.STRING:
         # insertion-order dictionary (ref convertStringDictionaryColumn,
         # CovtConverter.java:1294-1324): data = dict indices, length+dictionary.
-        # pd.factorize keeps first-appearance order == the reference's
-        # insertion-order dict, at C speed (the Python dict loop dominated
-        # dense-tile encode).
-        import pandas as pd
+        # Both paths keep first-appearance order == the reference's
+        # insertion-order dict, at C speed: pc.dictionary_encode for Arrow
+        # inputs (no per-row Python strings), pd.factorize for numpy.
+        import pyarrow as pa
 
-        codes, uniques = pd.factorize(np.asarray(vals, dtype=object), use_na_sentinel=False)
-        idx = codes.astype(I64)
+        if isinstance(vals, (pa.Array, pa.ChunkedArray)):
+            import pyarrow.compute as pc
+
+            d = pc.dictionary_encode(
+                vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals
+            )
+            if isinstance(d, pa.ChunkedArray):
+                d = d.combine_chunks()
+            idx = d.indices.to_numpy(zero_copy_only=False).astype(I64)
+            uniques = d.dictionary.to_pylist()
+        elif len(vals) >= 64:
+            import pandas as pd
+
+            codes, uniques = pd.factorize(np.asarray(vals, dtype=object), use_na_sentinel=False)
+            uniques = list(uniques)
+            idx = codes.astype(I64)
+        else:
+            # tiny tiles: plain dict loop beats factorize's fixed cost 7x
+            seen: dict[str, int] = {}
+            idx = np.empty(len(vals), dtype=I64)
+            for i, s in enumerate(vals):
+                j = seen.get(s)
+                if j is None:
+                    j = len(seen)
+                    seen[s] = j
+                idx[i] = j
+            uniques = list(seen)
         enc, data_buf = best_encoding(idx, _int_candidates(len(idx)))
         blk.add(StreamType.DATA, enc, len(idx), data_buf)
-        _add_dictionary_streams(blk, list(uniques))
+        _add_dictionary_streams(blk, uniques)
         return dt, ColumnType.DICTIONARY, blk
     raise ValueError(f"unsupported property data type {dt}")
 
