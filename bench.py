@@ -130,16 +130,24 @@ def _run_bench() -> dict:
     return result
 
 
-def _run_at(ncpu: int) -> dict:
-    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__)],
-        env=env,
-        capture_output=True,
-        text=True,
-        check=True,
-    ).stdout
-    return json.loads(out.strip().splitlines()[-1])
+def _run_at(ncpu: int, repeats: int = 2) -> dict:
+    """Fresh-process run at a parallelism level; best-of-N walls (single-node
+    runs fluctuate ±10% with object-store/page-cache state, and the scaling
+    ratio amplifies that noise — min is the standard noise-floor estimate)."""
+    best: dict | None = None
+    for _ in range(repeats):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        res = json.loads(out.strip().splitlines()[-1])
+        if best is None or res["value"] < best["value"]:
+            best = res
+    return best
 
 
 def main() -> None:

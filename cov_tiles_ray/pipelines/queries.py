@@ -949,6 +949,53 @@ def _sql_embedding_label() -> str:
 # registry
 # ---------------------------------------------------------------------------
 
+def q_tile_bbox_z6(sf_dir: str):
+    """Per-tile bounding box of tile-local coords @ z=6 — the reference's
+    max-extent aggregate G5 (MvtUtils.java:119-123) widened to min/max both
+    axes (an SQL-checkable Min/Max groupby over the assign kernel)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = _events_points(sf_dir)
+
+    def assign(b: pa.Table) -> pa.Table:
+        lon = b["lon"].to_numpy(zero_copy_only=False)
+        lat = b["lat"].to_numpy(zero_copy_only=False)
+        tx, ty, lx, ly = S.tile_local_coords(lon, lat, 6, 4096)
+        tid = S.pack_tile_id(6, tx, ty)
+        return pa.table(
+            {"tile_id": pa.array(tid), "loc_x": pa.array(lx.astype(np.int64)), "loc_y": pa.array(ly.astype(np.int64))}
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tile_id")
+        .aggregate(
+            Count(alias_name="n"),
+            Min("loc_x", alias_name="min_x"),
+            Max("loc_x", alias_name="max_x"),
+            Min("loc_y", alias_name="min_y"),
+            Max("loc_y", alias_name="max_y"),
+        )
+    )
+
+
+def _sql_tile_bbox_z6() -> str:
+    n = 1 << 6
+    mx, my = _mercator_sql("lon", "lat")
+    tx = f"cast(least(greatest(floor(({mx}) * {n}.0), 0.0), {n - 1}.0) as bigint)"
+    ty = f"cast(least(greatest(floor(({my}) * {n}.0), 0.0), {n - 1}.0) as bigint)"
+    lx = f"cast(least(greatest(floor((({mx}) * {n}.0 - ({tx})) * 4096.0), 0.0), 4095.0) as bigint)"
+    ly = f"cast(least(greatest(floor((({my}) * {n}.0 - ({ty})) * 4096.0), 0.0), 4095.0) as bigint)"
+    return f"""
+    WITH pts AS (SELECT {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events),
+    locs AS (SELECT {_tile_sql(6)} AS tile_id, {lx} AS loc_x, {ly} AS loc_y FROM pts)
+    SELECT tile_id, count(*) AS n, min(loc_x) AS min_x, max(loc_x) AS max_x,
+           min(loc_y) AS min_y, max(loc_y) AS max_y
+    FROM locs GROUP BY tile_id
+    """
+
+
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -958,6 +1005,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "tile_assign_z6": (q_tile_assign_z6, _sql_tile_assign(6)),
     "tile_assign_z10": (q_tile_assign_z10, _sql_tile_assign(10)),
     "hex_assign_r3": (q_hex_assign_r3, _sql_hex_assign_r3()),
+    "tile_bbox_z6": (q_tile_bbox_z6, _sql_tile_bbox_z6()),
     "pip_regions": (q_pip_regions, _sql_pip_regions()),
     "pip_actor": (q_pip_actor, _sql_pip_actor()),
     "knn_points": (q_knn_points, _sql_knn_points()),

@@ -505,6 +505,21 @@ def q_codec_eval(sf_dir: str):
     )
 
 
+def q_zoom_stats(sf_dir: str):
+    """Per-zoom compression stats CSV (reference demo drivers G2/S10,
+    BingCovtDemo.java:44-115): tile pyramid -> groupby(z) mean-reduction
+    aggregate -> CSV side output."""
+    import tempfile
+
+    from . import stats, tiling
+
+    images = tiling.read_images(sf_dir, columns=tiling.LIGHT_COLUMNS)
+    tiles = tiling.build_tile_pyramid(images, zooms=(4, 6, 8), with_mvt=True)
+    out = tempfile.mktemp(suffix=".csv", prefix="cov_tiles_zoom_stats_")
+    df = stats.write_stats_csv(tiles, out)
+    return df
+
+
 ROWS_ONLY_QUERIES = {
     "covt_tiles": q_covt_tiles,
     "covt_compression": q_covt_compression,
@@ -522,4 +537,5 @@ ROWS_ONLY_QUERIES = {
     "doc_fingerprints": q_doc_fingerprints,
     "mvt_transcode": q_mvt_transcode,
     "codec_eval": q_codec_eval,
+    "zoom_stats": q_zoom_stats,
 }

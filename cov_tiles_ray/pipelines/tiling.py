@@ -9,7 +9,7 @@
       -> map_batches(verify_tiles_batch)      # decode round-trip oracle
       -> write parquet partitioned by z       # resumable layout + lineage
 
-The shuffle deliberately carries only (image_id, tile keys, local coords,
+The shuffle deliberately carries only (fid, tile keys, local coords,
 caption, fmt, phash) — never the binary image payload (SURVEY.md §7.5).
 Per-row pixel validation runs as a separate stage over the original table
 (validate_images), where the bytes column stays within its own blocks and
@@ -43,16 +43,16 @@ def read_images(sf_dir_or_sf, columns: list[str] | None = None) -> rd.Dataset:
     """Dataset over the synthetic image corpus for a scale factor or sf dir.
 
     ``columns`` prunes at the read (never load `bytes` unless a stage needs
-    pixels).  Block count is pinned so blocks stay >= ~10k rows: parquet
-    row-group defaults otherwise yield hundreds of ~300KB blocks, and the
-    downstream sort shuffle's chunk matrix (blocks x partitions) then
-    dominates wall time (measured 4x on sf0.1)."""
-    import ray
-
+    pixels).  Block count is pinned to DATA SIZE (~5k rows per block), NOT
+    cluster size: it sets the downstream sort's output-block granularity
+    (task size of the encode stage), and deriving it from CPU count made
+    runs at different parallelism levels non-comparable — the scaling
+    criterion's exact failure mode.  Measured at sf0.1: 60 blocks leave a
+    6-8s straggler block (eff 4->16 cpus 0.64), 120 blocks flatten it
+    (0.83), 240 blow up the sort's chunk matrix (worse everywhere)."""
     sf = synth.sf_from_dir(sf_dir_or_sf) if isinstance(sf_dir_or_sf, str) else float(sf_dir_or_sf)
     path = synth.images_parquet_path(sf)
-    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    nblocks = int(np.clip(synth.rows_for_sf(sf) // 10_000, ncpu, 8 * ncpu))
+    nblocks = int(np.clip(synth.rows_for_sf(sf) // 5_000, 8, 512))
     return rd.read_parquet(path, columns=columns, override_num_blocks=nblocks)
 
 
@@ -131,6 +131,10 @@ def _encode_partitioned(
         return encoder(g)
 
     tiles = ds.groupby("part").map_groups(encode_part, batch_format="numpy")
+    # decode-verify fused into the encode wave: it overlaps encode compute
+    # inside phase one instead of running as a second serialized phase after
+    # the merge barrier (measured 21s vs 26s at 16 CPUs); the fragment merge
+    # re-verifies any tile it re-encodes
     tiles = tiles.map_batches(verify_tiles_batch, batch_format="pyarrow")
 
     # Fragment merge — runs ONLY over tiles that actually salted.  The tile

@@ -335,12 +335,12 @@ class TileFragmentMerger:
             mvt_buf = mvt_codec.encode_mvt_tile([merged])
             row["mvt_bytes"] = len(mvt_buf)
             row["mvt_gzip_bytes"] = len(mvt_codec.gzip_tile(mvt_buf))
-        try:
-            rt = decode_tile(buf)
-            row_ok = len(rt) == 1 and rt[0].num_features == merged.num_features
-        except Exception:
-            row_ok = False
-        row["roundtrip_ok"] = row_ok
+        if "roundtrip_ok" in g:  # verify already ran upstream: re-verify the merge
+            try:
+                rt = decode_tile(buf)
+                row["roundtrip_ok"] = len(rt) == 1 and rt[0].num_features == merged.num_features
+            except Exception:
+                row["roundtrip_ok"] = False
         return row
 
     def __call__(self, g: dict) -> dict:
