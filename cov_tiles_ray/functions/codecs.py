@@ -529,8 +529,8 @@ def decode_string_dictionary(length_buf, dict_buf, n: int) -> list[str]:
 # over a small vocabulary, so the flat utf-8 concat (C12) stores each word
 # once PER STRING; this codec stores each word once PER TILE and each string
 # as varint token ids.  Self-contained layout (replaces LENGTH+DICTIONARY):
-#   varint n_vocab | RLE vocab_byte_lengths | vocab utf-8 concat |
-#   RLE tokens_per_string (n_strings values) | varint token ids (flat)
+#   varint n_vocab | varint vocab_byte_lengths | vocab utf-8 concat |
+#   varint tokens_per_string (n_strings values) | varint token ids (flat)
 # Only single-space-joinable strings are representable; the encoder returns
 # None otherwise (and the caller falls back to the plain concat layout).
 # ---------------------------------------------------------------------------
@@ -555,12 +555,15 @@ def encode_token_dict(strings: list[str]) -> bytes | None:
         vocab = []
     raws = [t.encode("utf-8") for t in vocab]
     lengths = np.array([len(r) for r in raws], dtype=np.int64)
+    # plain varints (not RLE) for lengths/counts: same bytes for the small
+    # values these hold, and decode is ONE vectorized pass instead of a
+    # per-group python loop (dense-tile decode cost)
     return b"".join(
         [
             encode_varint_scalar(len(raws)),
-            encode_rle_v1(lengths, signed=True),
+            encode_varint(lengths.view(np.uint64)),
             b"".join(raws),
-            encode_rle_v1(counts, signed=True),
+            encode_varint(counts.view(np.uint64)),
             encode_varint(flat.view(np.uint64)),
         ]
     )
@@ -569,19 +572,21 @@ def encode_token_dict(strings: list[str]) -> bytes | None:
 def decode_token_dict(buf, n_strings: int, offset: int = 0) -> tuple[list[str], int]:
     b = _as_u8(buf)
     n_vocab, pos = read_varint_py(b, offset)
-    lengths, pos = decode_rle_v1(b, n_vocab, signed=True, offset=pos)
+    lengths, pos = decode_varint(b, n_vocab, pos)
+    lengths = lengths.astype(np.int64)
     vocab: list[str] = []
     mv = memoryview(b)
     for ln in lengths.tolist():
         vocab.append(bytes(mv[pos : pos + ln]).decode("utf-8"))
         pos += ln
-    counts, pos = decode_rle_v1(b, n_strings, signed=True, offset=pos)
+    counts, pos = decode_varint(b, n_strings, pos)
+    counts = counts.astype(np.int64)
     total = int(counts.sum())
     ids, pos = decode_varint(b, total, pos)
-    ids = ids.astype(np.int64)
-    out: list[str] = []
-    p = 0
-    for c in counts.tolist():
-        out.append(" ".join(vocab[i] for i in ids[p : p + c]))
-        p += c
+    # gather all tokens in one numpy take + one tolist (a per-token python
+    # generator here dominated dense-tile decode)
+    toks = np.array(vocab, dtype=object)[ids.astype(np.int64)].tolist()
+    bounds = np.concatenate([[0], np.cumsum(counts)]).tolist()
+    join = " ".join
+    out = [join(toks[bounds[i] : bounds[i + 1]]) for i in range(n_strings)]
     return out, pos
