@@ -1,0 +1,185 @@
+"""Multimodal (image/video) actor-pool stages over binary columns.
+
+The corpus carries opaque ``bytes`` + typed metadata (``fmt, w, h``) per
+BASELINE.json's input_hint; these stages give the large-scale
+training-data side of the engine its image plumbing:
+
+* ``ImageTransformer`` — decode → resize → feature-extract → thumbnail
+  re-encode, as a ``map_batches`` ACTOR POOL (codec tables / DCT basis
+  built once per actor in ``__init__``, work per batch in ``__call__``).
+* ``VideoFrameSampler`` — frame sampling over a multi-frame binary layout;
+  real video codecs are NOT in this container, so only the deterministic
+  ``rawvid`` layout (concatenated raw RGB frames) decodes — anything else
+  raises ``NotImplementedError`` (clearly-marked stub; the Ray-side
+  plumbing — schema, batch size, actor signature, output layout — is real
+  and tested).
+
+Batches stay small (images are heavy); bytes never cross a shuffle —
+every stage is embarrassingly parallel over the input blocks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..functions import image as img_f
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbour resize (pure numpy index gather)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[ys[:, None], xs[None, :]]
+
+
+def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bilinear resize, vectorized (gather 4 corners + lerp)."""
+    h, w = img.shape[:2]
+    fy = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    fx = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(fy).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(fx).astype(np.int64), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(fy - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(fx - x0, 0.0, 1.0)[None, :, None]
+    p = img.astype(np.float64)
+    top = p[y0[:, None], x0[None, :]] * (1 - wx) + p[y0[:, None], x1[None, :]] * wx
+    bot = p[y1[:, None], x0[None, :]] * (1 - wx) + p[y1[:, None], x1[None, :]] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def image_features(img: np.ndarray) -> dict:
+    """Cheap dense features: per-channel mean/std, brightness, edge density."""
+    f = img.astype(np.float64)
+    gray = f.mean(axis=2)
+    gx = np.abs(np.diff(gray, axis=1)).mean() if gray.shape[1] > 1 else 0.0
+    gy = np.abs(np.diff(gray, axis=0)).mean() if gray.shape[0] > 1 else 0.0
+    return {
+        "mean_r": float(f[..., 0].mean()),
+        "mean_g": float(f[..., 1].mean()),
+        "mean_b": float(f[..., 2].mean()),
+        "std_gray": float(gray.std()),
+        "brightness": float(gray.mean()),
+        "edge_density": float(gx + gy),
+    }
+
+
+class ImageTransformer:
+    """Actor-pool stage: bytes in -> thumbnail bytes + feature columns out.
+
+    Per-actor state (``__init__``, once): the phash DCT basis and codec
+    dispatch.  Use as
+    ``ds.map_batches(ImageTransformer, fn_constructor_kwargs={...},
+    concurrency=N, batch_size=256, batch_format="pyarrow")``.
+    """
+
+    def __init__(self, thumb: int = 32, method: str = "bilinear", thumb_fmt: str = "png"):
+        self.thumb = int(thumb)
+        self.resize = resize_bilinear if method == "bilinear" else resize_nearest
+        self.thumb_fmt = thumb_fmt
+        img_f._dct_matrix(32)  # build + cache the DCT basis once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fmts = batch["fmt"].to_pylist()
+        datas = batch["bytes"].to_pylist()
+        n = len(datas)
+        thumbs: list[bytes] = []
+        ph = np.empty(n, dtype=np.int64)
+        feats = {k: np.empty(n, dtype=np.float64) for k in
+                 ("mean_r", "mean_g", "mean_b", "std_gray", "brightness", "edge_density")}
+        for i in range(n):
+            img = img_f.decode_image(datas[i], fmts[i])
+            t = self.resize(img, self.thumb, self.thumb)
+            thumbs.append(img_f.encode_image(t, self.thumb_fmt))
+            ph[i] = np.int64(np.uint64(img_f.phash64(t)))
+            for k, v in image_features(img).items():
+                feats[k][i] = v
+        out = batch.select(["image_id", "fmt"])
+        out = out.append_column("thumb", pa.array(thumbs, pa.binary()))
+        out = out.append_column("thumb_phash", pa.array(ph))
+        for k, v in feats.items():
+            out = out.append_column(k, pa.array(v))
+        return out
+
+
+def thumbnail_pipeline(
+    images: rd.Dataset, thumb: int = 32, concurrency=(1, 4), batch_size: int = 256
+) -> rd.Dataset:
+    """images (image_id, bytes, fmt) -> thumbnails + features via actor pool.
+
+    ``concurrency`` defaults to an AUTOSCALING range: a fixed pool sized at
+    the CPU count reserves every slot and starves the upstream read tasks
+    (observed deadlock on a 4-CPU cluster with concurrency=4)."""
+    return images.map_batches(
+        ImageTransformer,
+        fn_constructor_kwargs={"thumb": thumb},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class VideoFrameSampler:
+    """Actor-pool stage: sample every k-th frame of a multi-frame binary.
+
+    Only the deterministic ``rawvid`` layout decodes here (header
+    ``w:uint16 h:uint16 n:uint16`` then n RGB frames row-major); real
+    containers (mp4 etc.) raise NotImplementedError — the video codec libs
+    are not in this environment (stub per the multimodal plumbing contract).
+    Output: one row per sampled frame with the frame re-encoded as png.
+    """
+
+    def __init__(self, every: int = 2):
+        self.every = max(1, int(every))
+
+    @staticmethod
+    def encode_rawvid(frames: np.ndarray) -> bytes:
+        f = np.ascontiguousarray(frames, dtype=np.uint8)
+        n, h, w, _ = f.shape
+        head = np.array([w, h, n], dtype="<u2").tobytes()
+        return head + f.tobytes()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fnos, frames = [], [], []
+        vids = batch["bytes"].to_pylist()
+        names = batch["video_id"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        for name, fmt, data in zip(names, fmts, vids):
+            if fmt != "rawvid":
+                raise NotImplementedError(
+                    f"video codec {fmt!r} not available in this environment; "
+                    "only the deterministic 'rawvid' layout decodes"
+                )
+            w, h, n = np.frombuffer(data[:6], dtype="<u2")
+            body = np.frombuffer(data[6:], dtype=np.uint8).reshape(int(n), int(h), int(w), 3)
+            for fi in range(0, int(n), self.every):
+                ids.append(name)
+                fnos.append(fi)
+                frames.append(img_f.encode_image(body[fi], "png"))
+        return pa.table(
+            {
+                "video_id": pa.array(ids, pa.string()),
+                "frame_no": pa.array(fnos, pa.int32()),
+                "frame_png": pa.array(frames, pa.binary()),
+            }
+        )
+
+
+def frame_sample_pipeline(
+    videos: rd.Dataset, every: int = 2, concurrency=(1, 2), batch_size: int = 8
+) -> rd.Dataset:
+    """videos (video_id, fmt, bytes) -> sampled frames (small batches: video
+    payloads are heavy; one batch x concurrency must fit a worker heap)."""
+    return videos.map_batches(
+        VideoFrameSampler,
+        fn_constructor_kwargs={"every": every},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

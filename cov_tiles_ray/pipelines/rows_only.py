@@ -520,6 +520,28 @@ def q_zoom_stats(sf_dir: str):
     return df
 
 
+def q_image_thumbnails(sf_dir: str):
+    """Multimodal actor-pool stage over the binary image column: decode ->
+    bilinear resize -> feature extract -> png thumbnail, 8k-row sample of
+    the corpus (bytes never cross a shuffle; small batches per actor)."""
+    from . import imaging, tiling
+    from ray.data.aggregate import Count, Mean
+
+    images = tiling.read_images(sf_dir).limit(8000)
+    thumbs = imaging.thumbnail_pipeline(images, thumb=16, concurrency=(1, 4), batch_size=512)
+    return (
+        thumbs.groupby("fmt")
+        .aggregate(
+            Count(alias_name="n"),
+            Mean("brightness", alias_name="mean_brightness"),
+            Mean("edge_density", alias_name="mean_edge_density"),
+        )
+        .to_pandas()
+        .sort_values("fmt")
+        .reset_index(drop=True)
+    )
+
+
 ROWS_ONLY_QUERIES = {
     "covt_tiles": q_covt_tiles,
     "covt_compression": q_covt_compression,
@@ -538,4 +560,5 @@ ROWS_ONLY_QUERIES = {
     "mvt_transcode": q_mvt_transcode,
     "codec_eval": q_codec_eval,
     "zoom_stats": q_zoom_stats,
+    "image_thumbnails": q_image_thumbnails,
 }

@@ -1,0 +1,75 @@
+"""Multimodal actor-pool stages: thumbnail/feature extraction, frame sampling."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cov_tiles_ray.functions import image as img_f
+from cov_tiles_ray.pipelines import imaging
+
+
+class TestResize:
+    def test_nearest_identity(self):
+        img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+        assert np.array_equal(imaging.resize_nearest(img, 4, 6), img)
+
+    def test_bilinear_constant_image(self):
+        img = np.full((10, 10, 3), 77, dtype=np.uint8)
+        out = imaging.resize_bilinear(img, 4, 7)
+        assert out.shape == (4, 7, 3)
+        assert (out == 77).all()
+
+    def test_downscale_shapes(self):
+        img = np.random.default_rng(0).integers(0, 256, (33, 47, 3)).astype(np.uint8)
+        assert imaging.resize_bilinear(img, 8, 8).shape == (8, 8, 3)
+        assert imaging.resize_nearest(img, 8, 8).shape == (8, 8, 3)
+
+
+class TestThumbnailPipeline:
+    def test_actor_pool_end_to_end(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(5)
+        rows = []
+        for i in range(40):
+            img = rng.integers(0, 256, (24, 24, 3)).astype(np.uint8)
+            rows.append(
+                {"image_id": f"img{i:012d}", "fmt": "png", "bytes": img_f.encode_image(img, "png")}
+            )
+        ds = rd.from_pandas(pd.DataFrame(rows))
+        out = imaging.thumbnail_pipeline(ds, thumb=8, concurrency=2, batch_size=16).to_pandas()
+        assert len(out) == 40
+        assert set(["thumb", "thumb_phash", "brightness", "edge_density"]) <= set(out.columns)
+        # thumbnails decode back to 8x8 rgb
+        t = img_f.decode_image(bytes(out["thumb"][0]), "png")
+        assert t.shape == (8, 8, 3)
+        assert out["brightness"].between(0, 255).all()
+
+
+class TestFrameSampler:
+    def _vid(self, n=6, h=8, w=10, seed=3):
+        rng = np.random.default_rng(seed)
+        frames = rng.integers(0, 256, (n, h, w, 3)).astype(np.uint8)
+        return frames, imaging.VideoFrameSampler.encode_rawvid(frames)
+
+    def test_sampling(self, ray_session):
+        import ray.data as rd
+
+        frames, blob = self._vid()
+        ds = rd.from_pandas(
+            pd.DataFrame([{"video_id": "v0", "fmt": "rawvid", "bytes": blob}])
+        )
+        out = imaging.frame_sample_pipeline(ds, every=2, concurrency=1).to_pandas()
+        assert list(out["frame_no"]) == [0, 2, 4]
+        got = img_f.decode_image(bytes(out["frame_png"][1]), "png")
+        assert np.array_equal(got, frames[2])
+
+    def test_unknown_codec_is_stubbed(self):
+        s = imaging.VideoFrameSampler(every=1)
+        import pyarrow as pa
+
+        batch = pa.table(
+            {"video_id": ["v1"], "fmt": ["mp4"], "bytes": [b"\x00\x01"]}
+        )
+        with pytest.raises(NotImplementedError):
+            s(batch)
