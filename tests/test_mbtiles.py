@@ -79,3 +79,31 @@ class TestMbtilesRoundTrip:
             concurrency=1,
         ).take_all()
         assert out[0]["mvt"] == b""
+
+
+class TestCli:
+    def test_single_tile_transcode(self, tiny_images, tmp_path):
+        from cov_tiles_ray import cli
+        from cov_tiles_ray.pipelines import transcode
+        from cov_tiles_ray.tile import decode_tile
+
+        mvt_tiles = transcode.build_mvt_tiles(tiny_images, z=3).materialize()
+        row = mvt_tiles.take(1)[0]
+        path = str(tmp_path / "c.mbtiles")
+        mbtiles.write_mbtiles(mvt_tiles, path)
+        rc = cli.main(
+            ["--filename", path, "-z", str(row["z"]), "-x", str(row["x"]),
+             "-y", str(row["y"]), "-o", str(tmp_path)]
+        )
+        assert rc == 0
+        out = tmp_path / f"{row['z']}_{row['x']}_{row['y']}.covt"
+        layers = decode_tile(out.read_bytes())
+        assert layers[0].num_features > 0
+
+    def test_missing_tile_rc(self, tiny_images, tmp_path):
+        from cov_tiles_ray import cli
+        from cov_tiles_ray.pipelines import transcode
+
+        path = str(tmp_path / "c2.mbtiles")
+        mbtiles.write_mbtiles(transcode.build_mvt_tiles(tiny_images, z=2), path)
+        assert cli.main(["--filename", path, "-z", "9", "-x", "0", "-y", "0"]) == 1
