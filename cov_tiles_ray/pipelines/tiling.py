@@ -138,11 +138,14 @@ def _encode_partitioned(
     tiles = tiles.map_batches(verify_tiles_batch, batch_format="pyarrow")
 
     # Fragment merge — runs ONLY over tiles that actually salted.  The tile
-    # table is the compact RESULT of the heavy shuffle (features already
-    # reduced to per-tile rows), so materializing it once to learn the salted
-    # tile-id set is cheap; the merge exchange then moves just those tiles'
-    # fragments instead of re-shuffling the whole tile table (measured ~8s
-    # of sort + 16-45s of re-encode saved at sf0.1).
+    # table (compact result of the heavy shuffle) is materialized once:
+    # (a) fanning out an unmaterialized dataset would re-execute the whole
+    # encode pipeline per branch, and (b) the salted tile-id set must be
+    # GLOBAL — the adaptive salting decision is per batch, so a borderline
+    # tile can have a salt-0 fragment from one batch and salted fragments
+    # from another; splitting on salt alone leaves that tile duplicated
+    # (one partial row in each branch).  Salt values are 1..k for salted
+    # rows, making `salt != 0` a cheap prefilter for the id scan.
     tiles = tiles.materialize()
     uniq = tiles.filter(expr="salt != 0").select_columns(["tile_id"]).unique("tile_id")
     # unique() yields None / [None] on an empty dataset — normalize first

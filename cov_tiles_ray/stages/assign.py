@@ -80,7 +80,10 @@ def salt_hot_tiles(batch: pa.Table, hot_zooms=(), num_salts: int = 8) -> pa.Tabl
         hot = np.isin(z, np.asarray(list(hot_zooms), dtype=z.dtype))
         if hot.any():
             h = _row_salt_hash(batch, batch.num_rows)
-            salt = np.where(hot, (h % np.uint64(num_salts)).astype(np.int32), salt)
+            # salted tiles use salt values 1..k: salt==0 then MEANS unsalted,
+            # a purely batch-local predicate (the merge stage needs no global
+            # salted-tile-id set)
+            salt = np.where(hot, 1 + (h % np.uint64(num_salts)).astype(np.int32), salt)
     return batch.append_column("salt", pa.array(salt))
 
 
@@ -117,7 +120,9 @@ def salt_dense_tiles(
     hot = row_salts > 1
     if hot.any():
         h = _row_salt_hash(batch, n)
-        salt[hot] = (h[hot] % row_salts[hot]).astype(np.int32)
+        # 1..k (never 0): salt==0 identifies unsalted tiles locally, so the
+        # fragment merge can split the tile stream without a global pass
+        salt[hot] = 1 + (h[hot] % row_salts[hot]).astype(np.int32)
     return batch.append_column("salt", pa.array(salt))
 
 

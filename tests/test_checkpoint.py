@@ -1,0 +1,69 @@
+"""Checkpoint / lineage resume (north rule: 'resumable from checkpoint with
+per-partition lineage + metrics')."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cov_tiles_ray.state import checkpoint
+
+
+class TestLineageRecords:
+    def test_record_and_list(self, tmp_path):
+        out = str(tmp_path / "run")
+        assert checkpoint.finished_partitions(out) == set()
+        checkpoint.record_partition(out, "z=4", inputs={"sf": "x"}, metrics={"tiles": 3})
+        checkpoint.record_partition(out, "z=6", inputs={"sf": "x"}, metrics={"tiles": 5})
+        assert checkpoint.finished_partitions(out) == {"z=4", "z=6"}
+        m = json.load(open(os.path.join(checkpoint.metrics_dir(out), "z=4.json")))
+        assert m["tiles"] == 3
+
+    def test_idempotent_rewrite(self, tmp_path):
+        out = str(tmp_path / "run2")
+        checkpoint.record_partition(out, "z=4", inputs={}, metrics={"tiles": 1})
+        checkpoint.record_partition(out, "z=4", inputs={}, metrics={"tiles": 9})
+        m = json.load(open(os.path.join(checkpoint.metrics_dir(out), "z=4.json")))
+        assert m["tiles"] == 9
+        assert checkpoint.finished_partitions(out) == {"z=4"}
+
+
+class TestResume:
+    @pytest.fixture()
+    def small_images(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(19)
+        n = 1500
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "image_id": [f"img{i:012d}" for i in range(n)],
+                    "caption": [f"c {i % 11} w {i % 5}" for i in range(n)],
+                    "fmt": np.where(rng.random(n) < 0.5, "ppm", "qoi"),
+                    "phash": rng.integers(-(2**62), 2**62, n),
+                    "lon": rng.uniform(-179, 179, n),
+                    "lat": rng.uniform(-80, 80, n),
+                }
+            )
+        )
+
+    def test_write_tiles_skips_finished_partitions(self, small_images, tmp_path):
+        from cov_tiles_ray.pipelines import tiling
+
+        out = str(tmp_path / "tiles")
+        tiles = tiling.build_tiles(small_images, z=3)
+        agg1 = tiling.write_tiles(tiles, out, input_desc={"run": "1"})
+        assert agg1["tiles"] > 0 and agg1["skipped_partitions"] == []
+        assert checkpoint.finished_partitions(out) == {"z=3"}
+
+        # resumed run: same output dir -> partition is skipped, nothing rewritten
+        tiles2 = tiling.build_tiles(small_images, z=3)
+        agg2 = tiling.write_tiles(tiles2, out, input_desc={"run": "2"})
+        assert agg2["skipped_partitions"] == ["z=3"]
+        assert agg2["tiles"] == 0
+        # lineage still records the FIRST run's inputs
+        lin = json.load(open(os.path.join(checkpoint.lineage_dir(out), "z=3.json")))
+        assert lin["inputs"] == {"sf": "1"} or lin["inputs"] == {"run": "1"}

@@ -74,3 +74,44 @@ class TestSaltedMerge:
         df = _tiles_df(tiling.build_tiles(small_images, z=3, hot_zooms=()))
         assert df["tile_id"].is_unique
         assert int(df["n_features"].sum()) == 3000
+
+
+class TestBorderlineTileConsistency:
+    def test_inconsistent_batch_salting_still_merges_whole(self, ray_session, monkeypatch):
+        """A tile salted in one batch but not another (the adaptive decision
+        is per batch) must still come out as ONE row — the salt-0 fragment
+        has to join the merge via the global salted-id set, not a local
+        salt!=0 filter (regression: duplicated partial tiles)."""
+        import ray.data as rd
+
+        from cov_tiles_ray.pipelines import tiling
+
+        rng = np.random.default_rng(23)
+        n = 2000
+        lon = rng.uniform(100.0, 140.0, n)  # spread over several z3 tiles
+        lat = rng.uniform(-40.0, 40.0, n)
+        # tile hot in block 1 (rows 0..599), barely present in block 2
+        lon[:600] = 10.0 + rng.uniform(0, 20, 600)  # one z3 tile: x in [4..]
+        lat[:600] = 10.0 + rng.uniform(0, 20, 600)
+        lon[1000:1030] = 10.0 + rng.uniform(0, 20, 30)
+        lat[1000:1030] = 10.0 + rng.uniform(0, 20, 30)
+        df = pd.DataFrame(
+            {
+                "image_id": [f"img{i:012d}" for i in range(n)],
+                "caption": [f"c {i % 7} d {i % 3}" for i in range(n)],
+                "fmt": "ppm",
+                "phash": rng.integers(-(2**60), 2**60, n),
+                "lon": lon,
+                "lat": lat,
+            }
+        )
+        images = rd.from_pandas(df).repartition(2)
+        monkeypatch.setattr(tiling, "MAX_GROUP_ROWS", 256)
+        out = (
+            tiling.build_tiles(images, z=3)
+            .select_columns(["tile_id", "n_features", "salt"])
+            .to_pandas()
+        )
+        assert out["tile_id"].is_unique, "borderline tile duplicated across branches"
+        assert int(out["n_features"].sum()) == n
+        assert (out["salt"] == 0).all()
