@@ -542,6 +542,41 @@ def q_image_thumbnails(sf_dir: str):
     )
 
 
+def q_covt_feature_scan(sf_dir: str):
+    """Distributed DECODE path: COVT tile table -> per-feature columnar scan
+    (the browser decoder's consumption model, covtDecoder.ts:32-87 /
+    layerTable.ts, as a map_batches kernel) -> per-fmt feature counts.
+    Exercises tile decode as a first-class dataset source, not just the
+    verify oracle."""
+    from . import tiling
+    from ..tile import decode_tile
+    from ray.data.aggregate import Count, Max, Sum
+
+    images = tiling.read_images(sf_dir, columns=tiling.LIGHT_COLUMNS)
+    tiles = tiling.build_tiles(images, z=6)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        fmts, phsum, n = [], [], []
+        for row in range(batch.num_rows):
+            layer = decode_tile(bytes(batch["covt"][row].as_py()))[0]
+            vals = layer.properties["fmt"].values
+            fmts.append(np.asarray(vals, dtype=object))
+            ph = np.asarray(layer.properties["phash"].values, dtype=np.int64)
+            phsum.append(ph)
+        allf = np.concatenate(fmts) if fmts else np.empty(0, dtype=object)
+        allp = np.concatenate(phsum) if phsum else np.empty(0, dtype=np.int64)
+        return pa.table({"fmt": pa.array(allf, pa.string()), "phash": pa.array(allp)})
+
+    return (
+        tiles.map_batches(explode, batch_format="pyarrow")
+        .groupby("fmt")
+        .aggregate(Count(alias_name="n"), Max("phash", alias_name="max_phash"))
+        .to_pandas()
+        .sort_values("fmt")
+        .reset_index(drop=True)
+    )
+
+
 ROWS_ONLY_QUERIES = {
     "covt_tiles": q_covt_tiles,
     "covt_compression": q_covt_compression,
@@ -561,4 +596,5 @@ ROWS_ONLY_QUERIES = {
     "codec_eval": q_codec_eval,
     "zoom_stats": q_zoom_stats,
     "image_thumbnails": q_image_thumbnails,
+    "covt_feature_scan": q_covt_feature_scan,
 }

@@ -54,6 +54,13 @@ class EncodeOptions:
     sfc: str = "hilbert"  # vertex-dictionary ordering curve: "hilbert" | "morton"
     optimize_metadata: bool = False  # id-based names resolved via TileJSON sidecar
     allow_localized_dictionary: bool = False  # shared dict across name:* columns
+    # Spatial pre-sort of point-only layers on the Hilbert curve before
+    # encoding (reference O2: sortPointFeaturesOnHilbertCurve,
+    # MvtConverter.java:685-703).  Halves vertex-buffer bytes on clustered
+    # points but un-sorts the id column (delta-varint ids give that gain
+    # back on sequential-id corpora — measured net loss on ours, so OFF by
+    # default; the flag exists for id-sparse corpora where it wins).
+    sort_points_on_curve: bool = False
 
 
 # Deterministic fast-path policy: FastPFOR's block framing can't win on
@@ -385,8 +392,54 @@ def _serialize_layer(
     return b"".join(parts) + b"".join(stream_bytes)
 
 
+def sort_layer_on_curve(layer: LayerData) -> LayerData:
+    """Permute a POINT-only layer into Hilbert-curve order (all columns move
+    together — feature order is load-bearing, SURVEY.md §7.5).  Non-point
+    layers are returned unchanged (the reference only spatially sorts point
+    features)."""
+    from ..model.format import GeometryType
+
+    if layer.num_features == 0 or not (layer.geometry_types == GeometryType.POINT).all():
+        return layer
+    vb = np.asarray(layer.vertex_buffer, dtype=I64)
+    x, y = vb[0::2], vb[1::2]
+    num_bits = _sfc_num_bits(layer.extent)
+    half = 1 << (num_bits - 1)
+    if x.min() < -half or x.max() >= half or y.min() < -half or y.max() >= half:
+        return layer
+    order = np.argsort(sfc.hilbert_encode_signed(x, y, num_bits), kind="stable")
+    vb2 = np.empty_like(vb)
+    vb2[0::2], vb2[1::2] = x[order], y[order]
+    from ..model.format import PropertyColumn
+
+    props = {}
+    for name, col in layer.properties.items():
+        present = np.asarray(col.present, dtype=bool)
+        if present.all():
+            vals = col.values
+            vals = vals.take(order) if hasattr(vals, "take") and not isinstance(vals, np.ndarray) else np.asarray(vals)[order]
+            props[name] = PropertyColumn(col.data_type, present, vals)
+        else:
+            # sparse: expand to per-feature slots, permute, re-densify
+            full = np.empty(layer.num_features, dtype=object)
+            full[present] = np.asarray(col.values, dtype=object)
+            full = full[order]
+            new_present = np.array([v is not None for v in full])
+            props[name] = PropertyColumn(col.data_type, new_present, full[new_present])
+    return LayerData(
+        name=layer.name,
+        extent=layer.extent,
+        geometry_types=layer.geometry_types[order],
+        vertex_buffer=vb2,
+        ids=None if layer.ids is None else np.asarray(layer.ids)[order],
+        properties=props,
+    )
+
+
 def encode_layer(layer: LayerData, opts: EncodeOptions = EncodeOptions(), sidecar_ids=None) -> bytes:
     """``sidecar_ids``: SidecarIds when opts.optimize_metadata (names -> u32 ids)."""
+    if opts.sort_points_on_curve:
+        layer = sort_layer_on_curve(layer)
     columns: list[tuple[int, str | None, ColumnDataType, ColumnType, _StreamBlock]] = []
 
     # column id 0 = id, 1 = geometry (ref: 'column id 0 and 1 is always

@@ -229,3 +229,32 @@ class TestCompression:
         buf = encode_tile([layer])
         # plain cost: 2 vertices*8 + id*8 + rank..; just sanity-check density
         assert len(buf) < 1000 * 40
+
+
+class TestSpatialPointSort:
+    """Reference O2 (sortPointFeaturesOnHilbertCurve, MvtConverter.java:
+    685-703): point layers optionally pre-sorted on the Hilbert curve."""
+
+    def test_roundtrip_preserves_content_as_set(self, rng):
+        layer = make_point_layer(rng, n=300)
+        opts = EncodeOptions(sort_points_on_curve=True)
+        dec = decode_tile(encode_tile([layer], opts))[0]
+        assert dec.num_features == layer.num_features
+        assert sorted(dec.ids.tolist()) == sorted(layer.ids.tolist())
+        # (id, x, y) triples survive as a set
+        want = set(zip(layer.ids.tolist(), layer.vertex_buffer[0::2].tolist(), layer.vertex_buffer[1::2].tolist()))
+        got = set(zip(dec.ids.tolist(), dec.vertex_buffer[0::2].tolist(), dec.vertex_buffer[1::2].tolist()))
+        assert got == want
+
+    def test_sorted_vertex_stream_shrinks_on_clusters(self, rng):
+        layer = make_point_layer(rng, n=2000, clustered=True)
+        plain = len(encode_tile([layer], EncodeOptions(geometry_encoding="plain")))
+        srt = len(encode_tile([layer], EncodeOptions(geometry_encoding="plain", sort_points_on_curve=True, include_ids=False)))
+        base = len(encode_tile([layer], EncodeOptions(geometry_encoding="plain", include_ids=False)))
+        assert srt < base  # vertex deltas shrink without the id-stream penalty
+
+    def test_line_layers_unchanged(self, rng):
+        from cov_tiles_ray.tile.encode import sort_layer_on_curve
+
+        layer = make_line_layer(rng)
+        assert sort_layer_on_curve(layer) is layer
