@@ -179,6 +179,16 @@ def _encode_geometry_ice(layer: LayerData, opts: EncodeOptions, morton: bool) ->
     if x.min() < -half or x.max() >= half or y.min() < -half or y.max() >= half:
         return None
 
+    # Cheap dedup-ratio gate before the expensive SFC pass: the vertex
+    # dictionary pays for its offsets stream only when vertices repeat
+    # (shared polygon/line vertices — the reference's ICE case).  Nearly
+    # all-unique vertices (points) can't win, and the speculative ICE
+    # encode was 39% of dense point-tile CPU for identical output bytes.
+    n_verts = len(x)
+    packed = (x + half) * I64(4 * half) + (y + half)
+    if len(np.unique(packed)) > 0.9 * n_verts:
+        return None
+
     if morton:
         keys = sfc.morton_encode_signed(x, y, num_bits).astype(I64)
     else:
