@@ -72,6 +72,19 @@ class ColumnType(IntEnum):
     ICE_MORTON_CODE = 4
 
 
+LOCALIZED_PREFIXES = ("name",)  # ref LOCALIZED_COLUM_NAME_PREFIXES, CovtConverter.java:88
+
+
+def localized_base(name: str) -> str:
+    """Family base of a localized column name: ``name:en``/``name_de`` ->
+    ``name`` (reference split rule ``:|_`` behind a prefix allowlist,
+    CovtConverter.java:498-504).  Used by BOTH the encoder's family grouping
+    and the decoder's shared-dictionary resolution — must stay in sync."""
+    if any(p in name for p in LOCALIZED_PREFIXES):
+        return name.split(":", 1)[0].split("_", 1)[0]
+    return name
+
+
 class ColumnDataType(IntEnum):
     BOOLEAN = 0
     INT_32 = 1

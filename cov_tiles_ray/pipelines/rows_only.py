@@ -577,7 +577,49 @@ def q_covt_feature_scan(sf_dir: str):
     )
 
 
+REFERENCE_FIXTURE_DIRS = [
+    "/root/reference/test/fixtures/omt/mvt",
+    "/root/reference/test/fixtures/amazon/mvt",
+    "/root/reference/test/fixtures/amazon_here/mvt",
+    "/root/reference/parser/js/data/bing",
+]
+
+
+def q_omt_fixture_transcode(sf_dir: str):
+    """Reproduce the reference's per-zoom compression table on its OWN
+    checked-in fixture corpora (92 real OpenMapTiles tiles z2-z14 + the
+    Bing/Amazon pairs): decode real MVT -> COVT encode -> decode -> full
+    LayerData equality, reduction = (1 - covt/mvt)*100 vs the true MVT wire
+    bytes (CovtConverterTest.java:156-276, README.md:21-35).  Ignores
+    ``sf_dir`` — the input is the reference's fixture set itself."""
+    import os
+
+    from ray.data.aggregate import Count, Sum
+
+    from . import transcode
+
+    dirs = [d for d in REFERENCE_FIXTURE_DIRS if os.path.isdir(d)]
+    tiles = transcode.transcode_fixture_dir(dirs)
+    df = (
+        tiles.groupby("z")
+        .aggregate(
+            Count(alias_name="tiles"),
+            Sum("n_features", alias_name="features"),
+            Sum("mvt_bytes", alias_name="mvt_bytes"),
+            Sum("covt_bytes", alias_name="covt_bytes"),
+            Sum("roundtrip_ok", alias_name="roundtrip_ok"),
+        )
+        .to_pandas()
+    )
+    df = df.sort_values("z").reset_index(drop=True)
+    df["reduction_pct_x100"] = (
+        (1.0 - df["covt_bytes"] / df["mvt_bytes"].clip(lower=1)) * 10000.0
+    ).astype(np.int64)
+    return df
+
+
 ROWS_ONLY_QUERIES = {
+    "omt_fixture_transcode": q_omt_fixture_transcode,
     "covt_tiles": q_covt_tiles,
     "covt_compression": q_covt_compression,
     "validate_images": q_validate_images,

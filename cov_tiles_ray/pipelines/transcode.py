@@ -32,9 +32,11 @@ def build_mvt_tiles(images: rd.Dataset, z: int = 6, extent: int = 4096) -> rd.Da
     )
     ds = ds.select_columns(["tile_id", "image_id", "loc_x", "loc_y", "caption", "fmt", "phash"])
 
-    import ray
-
-    n_part = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    # Fixed partition count (data-layout-derived, NOT cluster-CPU-derived):
+    # CPU-derived fan-out makes the block structure depend on cluster size,
+    # which breaks scaling-efficiency comparisons (same rule as
+    # tiling.N_PART).
+    n_part = 256
 
     def add_keys(b: pa.Table) -> pa.Table:
         tid = b["tile_id"].to_numpy(zero_copy_only=False)
@@ -91,3 +93,58 @@ class TranscodeKernel:
 
 def mvt_to_covt(mvt_tiles: rd.Dataset, opts: EncodeOptions | None = None) -> rd.Dataset:
     return mvt_tiles.map_batches(TranscodeKernel(opts), batch_format="pyarrow", batch_size=256)
+
+
+class FixtureTranscodeKernel:
+    """MVT-file -> COVT transcode + full LayerData-equality round-trip for
+    real-world fixture tiles (the reference's own converter test loop,
+    CovtConverterTest.java:156-276).  Input: (path, z, x, y, mvt) from
+    ``sources.mvt_files.read_mvt_dir``."""
+
+    def __init__(self, opts: EncodeOptions | None = None):
+        self.opts = opts or EncodeOptions()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        mvt_b = np.zeros(n, dtype=np.int64)
+        covt_b = np.zeros(n, dtype=np.int64)
+        feats = np.zeros(n, dtype=np.int64)
+        nlayers = np.zeros(n, dtype=np.int64)
+        ok = np.zeros(n, dtype=bool)
+        for i in range(n):
+            raw = batch["mvt"][i].as_py()
+            mvt_b[i] = len(raw)
+            try:
+                layers = mvt_codec.decode_mvt_tile(raw)
+                covt = encode_tile(layers, self.opts)
+                covt_b[i] = len(covt)
+                back = decode_tile(covt)
+                nlayers[i] = len(layers)
+                feats[i] = sum(ly.num_features for ly in layers)
+                ok[i] = len(back) == len(layers) and all(
+                    a == b for a, b in zip(back, layers)
+                )
+            except Exception:
+                ok[i] = False
+        return pa.table(
+            {
+                "path": batch["path"],
+                "z": batch["z"],
+                "n_layers": pa.array(nlayers),
+                "n_features": pa.array(feats),
+                "mvt_bytes": pa.array(mvt_b),
+                "covt_bytes": pa.array(covt_b),
+                "roundtrip_ok": pa.array(ok),
+            }
+        )
+
+
+def transcode_fixture_dir(path: str | list[str], opts: EncodeOptions | None = None) -> rd.Dataset:
+    """Distributed transcode of a real fixture corpus: per-tile parallel
+    (batch_size=1 — z14 OMT tiles are ~0.5 MB / seconds of encode CPU each,
+    so one tile per task keeps the pool busy with zero skew)."""
+    from ..sources.mvt_files import read_mvt_dir
+
+    return read_mvt_dir(path).map_batches(
+        FixtureTranscodeKernel(opts), batch_format="pyarrow", batch_size=1
+    )

@@ -400,6 +400,47 @@ def _decode_feature_geometry(mvt_type: int, cmds: np.ndarray):
     return gt, paths
 
 
+_INT_DTYPES = {
+    ColumnDataType.INT_32,
+    ColumnDataType.UINT_32,
+    ColumnDataType.INT_64,
+    ColumnDataType.UINT_64,
+    ColumnDataType.BOOLEAN,
+}
+_FLOAT_DTYPES = {ColumnDataType.FLOAT, ColumnDataType.DOUBLE}
+
+
+def _promote_dtype(a: ColumnDataType, b: ColumnDataType) -> ColumnDataType:
+    """Widen a property column whose MVT values mix wire types.
+
+    Real-world tiles (e.g. the reference's amazon_here fixtures, property
+    ``all_route_types``) mix sint64 and string values under one key.  The MVT
+    spec allows this; a columnar layout needs ONE type per column, so we
+    promote: any mix involving a string becomes STRING (values stringified);
+    float+int becomes DOUBLE; differing int widths/signs become INT_64 (the
+    decoder only ever emits INT_64/UINT_64 for int values anyway).
+    """
+    if a == b:
+        return a
+    if ColumnDataType.STRING in (a, b):
+        return ColumnDataType.STRING
+    if a in _FLOAT_DTYPES or b in _FLOAT_DTYPES:
+        return ColumnDataType.DOUBLE
+    return ColumnDataType.INT_64
+
+
+def _coerce_value(target: ColumnDataType, dt: ColumnDataType, v):
+    if target == dt:
+        return v
+    if target == ColumnDataType.STRING:
+        if dt == ColumnDataType.BOOLEAN:
+            return "true" if v else "false"
+        return str(v)
+    if target == ColumnDataType.DOUBLE:
+        return float(v)
+    return int(v)
+
+
 def decode_mvt_layer(buf: bytes, span: tuple[int, int]) -> LayerData:
     name = ""
     extent = 4096
@@ -493,14 +534,19 @@ def decode_mvt_layer(buf: bytes, span: tuple[int, int]) -> LayerData:
             for ti in range(0, len(tags), 2):
                 key = keys[int(tags[ti])]
                 dt, val = values[int(tags[ti + 1])]
-                prop_rows.setdefault(key, []).append((fi, val))
-                prop_types.setdefault(key, dt)
+                prop_rows.setdefault(key, []).append((fi, dt, val))
+                prev = prop_types.get(key)
+                if prev is None:
+                    prop_types[key] = dt
+                elif prev != dt:
+                    prop_types[key] = _promote_dtype(prev, dt)
 
     properties: dict[str, PropertyColumn] = {}
-    for key, rows in prop_rows.items():
+    for key, raw_rows in prop_rows.items():
         present = np.zeros(n, dtype=bool)
-        present[[r for r, _ in rows]] = True
+        present[[r for r, _, _ in raw_rows]] = True
         dt = prop_types[key]
+        rows = [(fi_, _coerce_value(dt, rdt, v)) for fi_, rdt, v in raw_rows]
         if dt == ColumnDataType.STRING:
             dense = np.array([v for _, v in rows], dtype=object)
         elif dt == ColumnDataType.FLOAT:
@@ -513,6 +559,11 @@ def decode_mvt_layer(buf: bytes, span: tuple[int, int]) -> LayerData:
             dense = np.array([v for _, v in rows], dtype=np.uint64)
         else:
             dense = np.array([v for _, v in rows], dtype=np.int64)
+        if key == "id":
+            # "id" is a reserved column name in the COVT format; the reference
+            # renames a string-typed "id" property to "_id" and throws on other
+            # types (MvtUtils.java:104-113).  We rename for any type.
+            key = "_id"
         properties[key] = PropertyColumn(dt, present, dense)
 
     return LayerData(

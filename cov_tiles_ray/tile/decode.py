@@ -21,6 +21,7 @@ from ..model.format import (
     PropertyColumn,
     StreamEncoding,
     StreamType,
+    localized_base,
 )
 from .encode import _sfc_num_bits
 from .streams import decode_stream
@@ -156,7 +157,7 @@ def decode_layer(buf, pos: int, ids=None) -> tuple[LayerData, int]:
             if ct == ColumnType.LOCALIZED_DICTIONARY:
                 # shared-dict family: the head column carries LENGTH +
                 # DICTIONARY; members resolve by family prefix (M15)
-                prefix = col_name.split(":", 1)[0]
+                prefix = localized_base(col_name)
                 if StreamType.DICTIONARY in data:
                     n_dict = raw[StreamType.DICTIONARY][1]
                     fam_dicts[prefix] = np.array(

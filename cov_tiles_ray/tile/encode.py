@@ -33,6 +33,7 @@ from ..model.format import (
     ColumnDataType,
     ColumnType,
     LayerData,
+    localized_base,
     StreamEncoding,
     StreamType,
 )
@@ -53,7 +54,11 @@ class EncodeOptions:
     include_ids: bool = True
     sfc: str = "hilbert"  # vertex-dictionary ordering curve: "hilbert" | "morton"
     optimize_metadata: bool = False  # id-based names resolved via TileJSON sidecar
-    allow_localized_dictionary: bool = False  # shared dict across name:* columns
+    # Shared dict across name:*/name_* columns.  ON by default: measured on
+    # the reference's 92 real OMT fixture tiles it flips the many-language
+    # layers (poi/place/*_name) from net-negative to the reference's band
+    # (z14: 20% -> 51% reduction).
+    allow_localized_dictionary: bool = True
     # Spatial pre-sort of point-only layers on the Hilbert curve before
     # encoding (reference O2: sortPointFeaturesOnHilbertCurve,
     # MvtConverter.java:685-703).  Halves vertex-buffer bytes on clustered
@@ -309,17 +314,14 @@ def _add_dictionary_streams(blk: _StreamBlock, distinct: list[str]) -> None:
     blk.add(StreamType.DICTIONARY, StreamEncoding.PLAIN, len(distinct), dict_buf)
 
 
-LOCALIZED_DELIMITER = ":"
-
-
 def _localized_families(names: list[str]) -> dict[str, list[str]]:
     """Group property names into localization families: ``name``/``name:en``/
-    ``name:de`` share the prefix before ':' (reference detection at
-    getPropertyColumnMetadata, CovtConverter.java:506-533).  Only families
-    with >= 2 string members localize."""
+    ``name_de`` share the base before ':' or '_' (reference detection at
+    CovtConverter.java:498-504 — allowlisted prefixes, split on ``:|_``).
+    Only families with >= 2 string members localize."""
     fams: dict[str, list[str]] = {}
     for n in names:
-        fams.setdefault(n.split(LOCALIZED_DELIMITER, 1)[0], []).append(n)
+        fams.setdefault(localized_base(n), []).append(n)
     return {k: v for k, v in fams.items() if len(v) >= 2}
 
 

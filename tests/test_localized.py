@@ -49,7 +49,7 @@ def test_localized_roundtrip():
 
 def test_localized_smaller_than_per_column_dicts():
     layer = _layer_with_names(200)
-    plain = encode_tile([layer])
+    plain = encode_tile([layer], EncodeOptions(allow_localized_dictionary=False))
     localized = encode_tile([layer], EncodeOptions(allow_localized_dictionary=True))
     assert len(localized) < len(plain)
 

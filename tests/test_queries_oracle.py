@@ -73,7 +73,10 @@ def test_sql_query_matches_oracle(name, con, ray_session):
 def test_rows_only_queries_run(ray_session):
     from cov_tiles_ray.pipelines.rows_only import ROWS_ONLY_QUERIES
 
-    slow = {"covt_compression"}  # exercised via entry()/bench instead
+    # exercised via entry()/bench (covt_compression) and the dedicated
+    # tests/test_fixtures.py sample (omt_fixture_transcode: 115 real tiles,
+    # ~1 min at 4 CPUs) instead
+    slow = {"covt_compression", "omt_fixture_transcode"}
     for name, fn in ROWS_ONLY_QUERIES.items():
         if name in slow:
             continue
