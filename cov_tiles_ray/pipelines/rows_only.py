@@ -618,8 +618,81 @@ def q_omt_fixture_transcode(sf_dir: str):
     return df
 
 
+GOLDEN_PAIRS = [
+    # (label, covt_dir, mvt_dir); file names match modulo -/_ separator
+    ("omt", "/root/reference/test/fixtures/omt/covt", "/root/reference/test/fixtures/omt/mvt"),
+    ("bing", "/root/reference/test/fixtures/bing/covt", "/root/reference/parser/js/data/bing"),
+    ("amazon", "/root/reference/test/fixtures/amazon/covt", "/root/reference/test/fixtures/amazon/mvt"),
+    ("js_omt", "/root/reference/parser/js/data/omt", "/root/reference/parser/js/data/omt"),
+    ("js_bing", "/root/reference/parser/js/data/bing", "/root/reference/parser/js/data/bing"),
+]
+
+
+def q_covt_golden_decode(sf_dir: str):
+    """Decode every checked-in reference ``.covt`` golden with the
+    reference-layout reader (sources/covt_ref.py) and validate against its
+    MVT twin's decode (compare_with_mvt tolerance rules).  Distributed:
+    one task per golden via read_binary_files.  Ignores ``sf_dir``."""
+    import glob as _glob
+    import gzip as _gzip
+    import os as _os
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    pairs = []
+    for label, cd, md in GOLDEN_PAIRS:
+        for f in sorted(_glob.glob(cd + "/*.covt")):
+            tid = _os.path.basename(f)[:-5]
+            for cand in (tid + ".mvt", tid + ".pbf", tid.replace("_", "-") + ".mvt"):
+                m = _os.path.join(md, cand)
+                if _os.path.exists(m):
+                    pairs.append({"corpus": label, "tile": tid, "covt": f, "mvt": m})
+                    break
+
+    def check(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..sources.covt_ref import compare_with_mvt, parse_ref_covt
+        from ..sources.mvt import decode_mvt_tile
+
+        out = []
+        for _, row in batch.iterrows():
+            rec = {"corpus": row["corpus"], "tile": row["tile"], "parsed": False, "clean": False, "n_layers": 0, "n_issues": -1}
+            try:
+                golden = {ly.name: ly for ly in parse_ref_covt(open(row["covt"], "rb").read())}
+                rec["parsed"] = True
+                rec["n_layers"] = len(golden)
+                raw = open(row["mvt"], "rb").read()
+                if raw[:2] == b"\x1f\x8b":
+                    raw = _gzip.decompress(raw)
+                mvt = {ly.name: ly for ly in decode_mvt_tile(raw)}
+                issues = []
+                for name in set(mvt) & set(golden):
+                    issues += compare_with_mvt(mvt[name], golden[name])
+                rec["n_issues"] = len(issues)
+                rec["clean"] = not issues
+            except Exception:
+                pass
+            out.append(rec)
+        return pd.DataFrame(out)
+
+    ds = rd.from_items(pairs).map_batches(check, batch_format="pandas", batch_size=1)
+    df = (
+        ds.groupby("corpus")
+        .aggregate(
+            Count(alias_name="tiles"),
+            Sum("parsed", alias_name="parsed"),
+            Sum("clean", alias_name="clean"),
+        )
+        .to_pandas()
+        .sort_values("corpus")
+        .reset_index(drop=True)
+    )
+    return df
+
+
 ROWS_ONLY_QUERIES = {
     "omt_fixture_transcode": q_omt_fixture_transcode,
+    "covt_golden_decode": q_covt_golden_decode,
     "covt_tiles": q_covt_tiles,
     "covt_compression": q_covt_compression,
     "validate_images": q_validate_images,
