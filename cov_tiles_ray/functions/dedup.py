@@ -15,11 +15,39 @@ U64 = np.uint64
 _MERSENNE61 = np.uint64((1 << 61) - 1)
 
 
+_FNV_OFFSET = U64(14695981039346656037)
+_FNV_PRIME = U64(1099511628211)
+
+
+def fnv1a_hashes(tokens: list[str] | np.ndarray) -> np.ndarray:
+    """FNV-1a 64-bit over each token's unicode code points, vectorized by
+    character position (h = (h XOR cp) * prime per char, uint64 wrap).
+
+    Chosen over pandas hash_array because the definition is documentable
+    and reproducible outside this process — the driver's DuckDB oracle
+    recomputes it in SQL (list_reduce over code points)."""
+    n = len(tokens)
+    if n == 0:
+        return np.empty(0, dtype=U64)
+    lens = np.array([len(t) for t in tokens], dtype=np.int64)
+    maxlen = int(lens.max()) if n else 0
+    cps = np.zeros((n, maxlen), dtype=np.int64)
+    for i, t in enumerate(tokens):
+        if t:
+            cps[i, : len(t)] = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+    h = np.full(n, _FNV_OFFSET, dtype=U64)
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            m = lens > j
+            h[m] = (h[m] ^ cps[m, j].astype(U64)) * _FNV_PRIME
+    return h
+
+
 def _token_hashes(text: str) -> np.ndarray:
     toks = text.lower().split()
     if not toks:
         return np.empty(0, dtype=U64)
-    return pd.util.hash_array(np.array(toks, dtype=object)).astype(U64)
+    return fnv1a_hashes(toks)
 
 
 def shingle_hashes(text: str, k: int = 5) -> np.ndarray:

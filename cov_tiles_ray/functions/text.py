@@ -101,3 +101,43 @@ def fingerprint(texts: pd.Series) -> np.ndarray:
 def fingerprint_fast(texts: pd.Series) -> np.ndarray:
     """Vectorized deterministic 64-bit content hash (pandas hash_array)."""
     return pd.util.hash_array(texts.fillna("").to_numpy(dtype=object)).astype(np.uint64)
+
+
+def fingerprint_poly(texts: pd.Series) -> np.ndarray:
+    """Vectorized polynomial rolling hash over unicode code points:
+    ``h = offset; h = h*1000003 + cp`` per char (uint64 wrap).
+
+    Same value as :func:`fingerprint` on ASCII text but fully vectorized
+    (one pass via precomputed powers + add.reduceat), and reproducible in
+    the driver's DuckDB oracle (list_reduce over code points).  Closed
+    form: h = offset*p^n + sum(cp_i * p^(n-1-i)) mod 2^64.
+    """
+    t = texts.fillna("")
+    n_docs = len(t)
+    out = np.empty(n_docs, dtype=np.uint64)
+    if n_docs == 0:
+        return out
+    offset = np.uint64(1469598103934665603)
+    p = np.uint64(1000003)
+    lens = t.str.len().to_numpy(dtype=np.int64)
+    maxlen = int(lens.max()) if n_docs else 0
+    with np.errstate(over="ignore"):
+        powers = np.empty(maxlen + 1, dtype=np.uint64)
+        powers[0] = 1
+        for k in range(1, maxlen + 1):
+            powers[k] = powers[k - 1] * p
+        joined = "".join(t.tolist())
+        flat = (
+            np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+            if joined
+            else np.empty(0, dtype=np.uint64)
+        )
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        # exponent for char i of doc d: len_d - 1 - (i - start_d)
+        exp = np.repeat(ends - 1, lens) - np.arange(len(flat), dtype=np.int64)
+        contrib = flat * powers[exp]
+        sums = np.add.reduceat(contrib, starts.clip(max=max(len(flat) - 1, 0)))
+        sums = np.where(lens > 0, sums, np.uint64(0))
+        out = offset * powers[lens] + sums.astype(np.uint64)
+    return out
