@@ -167,7 +167,7 @@ def _encode_partitioned(
     rest = tiles.map_batches(take_rest, batch_format="pyarrow", zero_copy_batch=True)
     frags = tiles.map_batches(take_frags, batch_format="pyarrow", zero_copy_batch=True)
 
-    merger = TileFragmentMerger(opts or EncodeOptions(), extent, with_mvt=with_mvt)
+    merger = TileFragmentMerger(opts or EncodeOptions(), extent)
 
     def merge_fragments(g):
         return merger(g)

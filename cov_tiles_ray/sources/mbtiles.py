@@ -92,12 +92,11 @@ class MbtilesTileFetcher:
     tile bytes out.  Reference analogue: the per-process MBTiles handle
     (A5, ``MvtUtils.java:30-38``)."""
 
-    def __init__(self, path: str, gzip_payload: bool = True):
+    def __init__(self, path: str):
         # Ray map workers run __call__ on a pool thread distinct from
         # __init__'s; the connection is read-only and calls are serialized
         # per actor, so cross-thread use is safe.
         self._con = sqlite3.connect(f"file:{path}?mode=ro", uri=True, check_same_thread=False)
-        self._gz = gzip_payload
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         z = batch["z"].to_numpy(zero_copy_only=False)
@@ -112,7 +111,10 @@ class MbtilesTileFetcher:
                 (int(z[i]), int(x[i]), (1 << int(z[i])) - 1 - int(y[i])),
             ).fetchone()
             buf = row[0] if row else b""
-            if buf and self._gz:
+            # per-tile magic-byte sniff rather than trusting the metadata
+            # `format` row: foreign MBTiles store uncompressed pbf with
+            # format='pbf', and gzip_payload=False writers exist
+            if buf[:2] == b"\x1f\x8b":
                 buf = gzip.decompress(buf)
             out.append(buf)
         return batch.append_column("mvt", pa.array(out, pa.binary()))
@@ -131,10 +133,9 @@ def read_mbtiles(path: str, concurrency: int = 4) -> rd.Dataset:
         {"z": z, "x": np.array([k[1] for k in keys], dtype=np.int32), "y": flipped}
     )
     ds = rd.from_pandas(df)
-    gz = read_metadata(path).get("format", "pbf") == "pbf"
     return ds.map_batches(
         MbtilesTileFetcher,
-        fn_constructor_args=(path, gz),
+        fn_constructor_args=(path,),
         batch_format="pyarrow",
         batch_size=1024,
         concurrency=concurrency,

@@ -20,6 +20,29 @@ from ..tile import EncodeOptions, decode_tile, encode_tile
 
 _POINT_LAYER = "images"
 
+# Deterministic full-equality verify sample: tiles with tile_id % MOD == 0
+# (~1%) are decode-compared against the ORIGINAL layer at encode time —
+# a silent geometry/property corruption cannot hide behind the cheaper
+# count/id checks (VERDICT r1 'What's wrong' #6).
+VERIFY_FULL_MOD = 97
+
+
+def check_decoded_tile(layers, n_features: int, expect_layer: LayerData | None = None) -> bool:
+    """The ONE verify predicate shared by every verify site (encode-time
+    sample, batch verify stage, fragment-merge re-verify): exactly one
+    layer, feature count matches, ids present; with ``expect_layer``, full
+    LayerData equality (geometry, topology, ids, every property column)."""
+    if len(layers) != 1 or layers[0].num_features != n_features or layers[0].ids is None:
+        return False
+    return expect_layer is None or layers[0] == expect_layer
+
+
+def verify_tile_buf(buf, n_features: int, expect_layer: LayerData | None = None) -> bool:
+    try:
+        return check_decoded_tile(decode_tile(bytes(buf)), n_features, expect_layer)
+    except Exception:
+        return False
+
 
 def group_to_layer(g: dict, extent: int = 4096) -> LayerData:
     """Build a point LayerData from one tile group (dict of numpy arrays).
@@ -145,6 +168,13 @@ class TileEncoder:
             mvt_buf = mvt_codec.encode_mvt_tile([layer])
             out["mvt_bytes"] = len(mvt_buf)
             out["mvt_gzip_bytes"] = len(mvt_codec.gzip_tile(mvt_buf))
+        # encode-time full-equality sample (the only site that still holds
+        # the original LayerData); folded into roundtrip_ok downstream
+        out["full_ok"] = (
+            verify_tile_buf(buf, layer.num_features, expect_layer=layer)
+            if tid % VERIFY_FULL_MOD == 0
+            else True
+        )
         return out
 
     def encode_one(self, g: dict) -> dict:
@@ -163,7 +193,7 @@ class TileEncoder:
         "salt": np.int32, "n_features": np.int64, "covt": object,
         "covt_bytes": np.int64, "plain_bytes": np.int64,
         "mvt_bytes": np.int64, "mvt_gzip_bytes": np.int64, "mvt": object,
-        "roundtrip_ok": np.bool_,
+        "roundtrip_ok": np.bool_, "full_ok": np.bool_,
     }
 
     @classmethod
@@ -311,10 +341,9 @@ class TileFragmentMerger:
     the input) — SURVEY.md §7.4 'pre-encode partial streams per salt,
     concat-merge in final group'."""
 
-    def __init__(self, opts: EncodeOptions | None = None, extent: int = 4096, with_mvt: bool = False):
+    def __init__(self, opts: EncodeOptions | None = None, extent: int = 4096):
         self.opts = opts or EncodeOptions()
         self.extent = extent
-        self.with_mvt = with_mvt
 
     def _merge_one(self, g: dict) -> dict:
         layers = [decode_tile(bytes(buf))[0] for buf in g["covt"]]
@@ -336,11 +365,9 @@ class TileFragmentMerger:
             row["mvt_bytes"] = len(mvt_buf)
             row["mvt_gzip_bytes"] = len(mvt_codec.gzip_tile(mvt_buf))
         if "roundtrip_ok" in g:  # verify already ran upstream: re-verify the merge
-            try:
-                rt = decode_tile(buf)
-                row["roundtrip_ok"] = len(rt) == 1 and rt[0].num_features == merged.num_features
-            except Exception:
-                row["roundtrip_ok"] = False
+            # full LayerData equality — the merged layer is in hand and salted
+            # tiles are few, so the strongest predicate is affordable here
+            row["roundtrip_ok"] = verify_tile_buf(buf, merged.num_features, expect_layer=merged)
         return row
 
     def __call__(self, g: dict) -> dict:
@@ -371,15 +398,18 @@ class TileFragmentMerger:
 def verify_tiles_batch(batch: pa.Table) -> pa.Table:
     """Decode-verify stage: decode every COVT tile and check feature counts
     and id round-trip (the engine's per-partition slice of the reference's
-    round-trip oracle, CovtParserTest.java:44-91)."""
-    oks = []
-    for row in range(batch.num_rows):
-        buf = batch["covt"][row].as_py()
-        n = batch["n_features"][row].as_py()
-        try:
-            layers = decode_tile(buf)
-            ok = len(layers) == 1 and layers[0].num_features == n and layers[0].ids is not None
-        except Exception:
-            ok = False
-        oks.append(ok)
+    round-trip oracle, CovtParserTest.java:44-91).  The encode stage's
+    full-equality sample verdict (``full_ok``, ~1% of tiles compared field
+    by field against the original layer) is folded into ``roundtrip_ok``."""
+    oks = np.fromiter(
+        (
+            verify_tile_buf(batch["covt"][row].as_py(), batch["n_features"][row].as_py())
+            for row in range(batch.num_rows)
+        ),
+        dtype=bool,
+        count=batch.num_rows,
+    )
+    if "full_ok" in batch.column_names:
+        oks &= batch["full_ok"].to_numpy(zero_copy_only=False).astype(bool)
+        batch = batch.drop_columns(["full_ok"])
     return batch.append_column("roundtrip_ok", pa.array(oks, pa.bool_()))

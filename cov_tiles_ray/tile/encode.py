@@ -168,7 +168,9 @@ def _sfc_num_bits(extent: int) -> int:
     return max(int(extent).bit_length(), 2) + 1
 
 
-def _encode_geometry_ice(layer: LayerData, opts: EncodeOptions, morton: bool) -> _StreamBlock | None:
+def _encode_geometry_ice(
+    layer: LayerData, opts: EncodeOptions, morton: bool, speculative: bool = False
+) -> _StreamBlock | None:
     """ICE: dedupe vertices into an SFC-ordered dictionary + offset stream.
 
     Returns None when coordinates fall outside the SFC domain (caller then
@@ -189,10 +191,13 @@ def _encode_geometry_ice(layer: LayerData, opts: EncodeOptions, morton: bool) ->
     # (shared polygon/line vertices — the reference's ICE case).  Nearly
     # all-unique vertices (points) can't win, and the speculative ICE
     # encode was 39% of dense point-tile CPU for identical output bytes.
-    n_verts = len(x)
-    packed = (x + half) * I64(4 * half) + (y + half)
-    if len(np.unique(packed)) > 0.9 * n_verts:
-        return None
+    # Applied ONLY in "auto" (speculative) mode: an explicitly requested
+    # ice/ice_morton encoding must be honored unconditionally.
+    if speculative:
+        n_verts = len(x)
+        packed = (x + half) * I64(4 * half) + (y + half)
+        if len(np.unique(packed)) > 0.9 * n_verts:
+            return None
 
     if morton:
         keys = sfc.morton_encode_signed(x, y, num_bits).astype(I64)
@@ -432,12 +437,18 @@ def sort_layer_on_curve(layer: LayerData) -> LayerData:
             vals = vals.take(order) if hasattr(vals, "take") and not isinstance(vals, np.ndarray) else np.asarray(vals)[order]
             props[name] = PropertyColumn(col.data_type, present, vals)
         else:
-            # sparse: expand to per-feature slots, permute, re-densify
+            # sparse: expand to per-feature slots, permute the PRESENT MASK
+            # itself (not None-ness of values — a legitimately present None
+            # must stay present), re-densify
             full = np.empty(layer.num_features, dtype=object)
             full[present] = np.asarray(col.values, dtype=object)
             full = full[order]
-            new_present = np.array([v is not None for v in full])
+            new_present = present[order]
             props[name] = PropertyColumn(col.data_type, new_present, full[new_present])
+    # POINT-only layers carry no topology streams; trivial offsets from a
+    # decoded tile would be silently dropped by the rebuild below.
+    for off in (layer.geometry_offsets, layer.part_offsets, layer.ring_offsets):
+        assert off is None or len(off) == 0, "point layer with topology offsets"
     return LayerData(
         name=layer.name,
         extent=layer.extent,
@@ -468,7 +479,7 @@ def encode_layer(layer: LayerData, opts: EncodeOptions = EncodeOptions(), sideca
     plain_blk = _encode_geometry_plain(layer, opts) if mode in ("plain", "auto") else None
     ice_blk = None
     if mode in ("ice", "ice_morton", "auto"):
-        ice_blk = _encode_geometry_ice(layer, opts, morton=use_morton)
+        ice_blk = _encode_geometry_ice(layer, opts, morton=use_morton, speculative=mode == "auto")
     if plain_blk is not None and ice_blk is not None:
         # keep the smaller variant (ref: CovtConverter.java:227-236)
         geo_blk, geo_ct = (
@@ -479,7 +490,9 @@ def encode_layer(layer: LayerData, opts: EncodeOptions = EncodeOptions(), sideca
     elif ice_blk is not None:
         geo_blk, geo_ct = ice_blk, ice_ct
     else:
-        # ICE requested but coords out of SFC domain -> plain fallback
+        # ICE unavailable (coords out of SFC domain, too few vertices, or the
+        # auto-mode dedup-ratio gate declined the speculative encode) ->
+        # plain fallback
         if plain_blk is None:
             plain_blk = _encode_geometry_plain(layer, opts)
         geo_blk, geo_ct = plain_blk, ColumnType.PLAIN

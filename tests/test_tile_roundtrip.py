@@ -258,3 +258,89 @@ class TestSpatialPointSort:
 
         layer = make_line_layer(rng)
         assert sort_layer_on_curve(layer) is layer
+
+
+class TestVerifyPredicate:
+    """The shared verify predicate (stages.tile_encode.verify_tile_buf) and
+    the encode-time full-equality sample must catch injected corruption that
+    the count/id checks alone would miss (VERDICT r1 'What's wrong' #6)."""
+
+    def _layer(self, n=50, seed=7):
+        rng = np.random.default_rng(seed)
+        vb = np.empty(2 * n, dtype=np.int64)
+        vb[0::2] = rng.integers(0, 4096, n)
+        vb[1::2] = rng.integers(0, 4096, n)
+        return LayerData(
+            name="images",
+            extent=4096,
+            geometry_types=np.full(n, GeometryType.POINT, dtype=np.uint8),
+            vertex_buffer=vb,
+            ids=np.sort(rng.choice(10 * n, n, replace=False)).astype(np.uint64),
+            properties={
+                "caption": PropertyColumn(
+                    ColumnDataType.STRING,
+                    np.ones(n, bool),
+                    np.array([f"cap{i}" for i in range(n)], dtype=object),
+                ),
+                "phash": PropertyColumn(
+                    ColumnDataType.INT_64, np.ones(n, bool), rng.integers(0, 1 << 40, n)
+                ),
+            },
+        )
+
+    def test_full_equality_catches_property_corruption(self):
+        import copy
+
+        from cov_tiles_ray.stages.tile_encode import verify_tile_buf
+
+        layer = self._layer()
+        buf = encode_tile([layer])
+        assert verify_tile_buf(buf, layer.num_features, expect_layer=layer)
+        # corrupt ONE property value: counts and ids still match, only the
+        # full-equality predicate can notice
+        bad = copy.deepcopy(layer)
+        vals = bad.properties["phash"].values.copy()
+        vals[17] += 1
+        bad.properties["phash"] = PropertyColumn(
+            ColumnDataType.INT_64, bad.properties["phash"].present, vals
+        )
+        assert not verify_tile_buf(buf, bad.num_features, expect_layer=bad)
+        # geometry corruption likewise
+        bad2 = copy.deepcopy(layer)
+        bad2.vertex_buffer = bad2.vertex_buffer.copy()
+        bad2.vertex_buffer[3] ^= 1
+        assert not verify_tile_buf(buf, bad2.num_features, expect_layer=bad2)
+
+    def test_encoder_full_ok_column_flows_into_roundtrip_ok(self):
+        import pyarrow as pa
+
+        from cov_tiles_ray.stages.tile_encode import (
+            VERIFY_FULL_MOD,
+            TileEncoder,
+            verify_tiles_batch,
+        )
+
+        n = 8
+        g = {
+            # tile_id divisible by VERIFY_FULL_MOD -> sampled for full verify
+            "tile_id": np.full(n, 2 * VERIFY_FULL_MOD, dtype=np.int64),
+            "salt": np.zeros(n, dtype=np.int64),
+            "fid": np.arange(n, dtype=np.int64),
+            "loc_x": np.arange(n, dtype=np.int64) * 10,
+            "loc_y": np.arange(n, dtype=np.int64) * 7,
+            "caption": np.array([f"c{i}" for i in range(n)], dtype=object),
+            "fmt": np.array(["png"] * n, dtype=object),
+            "phash": np.arange(n, dtype=np.int64),
+        }
+        cols = TileEncoder()(g)
+        assert "full_ok" in cols and bool(cols["full_ok"][0])
+        t = pa.table({k: pa.array(v) for k, v in cols.items()})
+        out = verify_tiles_batch(t)
+        assert "full_ok" not in out.column_names
+        assert out["roundtrip_ok"].to_pylist() == [True]
+        # an injected full_ok=False must force roundtrip_ok False even
+        # though the basic decode checks pass
+        t_bad = t.set_column(
+            t.schema.get_field_index("full_ok"), "full_ok", pa.array([False])
+        )
+        assert verify_tiles_batch(t_bad)["roundtrip_ok"].to_pylist() == [False]
