@@ -22,7 +22,9 @@ def entry() -> Any:
     from cov_tiles_ray.pipelines import tiling
 
     images = tiling.read_images(0.001, columns=tiling.LIGHT_COLUMNS)
-    tiles = tiling.build_tiles(images, z=6)
+    # with_cells: every tile carries a points layer AND a derived polygon
+    # (occupancy-grid) layer, so ICE + ring offsets run distributed
+    tiles = tiling.build_tiles(images, z=6, with_cells=True)
     return tiles
 
 

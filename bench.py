@@ -51,12 +51,16 @@ def _run_bench() -> dict:
     images_path = synth.images_parquet_path(sf)
     ray.data.read_parquet(images_path, columns=["image_id"]).count()
     pilot = tiling.read_images(sf, columns=tiling.LIGHT_COLUMNS).limit(20000)
-    tiling.build_tiles(pilot, z=8).materialize()
+    tiling.build_tiles(pilot, z=8, with_cells=True).materialize()
 
     # ---- headline: flagship encode+assign pipeline (z4-z10 pyramid) ----
     t0 = time.perf_counter()
     images = tiling.read_images(sf, columns=tiling.LIGHT_COLUMNS)
-    tiles = tiling.build_tile_pyramid(images, zooms=(4, 6, 8, 10)).materialize()
+    # with_cells: each tile = points layer + derived polygon layer (ICE +
+    # ring offsets distributed; VERDICT r1 next-round #7)
+    tiles = tiling.build_tile_pyramid(
+        images, zooms=(4, 6, 8, 10), with_cells=True
+    ).materialize()
     headline_sec = time.perf_counter() - t0
     pdf = tiles.select_columns(
         ["n_features", "covt_bytes", "plain_bytes", "roundtrip_ok"]

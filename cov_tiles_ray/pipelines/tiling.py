@@ -105,6 +105,7 @@ def _encode_partitioned(
     opts: EncodeOptions | None,
     extent: int,
     with_mvt: bool,
+    with_cells: bool = False,
 ) -> rd.Dataset:
     """Assigned feature rows -> hash-partition by (tile_id, salt) -> THE
     shuffle -> per-partition multi-tile encode -> decode-verify -> (only when
@@ -122,7 +123,7 @@ def _encode_partitioned(
         return b.append_column("part", pa.array((h % np.uint64(N_PART)).astype(np.int64)))
 
     ds = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
-    inner = TileEncoder(opts or EncodeOptions(), extent)
+    inner = TileEncoder(opts or EncodeOptions(), extent, with_cells=with_cells)
     inner.with_mvt_baseline = with_mvt  # adds true-MVT size columns
     encoder = MultiTileEncoder(inner=inner)
 
@@ -184,6 +185,7 @@ def build_tiles(
     extent: int = 4096,
     with_mvt: bool = False,
     hot_zooms: tuple[int, ...] | None = None,
+    with_cells: bool = False,
 ) -> rd.Dataset:
     """images Dataset (light columns) -> verified COVT tile Dataset.
 
@@ -210,7 +212,7 @@ def build_tiles(
             zero_copy_batch=True,
         )
     ds = ds.select_columns(_SHUFFLE_COLUMNS)
-    return _encode_partitioned(ds, opts, extent, with_mvt)
+    return _encode_partitioned(ds, opts, extent, with_mvt, with_cells)
 
 
 def build_tile_pyramid(
@@ -221,6 +223,7 @@ def build_tile_pyramid(
     extent: int = 4096,
     with_mvt: bool = False,
     hot_zooms: tuple[int, ...] | None = None,
+    with_cells: bool = False,
 ) -> rd.Dataset:
     """Full tile pyramid in ONE shuffle: every batch emits its rows once per
     zoom (tile_id embeds z, so a single hash exchange co-locates all zooms'
@@ -244,7 +247,7 @@ def build_tile_pyramid(
         return pa.concat_tables(outs)
 
     ds = images.map_batches(assign_all, batch_format="pyarrow", zero_copy_batch=True)
-    return _encode_partitioned(ds, opts, extent, with_mvt)
+    return _encode_partitioned(ds, opts, extent, with_mvt, with_cells)
 
 
 def write_tiles(tiles: rd.Dataset, out_dir: str, input_desc: dict | None = None) -> dict:

@@ -27,21 +27,77 @@ _POINT_LAYER = "images"
 VERIFY_FULL_MOD = 97
 
 
-def check_decoded_tile(layers, n_features: int, expect_layer: LayerData | None = None) -> bool:
+def check_decoded_tile(
+    layers, n_features: int, expect_layers: list[LayerData] | None = None, n_layers: int = 1
+) -> bool:
     """The ONE verify predicate shared by every verify site (encode-time
-    sample, batch verify stage, fragment-merge re-verify): exactly one
-    layer, feature count matches, ids present; with ``expect_layer``, full
-    LayerData equality (geometry, topology, ids, every property column)."""
-    if len(layers) != 1 or layers[0].num_features != n_features or layers[0].ids is None:
+    sample, batch verify stage, fragment-merge re-verify): expected layer
+    count, primary-layer feature count matches, ids present; with
+    ``expect_layers``, full LayerData equality of EVERY layer (geometry,
+    topology, ids, every property column)."""
+    if len(layers) != n_layers or layers[0].num_features != n_features or layers[0].ids is None:
         return False
-    return expect_layer is None or layers[0] == expect_layer
+    if expect_layers is None:
+        return True
+    return len(layers) == len(expect_layers) and all(
+        got == want for got, want in zip(layers, expect_layers)
+    )
 
 
-def verify_tile_buf(buf, n_features: int, expect_layer: LayerData | None = None) -> bool:
+def verify_tile_buf(
+    buf, n_features: int, expect_layers: list[LayerData] | None = None, n_layers: int = 1
+) -> bool:
     try:
-        return check_decoded_tile(decode_tile(bytes(buf)), n_features, expect_layer)
+        return check_decoded_tile(decode_tile(bytes(buf)), n_features, expect_layers, n_layers)
     except Exception:
         return False
+
+
+# occupancy-grid cell resolution for the derived polygon layer: 2^6 = 64
+# cells per side (cell size 64 at extent 4096)
+CELL_BITS = 6
+_CELLS_LAYER = "cells"
+
+
+def cells_layer_from_points(
+    vertex_buffer: np.ndarray, extent: int = 4096, cell_bits: int = CELL_BITS
+) -> LayerData:
+    """Derive an occupancy-grid POLYGON layer from a tile's point coords:
+    one square per grid cell holding >= 1 point, with a per-cell point
+    count property.  Adjacent cells SHARE corner vertices, so this layer
+    exercises the ICE vertex-dictionary + ring-offset paths in the
+    distributed pipeline (VERDICT r1 next-round #7).  Deterministic in the
+    point SET (not order) — a fragment merge can rebuild it from merged
+    points and get byte-identical output."""
+    g = 1 << cell_bits
+    cs = extent >> cell_bits
+    vb = np.asarray(vertex_buffer, dtype=np.int64)
+    x, y = vb[0::2], vb[1::2]
+    cx = np.clip(x // cs, 0, g - 1)
+    cy = np.clip(y // cs, 0, g - 1)
+    cid, counts = np.unique(cy * g + cx, return_counts=True)  # ascending ids
+    n = len(cid)
+    x0 = (cid % g) * cs
+    y0 = (cid // g) * cs
+    cells_vb = np.empty(8 * n, dtype=np.int64)
+    cells_vb[0::8], cells_vb[1::8] = x0, y0
+    cells_vb[2::8], cells_vb[3::8] = x0 + cs, y0
+    cells_vb[4::8], cells_vb[5::8] = x0 + cs, y0 + cs
+    cells_vb[6::8], cells_vb[7::8] = x0, y0 + cs
+    return LayerData(
+        name=_CELLS_LAYER,
+        extent=extent,
+        geometry_types=np.full(n, GeometryType.POLYGON, dtype=np.uint8),
+        vertex_buffer=cells_vb,
+        part_offsets=np.ones(n, dtype=np.int64),  # 1 ring per polygon
+        ring_offsets=np.full(n, 4, dtype=np.int64),  # closing vertex dropped
+        ids=cid.astype(np.uint64),
+        properties={
+            "n_pts": PropertyColumn(
+                ColumnDataType.INT_64, np.ones(n, bool), counts.astype(np.int64)
+            )
+        },
+    )
 
 
 def group_to_layer(g: dict, extent: int = 4096) -> LayerData:
@@ -145,14 +201,22 @@ class TileEncoder:
     Holds EncodeOptions once per worker (stateful-stage pattern,
     SURVEY.md §7.3)."""
 
-    def __init__(self, opts: EncodeOptions | None = None, extent: int = 4096):
+    def __init__(
+        self, opts: EncodeOptions | None = None, extent: int = 4096, with_cells: bool = False
+    ):
         self.opts = opts or EncodeOptions()
         self.extent = extent
+        # derive a second (polygon) layer per tile: occupancy-grid cells.
+        # Runs ICE + ring offsets through the distributed exchange.
+        self.with_cells = with_cells
 
     with_mvt_baseline = False  # set True to also emit true MVT-encoded sizes
 
     def _layer_row(self, layer, tid: int, salt: int) -> dict:
-        buf = encode_tile([layer], self.opts)
+        layers = [layer]
+        if self.with_cells:
+            layers.append(cells_layer_from_points(layer.vertex_buffer, self.extent))
+        buf = encode_tile(layers, self.opts)
         out = {
             "tile_id": tid,
             "z": tid >> 58,
@@ -160,18 +224,19 @@ class TileEncoder:
             "y": tid & ((1 << 29) - 1),
             "salt": salt,
             "n_features": layer.num_features,
+            "n_layers": len(layers),
             "covt": buf,
             "covt_bytes": len(buf),
-            "plain_bytes": plain_columnar_bytes(layer),
+            "plain_bytes": sum(plain_columnar_bytes(ly) for ly in layers),
         }
         if self.with_mvt_baseline:
-            mvt_buf = mvt_codec.encode_mvt_tile([layer])
+            mvt_buf = mvt_codec.encode_mvt_tile(layers)
             out["mvt_bytes"] = len(mvt_buf)
             out["mvt_gzip_bytes"] = len(mvt_codec.gzip_tile(mvt_buf))
         # encode-time full-equality sample (the only site that still holds
         # the original LayerData); folded into roundtrip_ok downstream
         out["full_ok"] = (
-            verify_tile_buf(buf, layer.num_features, expect_layer=layer)
+            verify_tile_buf(buf, layer.num_features, expect_layers=layers, n_layers=len(layers))
             if tid % VERIFY_FULL_MOD == 0
             else True
         )
@@ -190,7 +255,7 @@ class TileEncoder:
 
     _DTYPES = {
         "tile_id": np.int64, "z": np.int32, "x": np.int32, "y": np.int32,
-        "salt": np.int32, "n_features": np.int64, "covt": object,
+        "salt": np.int32, "n_features": np.int64, "n_layers": np.int32, "covt": object,
         "covt_bytes": np.int64, "plain_bytes": np.int64,
         "mvt_bytes": np.int64, "mvt_gzip_bytes": np.int64, "mvt": object,
         "roundtrip_ok": np.bool_, "full_ok": np.bool_,
@@ -346,9 +411,16 @@ class TileFragmentMerger:
         self.extent = extent
 
     def _merge_one(self, g: dict) -> dict:
-        layers = [decode_tile(bytes(buf))[0] for buf in g["covt"]]
-        merged = _concat_point_layers(layers, self.extent)
-        buf = encode_tile([merged], self.opts)
+        frag_layers = [decode_tile(bytes(buf)) for buf in g["covt"]]
+        merged = _concat_point_layers([ls[0] for ls in frag_layers], self.extent)
+        n_layers = int(g["n_layers"][0]) if "n_layers" in g else 1
+        layers = [merged]
+        if n_layers == 2:
+            # the cells layer is a deterministic function of the point SET:
+            # rebuilding from merged points is byte-identical to an unsalted
+            # encode (per-fragment cells could overlap and cannot be concat'd)
+            layers.append(cells_layer_from_points(merged.vertex_buffer, self.extent))
+        buf = encode_tile(layers, self.opts)
         row = {
             "tile_id": int(g["tile_id"][0]),
             "z": int(g["z"][0]),
@@ -356,18 +428,21 @@ class TileFragmentMerger:
             "y": int(g["y"][0]),
             "salt": 0,
             "n_features": merged.num_features,
+            "n_layers": len(layers),
             "covt": buf,
             "covt_bytes": len(buf),
-            "plain_bytes": plain_columnar_bytes(merged),
+            "plain_bytes": sum(plain_columnar_bytes(ly) for ly in layers),
         }
         if "mvt_bytes" in g:
-            mvt_buf = mvt_codec.encode_mvt_tile([merged])
+            mvt_buf = mvt_codec.encode_mvt_tile(layers)
             row["mvt_bytes"] = len(mvt_buf)
             row["mvt_gzip_bytes"] = len(mvt_codec.gzip_tile(mvt_buf))
         if "roundtrip_ok" in g:  # verify already ran upstream: re-verify the merge
-            # full LayerData equality — the merged layer is in hand and salted
-            # tiles are few, so the strongest predicate is affordable here
-            row["roundtrip_ok"] = verify_tile_buf(buf, merged.num_features, expect_layer=merged)
+            # full LayerData equality — the merged layers are in hand and
+            # salted tiles are few, so the strongest predicate is affordable
+            row["roundtrip_ok"] = verify_tile_buf(
+                buf, merged.num_features, expect_layers=layers, n_layers=len(layers)
+            )
         return row
 
     def __call__(self, g: dict) -> dict:
@@ -401,9 +476,17 @@ def verify_tiles_batch(batch: pa.Table) -> pa.Table:
     round-trip oracle, CovtParserTest.java:44-91).  The encode stage's
     full-equality sample verdict (``full_ok``, ~1% of tiles compared field
     by field against the original layer) is folded into ``roundtrip_ok``."""
+    if "n_layers" in batch.column_names:
+        nl = batch["n_layers"].to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        nl = np.ones(batch.num_rows, dtype=np.int64)
     oks = np.fromiter(
         (
-            verify_tile_buf(batch["covt"][row].as_py(), batch["n_features"][row].as_py())
+            verify_tile_buf(
+                batch["covt"][row].as_py(),
+                batch["n_features"][row].as_py(),
+                n_layers=int(nl[row]),
+            )
             for row in range(batch.num_rows)
         ),
         dtype=bool,

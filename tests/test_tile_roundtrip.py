@@ -295,7 +295,7 @@ class TestVerifyPredicate:
 
         layer = self._layer()
         buf = encode_tile([layer])
-        assert verify_tile_buf(buf, layer.num_features, expect_layer=layer)
+        assert verify_tile_buf(buf, layer.num_features, expect_layers=[layer])
         # corrupt ONE property value: counts and ids still match, only the
         # full-equality predicate can notice
         bad = copy.deepcopy(layer)
@@ -304,12 +304,12 @@ class TestVerifyPredicate:
         bad.properties["phash"] = PropertyColumn(
             ColumnDataType.INT_64, bad.properties["phash"].present, vals
         )
-        assert not verify_tile_buf(buf, bad.num_features, expect_layer=bad)
+        assert not verify_tile_buf(buf, bad.num_features, expect_layers=[bad])
         # geometry corruption likewise
         bad2 = copy.deepcopy(layer)
         bad2.vertex_buffer = bad2.vertex_buffer.copy()
         bad2.vertex_buffer[3] ^= 1
-        assert not verify_tile_buf(buf, bad2.num_features, expect_layer=bad2)
+        assert not verify_tile_buf(buf, bad2.num_features, expect_layers=[bad2])
 
     def test_encoder_full_ok_column_flows_into_roundtrip_ok(self):
         import pyarrow as pa
