@@ -71,14 +71,34 @@ def _encode_varint_scalar_slow(value: int) -> bytes:
     return bytes(out)
 
 
+# below this length, python-int loops beat the numpy kernel chain (fixed
+# per-call numpy overhead dominates tiny tile streams — the flagship's
+# median tile has ~5 features)
+_SCALAR_N = 16
+
+
+_U64_MASK = 0xFFFFFFFFFFFFFFFF
+_S63 = 1 << 63
+
+
+def _append_varint(out: bytearray, v: int) -> None:
+    while v >= 0x80:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+
+
 def encode_varint(values: np.ndarray) -> bytes:
     """Vectorized base-128 varint encode of a uint64 array."""
     v = np.ascontiguousarray(values, dtype=U64)
     n = len(v)
     if n == 0:
         return b""
-    if n <= 2:  # scalar fast path (metadata descriptors, tiny streams)
-        return b"".join(encode_varint_scalar(int(x)) for x in v)
+    if n <= _SCALAR_N:  # scalar fast path (metadata descriptors, tiny streams)
+        out = bytearray()
+        for x in v.tolist():
+            _append_varint(out, x)
+        return bytes(out)
     if int(v.max()) < 0x80:  # all single-byte
         return v.astype(np.uint8).tobytes()
     nbytes = varint_encoded_size(v)
@@ -94,17 +114,27 @@ def encode_varint(values: np.ndarray) -> bytes:
 
 
 def read_varint_py(buf, pos: int) -> tuple[int, int]:
-    """Scalar varint read -> (python int, new pos).  Metadata-framing fast
-    path: no array allocation (decode_varint's n<=4 path still builds one)."""
-    bb = _as_u8(buf)
+    """Scalar varint read -> (python int, new pos).  Fastest on ``bytes``
+    /``memoryview`` input (indexing yields ints directly); ndarray input
+    falls back to numpy scalar extraction."""
+    if isinstance(buf, np.ndarray):
+        val = 0
+        shift = 0
+        while True:
+            byte = int(buf[pos])
+            pos += 1
+            val |= (byte & 0x7F) << shift
+            if byte < 0x80:
+                return val & _U64_MASK, pos
+            shift += 7
     val = 0
     shift = 0
     while True:
-        byte = int(bb[pos])
+        byte = buf[pos]
         pos += 1
         val |= (byte & 0x7F) << shift
         if byte < 0x80:
-            return val & 0xFFFFFFFFFFFFFFFF, pos
+            return val & _U64_MASK, pos
         shift += 7
 
 
@@ -114,26 +144,34 @@ def _as_u8(buf) -> np.ndarray:
     return np.frombuffer(buf, dtype=np.uint8)
 
 
+def _decode_varint_scalars(buf, n: int, offset: int) -> tuple[list[int], int]:
+    """n varints as PYTHON ints (tiny-stream path: no numpy kernels).
+    Fastest on ``bytes`` input; ndarray falls back to numpy indexing."""
+    bb = buf
+    np_input = isinstance(bb, np.ndarray)
+    pos = offset
+    vals = []
+    for _ in range(n):
+        val = 0
+        shift = 0
+        while True:
+            byte = int(bb[pos]) if np_input else bb[pos]
+            pos += 1
+            val |= (byte & 0x7F) << shift
+            if byte < 0x80:
+                break
+            shift += 7
+        vals.append(val & _U64_MASK)
+    return vals, pos
+
+
 def decode_varint(buf: bytes | np.ndarray, n: int, offset: int = 0) -> tuple[np.ndarray, int]:
     """Vectorized varint decode of ``n`` uint64 values starting at ``offset``."""
     if n == 0:
         return np.empty(0, dtype=U64), offset
-    if n <= 4:  # scalar fast path (metadata descriptors, tiny streams)
-        bb = _as_u8(buf)
-        out = np.empty(n, dtype=U64)
-        pos = offset
-        for i in range(n):
-            val = 0
-            shift = 0
-            while True:
-                byte = int(bb[pos])
-                pos += 1
-                val |= (byte & 0x7F) << shift
-                if byte < 0x80:
-                    break
-                shift += 7
-            out[i] = val & 0xFFFFFFFFFFFFFFFF
-        return out, pos
+    if n <= _SCALAR_N:  # scalar fast path (metadata descriptors, tiny streams)
+        vals, pos = _decode_varint_scalars(buf, n, offset)
+        return np.array(vals, dtype=U64), pos
     b = _as_u8(buf)[offset:]
     # only need at most 10*n bytes
     b = b[: 10 * n]
@@ -218,28 +256,78 @@ def coord_delta_decode(deltas: np.ndarray) -> np.ndarray:
 
 
 def encode_varint_zigzag(values: np.ndarray) -> bytes:
-    return encode_varint(zigzag_encode(values))
+    v = np.ascontiguousarray(values, dtype=I64)
+    if len(v) <= _SCALAR_N:  # python-int loop: one pass, no numpy kernels
+        out = bytearray()
+        for x in v.tolist():
+            _append_varint(out, ((x << 1) ^ (x >> 63)) & _U64_MASK)
+        return bytes(out)
+    return encode_varint(zigzag_encode(v))
 
 
 def decode_varint_zigzag(buf, n: int, offset: int = 0) -> tuple[np.ndarray, int]:
+    if 0 < n <= _SCALAR_N:
+        vals, off = _decode_varint_scalars(buf, n, offset)
+        return np.array([(u >> 1) ^ -(u & 1) for u in vals], dtype=I64), off
     u, off = decode_varint(buf, n, offset)
     return zigzag_decode(u), off
 
 
 def encode_varint_delta_zigzag(values: np.ndarray) -> bytes:
-    return encode_varint(zigzag_encode(delta_encode(values)))
+    v = np.ascontiguousarray(values).astype(I64, copy=False)
+    if len(v) <= _SCALAR_N:
+        out = bytearray()
+        prev = 0
+        for x in v.tolist():
+            d = ((x - prev + _S63) & _U64_MASK) - _S63  # int64 wrap
+            prev = x
+            _append_varint(out, ((d << 1) ^ (d >> 63)) & _U64_MASK)
+        return bytes(out)
+    return encode_varint(zigzag_encode(delta_encode(v)))
 
 
 def decode_varint_delta_zigzag(buf, n: int, offset: int = 0) -> tuple[np.ndarray, int]:
+    if 0 < n <= _SCALAR_N:
+        vals, off = _decode_varint_scalars(buf, n, offset)
+        out = []
+        acc = 0
+        for u in vals:
+            acc = ((acc + ((u >> 1) ^ -(u & 1)) + _S63) & _U64_MASK) - _S63  # int64 wrap
+            out.append(acc)
+        return np.array(out, dtype=I64), off
     u, off = decode_varint(buf, n, offset)
     return delta_decode(zigzag_decode(u)), off
 
 
 def encode_varint_coord_delta_zigzag(xy: np.ndarray) -> bytes:
-    return encode_varint(zigzag_encode(coord_delta_encode(xy)))
+    v = np.ascontiguousarray(xy).astype(I64, copy=False)
+    if len(v) <= 2 * _SCALAR_N:
+        out = bytearray()
+        px = py = 0
+        it = iter(v.tolist())
+        for x in it:
+            y = next(it)
+            dx = ((x - px + _S63) & _U64_MASK) - _S63  # int64 wrap
+            dy = ((y - py + _S63) & _U64_MASK) - _S63
+            px, py = x, y
+            _append_varint(out, ((dx << 1) ^ (dx >> 63)) & _U64_MASK)
+            _append_varint(out, ((dy << 1) ^ (dy >> 63)) & _U64_MASK)
+        return bytes(out)
+    return encode_varint(zigzag_encode(coord_delta_encode(v)))
 
 
 def decode_varint_coord_delta_zigzag(buf, n: int, offset: int = 0) -> tuple[np.ndarray, int]:
+    if 0 < n <= 2 * _SCALAR_N:
+        vals, off = _decode_varint_scalars(buf, n, offset)
+        out = []
+        px = py = 0
+        for i in range(0, n, 2):
+            ux, uy = vals[i], vals[i + 1]
+            px = ((px + ((ux >> 1) ^ -(ux & 1)) + _S63) & _U64_MASK) - _S63  # int64 wrap
+            py = ((py + ((uy >> 1) ^ -(uy & 1)) + _S63) & _U64_MASK) - _S63
+            out.append(px)
+            out.append(py)
+        return np.array(out, dtype=I64), off
     u, off = decode_varint(buf, n, offset)
     return coord_delta_decode(zigzag_decode(u)), off
 
@@ -340,16 +428,19 @@ def encode_rle_v1(values: np.ndarray, signed: bool) -> bytes:
 
 def decode_rle_v1(buf, n: int, signed: bool, offset: int = 0) -> tuple[np.ndarray, int]:
     """ORC-style RLE v1 decode (clean-room per decodingUtils.ts:230-265)."""
-    b = _as_u8(buf)
+    b = buf
+    np_input = isinstance(b, np.ndarray)
     out = np.empty(n, dtype=I64)
     got = 0
     pos = offset
     while got < n:
-        header = int(b[pos])
+        header = int(b[pos]) if np_input else b[pos]
         pos += 1
         if header <= 0x7F:
             num = header + 3
-            delta = int(np.int8(b[pos]))
+            delta = int(b[pos]) if np_input else b[pos]
+            if delta > 127:
+                delta -= 256  # int8
             pos += 1
             if signed:
                 base, pos = decode_varint_zigzag(b, 1, pos)
@@ -421,21 +512,25 @@ def encode_byte_rle(values: np.ndarray | bytes) -> bytes:
 
 
 def decode_byte_rle(buf, n: int, offset: int = 0) -> tuple[np.ndarray, int]:
-    b = _as_u8(buf)
+    np_input = isinstance(buf, np.ndarray)
+    b = buf
     out = np.empty(n, dtype=np.uint8)
     got = 0
     pos = offset
     while got < n:
-        header = int(b[pos])
+        header = int(b[pos]) if np_input else b[pos]
         pos += 1
         if header <= 0x7F:
             num = header + 3
-            out[got : got + num] = b[pos]
+            out[got : got + num] = int(b[pos]) if np_input else b[pos]
             pos += 1
             got += num
         else:
             num = 256 - header
-            out[got : got + num] = b[pos : pos + num]
+            if np_input:
+                out[got : got + num] = b[pos : pos + num]
+            else:
+                out[got : got + num] = np.frombuffer(b, np.uint8, num, pos)
             pos += num
             got += num
     return out, pos
@@ -494,10 +589,12 @@ def encode_string(s: str) -> bytes:
 
 
 def decode_string(buf, offset: int = 0) -> tuple[str, int]:
-    ln, pos = decode_varint(buf, 1, offset)
-    ln = int(ln[0])
-    b = bytes(_as_u8(buf)[pos : pos + ln])
-    return b.decode("utf-8"), pos + ln
+    ln, pos = read_varint_py(buf, offset)
+    if isinstance(buf, np.ndarray):
+        raw = bytes(buf[pos : pos + ln])
+    else:
+        raw = buf[pos : pos + ln]
+    return raw.decode("utf-8"), pos + ln
 
 
 def encode_string_dictionary(strings: list[str]) -> tuple[bytes, bytes]:

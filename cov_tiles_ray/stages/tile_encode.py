@@ -72,18 +72,37 @@ def cells_layer_from_points(
     g = 1 << cell_bits
     cs = extent >> cell_bits
     vb = np.asarray(vertex_buffer, dtype=np.int64)
-    x, y = vb[0::2], vb[1::2]
-    cx = np.clip(x // cs, 0, g - 1)
-    cy = np.clip(y // cs, 0, g - 1)
-    cid, counts = np.unique(cy * g + cx, return_counts=True)  # ascending ids
-    n = len(cid)
-    x0 = (cid % g) * cs
-    y0 = (cid // g) * cs
-    cells_vb = np.empty(8 * n, dtype=np.int64)
-    cells_vb[0::8], cells_vb[1::8] = x0, y0
-    cells_vb[2::8], cells_vb[3::8] = x0 + cs, y0
-    cells_vb[4::8], cells_vb[5::8] = x0 + cs, y0 + cs
-    cells_vb[6::8], cells_vb[7::8] = x0, y0 + cs
+    if len(vb) <= 64:  # tiny-tile scalar path (flagship median ~5 points)
+        counts_by_cell: dict[int, int] = {}
+        it = iter(vb.tolist())
+        for x in it:
+            y = next(it)
+            cx = min(max(x // cs, 0), g - 1)
+            cy = min(max(y // cs, 0), g - 1)
+            k = cy * g + cx
+            counts_by_cell[k] = counts_by_cell.get(k, 0) + 1
+        cid_l = sorted(counts_by_cell)
+        cid = np.array(cid_l, dtype=np.int64)
+        counts = np.array([counts_by_cell[k] for k in cid_l], dtype=np.int64)
+        vb_l: list[int] = []
+        for k in cid_l:
+            x0s, y0s = (k % g) * cs, (k // g) * cs
+            vb_l += (x0s, y0s, x0s + cs, y0s, x0s + cs, y0s + cs, x0s, y0s + cs)
+        n = len(cid_l)
+        cells_vb = np.array(vb_l, dtype=np.int64)
+    else:
+        x, y = vb[0::2], vb[1::2]
+        cx = np.clip(x // cs, 0, g - 1)
+        cy = np.clip(y // cs, 0, g - 1)
+        cid, counts = np.unique(cy * g + cx, return_counts=True)  # ascending ids
+        n = len(cid)
+        x0 = (cid % g) * cs
+        y0 = (cid // g) * cs
+        cells_vb = np.empty(8 * n, dtype=np.int64)
+        cells_vb[0::8], cells_vb[1::8] = x0, y0
+        cells_vb[2::8], cells_vb[3::8] = x0 + cs, y0
+        cells_vb[4::8], cells_vb[5::8] = x0 + cs, y0 + cs
+        cells_vb[6::8], cells_vb[7::8] = x0, y0 + cs
     return LayerData(
         name=_CELLS_LAYER,
         extent=extent,

@@ -29,16 +29,26 @@ from .streams import decode_stream
 I64 = np.int64
 
 
-def _read_streams(buf, pos: int, n_streams: int):
+def _as_frame_bytes(buf) -> bytes:
+    """Normalize a tile buffer to ``bytes`` ONCE per tile: scalar framing
+    reads index python bytes (~3x faster than numpy scalar extraction);
+    vectorized stream decoders np.frombuffer the same object zero-copy."""
+    if isinstance(buf, (bytes, bytearray)):
+        return buf
+    if isinstance(buf, memoryview):
+        return bytes(buf)
+    return np.ascontiguousarray(buf, dtype=np.uint8).tobytes()
+
+
+def _read_streams(b: bytes, pos: int, n_streams: int):
     """Read stream descriptors; returns (list of (type, enc, nvals, blen), pos).
 
     Types/encodings stay plain ints (IntEnum-compatible in every comparison
     and dict lookup) — constructing enums per stream dominated decode time
     on many-small-tile workloads."""
-    b = C._as_u8(buf)
     metas = []
     for _ in range(n_streams):
-        desc = int(b[pos])
+        desc = b[pos]
         nvals, p = C.read_varint_py(b, pos + 1)
         blen, pos = C.read_varint_py(b, p)
         metas.append((desc >> 4, desc & 0xF, nvals, blen))
@@ -76,8 +86,8 @@ def _decode_geometry(col_type: ColumnType, extent: int, data: dict) -> dict:
 def decode_layer(buf, pos: int, ids=None) -> tuple[LayerData, int]:
     """``ids``: SidecarIds required for tiles written with optimized
     (TileJSON-id) metadata — the J3 broadcast-small-side lookup."""
-    b = C._as_u8(buf)
-    header = int(b[pos])
+    b = _as_frame_bytes(buf)
+    header = b[pos]
     pos += 1
     version = header >> 1
     optimized = bool(header & 1)
@@ -102,7 +112,7 @@ def decode_layer(buf, pos: int, ids=None) -> tuple[LayerData, int]:
                 col_name = ids.column_name(lid, cid)
             else:
                 col_name, pos = C.decode_string(b, pos)
-        desc = int(b[pos])
+        desc = b[pos]
         pos += 1
         dt = ColumnDataType((desc >> 3) & 0xF)
         ct = ColumnType(desc & 0x7)
@@ -196,7 +206,7 @@ def _gather_dictionary(data: dict, n_dict: int) -> list[str]:
 
 
 def decode_tile(buf, ids=None) -> list[LayerData]:
-    b = C._as_u8(buf)
+    b = _as_frame_bytes(buf)
     version, pos = C.read_varint_py(b, 0)
     num_layers, pos = C.read_varint_py(b, pos)
     layers = []

@@ -382,31 +382,34 @@ def _serialize_layer(
     TileJSON sidecar (ref convertOptimizedLayerMetadata,
     CovtConverter.java:300-363; columns arrive with sidecar field ids and
     name=None)."""
-    vs = C.encode_varint_scalar
+    av = C._append_varint
     optimized = layer_id is not None
-    parts: list[bytes] = []
-    version_byte = bytes([(FORMAT_VERSION << 1) | int(optimized)])
-    parts.append(version_byte)
+    out = bytearray()
+    out.append((FORMAT_VERSION << 1) | int(optimized))
     if optimized:
-        parts.append(vs(layer_id))
+        av(out, layer_id)
     else:
-        parts.append(C.encode_string(layer.name))
-    parts.append(vs(layer.extent))
-    parts.append(vs(layer.num_features))
-    parts.append(vs(len(columns)))
+        raw = layer.name.encode("utf-8")
+        av(out, len(raw))
+        out += raw
+    av(out, layer.extent)
+    av(out, layer.num_features)
+    av(out, len(columns))
     stream_bytes: list[bytes] = []
     for col_id, name, dt, ct, blk in columns:
-        parts.append(vs(col_id))
+        av(out, col_id)
         if name is not None:
-            parts.append(C.encode_string(name))
-        parts.append(bytes([(int(dt) << 3) | int(ct)]))
-        parts.append(vs(len(blk.streams)))
+            raw = name.encode("utf-8")
+            av(out, len(raw))
+            out += raw
+        out.append((int(dt) << 3) | int(ct))
+        av(out, len(blk.streams))
         for stype, senc, nvals, buf in blk.streams:
-            parts.append(bytes([(int(stype) << 4) | int(senc)]))
-            parts.append(vs(nvals))
-            parts.append(vs(len(buf)))
+            out.append((int(stype) << 4) | int(senc))
+            av(out, nvals)
+            av(out, len(buf))
             stream_bytes.append(buf)
-    return b"".join(parts) + b"".join(stream_bytes)
+    return bytes(out) + b"".join(stream_bytes)
 
 
 def sort_layer_on_curve(layer: LayerData) -> LayerData:
