@@ -61,18 +61,23 @@ def read_images(sf_dir_or_sf, columns: list[str] | None = None) -> rd.Dataset:
 # the sort shuffle moves blocks x partitions chunks — deriving partitions
 # from CPU count made the 4N-node exchange pay 4x the coordination of the
 # N-node one, which is exactly the anti-scaling the north rule's efficiency
-# criterion punishes.  64 keeps a 32-core node busy (2 waves) and an 8-core
-# node at 8 waves with near-identical per-chunk overhead.  256 (not 64):
-# the sort shuffle packs ~4 part-keys per output block, and coarser keys
-# quantized into uneven blocks (measured one 10.9s straggler vs 3.6s mean
-# task at 64 parts / 60 blocks on sf0.1).
-N_PART = 256
+# criterion punishes.  History: 64 parts quantized into uneven sort blocks
+# (one 10.9s straggler vs 3.6s mean task at sf0.1); 256 still left a 4x-mean
+# block (82k rows, 6.7s straggler vs 2.0s mean — heavy low-zoom tiles
+# landing in one bucket); 4096 makes each bucket ~0.02% of the corpus so
+# the sort's sampled range boundaries can split mass evenly regardless of
+# which buckets the heavy tiles hash into.
+N_PART = 4096
 
 # Per-group feature cap target: a (tile, salt) group beyond this many rows
 # risks blowing a worker's heap (each feature carries a caption string), so
 # zooms whose EXPECTED density exceeds cap/safety get salted.  Safety factor
 # covers spatial skew (a dense city tile vs the uniform-average tile).
-MAX_GROUP_ROWS = 65_536
+# 16k (not 64k): a salt fragment is also the largest indivisible unit the
+# sort can place in one output block — 64k fragments produced 4x-mean
+# straggler blocks (6.3s task vs 2.0s mean at sf0.1); 16k keeps every
+# fragment below the ~20k-row mean block so the exchange balances.
+MAX_GROUP_ROWS = 16_384
 SALT_SAFETY = 8
 
 _SHUFFLE_COLUMNS = ["tile_id", "salt", "fid", "loc_x", "loc_y", "caption", "fmt", "phash"]
@@ -173,7 +178,18 @@ def _encode_partitioned(
     def merge_fragments(g):
         return merger(g)
 
-    merged = frags.groupby("tile_id").map_groups(merge_fragments, batch_format="numpy")
+    # Salted tiles are BY CONSTRUCTION the few hottest (densest) tiles:
+    # the fragment ROW count is tiny, but each merge decodes + re-encodes
+    # a huge tile, so merges must run in PARALLEL (a single-task merge
+    # serialized 7 hot-tile merges into an 8.8s critical path at sf0.1).
+    # Coalesce the mostly-empty 120-block fragment scan down to a few
+    # blocks first so the key-colocating groupby exchange pays its fixed
+    # cost over 8 blocks, not 120 (measured 4.7s -> ~1s).
+    merged = (
+        frags.repartition(8)
+        .groupby("tile_id")
+        .map_groups(merge_fragments, batch_format="numpy")
+    )
     return rest.union(merged)
 
 
