@@ -21,9 +21,10 @@ import sys
 import time
 
 
-def _run_bench() -> dict:
+def _run_bench(headline_only: bool = False) -> dict:
     import ray
 
+    headline_only = headline_only or os.environ.get("GRAFT_HEADLINE_ONLY") == "1"
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ray.init(
@@ -67,6 +68,25 @@ def _run_bench() -> dict:
     ).to_pandas()
     features = int(pdf["n_features"].sum())
     n_tiles = int(len(pdf))
+
+    if headline_only:
+        # scaling legs time ONLY the headline pipeline — the decode micro
+        # and query suite are single-threaded / tiny and would dilute the
+        # parallelism comparison
+        result = {
+            "metric": "covt_encode_assign_headline",
+            "value": round(headline_sec, 3),
+            "unit": "sec",
+            "sf": sf,
+            "num_cpus": num_cpus,
+            "rows": features,
+            "tiles": n_tiles,
+            "rows_per_sec": round(features / headline_sec, 1),
+            "tiles_per_sec": round(n_tiles / headline_sec, 1),
+            "roundtrip_failures": int((~pdf["roundtrip_ok"]).sum()),
+        }
+        ray.shutdown()
+        return result
 
     # ---- decode throughput: COVT vs MVT (README.md:41-45 analogue) ----
     from cov_tiles_ray.pipelines import transcode as tc
@@ -134,24 +154,17 @@ def _run_bench() -> dict:
     return result
 
 
-def _run_at(ncpu: int, repeats: int = 2) -> dict:
-    """Fresh-process run at a parallelism level; best-of-N walls (single-node
-    runs fluctuate ±10% with object-store/page-cache state, and the scaling
-    ratio amplifies that noise — min is the standard noise-floor estimate)."""
-    best: dict | None = None
-    for _ in range(repeats):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        ).stdout
-        res = json.loads(out.strip().splitlines()[-1])
-        if best is None or res["value"] < best["value"]:
-            best = res
-    return best
+def _run_at(ncpu: int) -> dict:
+    """One fresh-process headline-only run at a parallelism level."""
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1")
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
 
 
 def main() -> None:
@@ -164,21 +177,42 @@ def main() -> None:
         # Override with GRAFT_SCALE_LO/HI (e.g. 8/32) to see both regimes.
         lo_cpu = int(os.environ.get("GRAFT_SCALE_LO", "4"))
         hi_cpu = int(os.environ.get("GRAFT_SCALE_HI", "16"))
-        lo = _run_at(lo_cpu)
-        hi = _run_at(hi_cpu)
-        eff = (lo["value"] / hi["value"]) / (hi_cpu / lo_cpu)
-        print(
-            json.dumps(
+        n_pairs = int(os.environ.get("GRAFT_SCALE_PAIRS", "5"))
+        # Median over >=5 adjacent (lo, hi) fresh-process pairs — the
+        # single-node walls fluctuate +/-15%, and the brief's >=0.8 bar
+        # should hold at the median, not best-of-N (VERDICT r1 #5).
+        # Pairing lo/hi adjacently in time cancels slow machine drift.
+        pairs = []
+        for _ in range(n_pairs):
+            lo = _run_at(lo_cpu)
+            hi = _run_at(hi_cpu)
+            eff = (lo["value"] / hi["value"]) / (hi_cpu / lo_cpu)
+            pairs.append(
                 {
-                    "metric": "scaling_efficiency",
-                    "value": round(eff, 3),
-                    "unit": "ratio",
-                    "cpus_lo": lo_cpu,
-                    "cpus_hi": hi_cpu,
                     "sec_lo": lo["value"],
                     "sec_hi": hi["value"],
                     "rows_per_sec_lo": lo["rows_per_sec"],
                     "rows_per_sec_hi": hi["rows_per_sec"],
+                    "efficiency": round(eff, 3),
+                }
+            )
+            print(json.dumps({"pair": pairs[-1]}), file=sys.stderr, flush=True)
+        effs = sorted(p["efficiency"] for p in pairs)
+        median = effs[len(effs) // 2] if len(effs) % 2 else (
+            effs[len(effs) // 2 - 1] + effs[len(effs) // 2]
+        ) / 2
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency",
+                    "value": round(median, 3),
+                    "unit": "ratio",
+                    "aggregation": f"median of {n_pairs} adjacent pairs",
+                    "cpus_lo": lo_cpu,
+                    "cpus_hi": hi_cpu,
+                    "best": max(effs),
+                    "worst": min(effs),
+                    "pairs": pairs,
                     "sf": lo["sf"],
                 }
             )

@@ -349,11 +349,22 @@ def encode_rle_v1(values: np.ndarray, signed: bool) -> bytes:
     groups of <=128 varints.  ``signed`` selects zigzag varints for base /
     literal values (the delta byte is raw int8 either way), matching the
     reference's Int64 vs Uint32 RLE variants.
+
+    Large inputs take a two-pass path: the greedy segmentation loop records
+    plain-int group descriptors only, then ALL literal values and ALL run
+    bases are varint-encoded in one vectorized pass each and spliced into
+    the output with a repeat/cumsum scatter.  (A per-group encode_varint
+    call carries ~90us of numpy fixed cost; run-fragmented 100k-value
+    streams produce thousands of groups, which made this kernel the single
+    hottest line of the tile encode stage.)  Byte output is identical to
+    the scalar path.
     """
     v = np.ascontiguousarray(values).astype(I64, copy=False)
     n = len(v)
     if n == 0:
         return b""
+    if n > 64:
+        return _encode_rle_v1_vec(v, signed)
 
     def emit_values(vals: np.ndarray) -> bytes:
         if signed:
@@ -424,6 +435,113 @@ def encode_rle_v1(values: np.ndarray, signed: bool) -> bytes:
     if lit_from < n:
         emit_literals(v[lit_from:])
     return b"".join(parts)
+
+
+def _encode_rle_v1_vec(v: np.ndarray, signed: bool) -> bytes:
+    """Two-pass vectorized RLE v1 (see encode_rle_v1 docstring)."""
+    n = len(v)
+    # ---- pass 1: greedy segmentation, recording plain ints only ----
+    lit_start: list[int] = []
+    lit_len: list[int] = []
+    run_pos: list[int] = []
+    run_take: list[int] = []
+    run_delta: list[int] = []
+    order_is_run: list[bool] = []
+
+    def rec_literals(s: int, e: int) -> None:
+        i = s
+        while i < e:
+            j = min(i + _MAX_LITERALS, e)
+            lit_start.append(i)
+            lit_len.append(j - i)
+            order_is_run.append(False)
+            i = j
+
+    d = np.diff(v)
+    brk = np.flatnonzero(d[1:] != d[:-1]) + 1
+    ds = np.concatenate([[0], brk]).astype(np.int64)
+    ve = np.concatenate([brk, [n - 1]]).astype(np.int64)
+    seg_delta = d[ds]
+    eligible = (seg_delta >= -128) & (seg_delta <= 127)
+    candidates = np.flatnonzero(eligible & ((ve - ds + 1) >= _MIN_RUN))
+
+    next_free = 0
+    lit_from = 0
+    ds_l = ds.tolist()
+    ve_l = ve.tolist()
+    sd_l = seg_delta.tolist()
+    for k in candidates.tolist():
+        run_start = ds_l[k] if ds_l[k] >= next_free else next_free
+        span = ve_l[k] - run_start + 1
+        if span < _MIN_RUN:
+            continue
+        if run_start > lit_from:
+            rec_literals(lit_from, run_start)
+        dd = sd_l[k]
+        pos = run_start
+        while span >= _MIN_RUN:
+            take = span if span < _MAX_RUN else _MAX_RUN
+            run_pos.append(pos)
+            run_take.append(take)
+            run_delta.append(dd)
+            order_is_run.append(True)
+            pos += take
+            span -= take
+        next_free = pos
+        lit_from = pos
+    if lit_from < n:
+        rec_literals(lit_from, n)
+
+    # ---- pass 2: one vectorized varint pass per value pool ----
+    ll = np.asarray(lit_len, dtype=np.int64)
+    n_lit_vals = int(ll.sum()) if len(ll) else 0
+    if n_lit_vals:
+        ls = np.asarray(lit_start, dtype=np.int64)
+        g_off = np.cumsum(ll) - ll  # group start offset within the lit pool
+        intra = np.arange(n_lit_vals, dtype=np.int64) - np.repeat(g_off, ll)
+        lit_vals = v[np.repeat(ls, ll) + intra]
+        lu = zigzag_encode(lit_vals) if signed else lit_vals.view(U64)
+        lit_sizes = varint_encoded_size(lu)
+        enc_lits = np.frombuffer(encode_varint(lu), dtype=np.uint8)
+        lit_plen = np.add.reduceat(lit_sizes, g_off)
+    else:
+        enc_lits = np.zeros(0, dtype=np.uint8)
+        lit_plen = np.zeros(0, dtype=np.int64)
+    rt = np.asarray(run_take, dtype=np.int64)
+    if len(rt):
+        bases = v[np.asarray(run_pos, dtype=np.int64)]
+        bu = zigzag_encode(bases) if signed else bases.view(U64)
+        base_sizes = varint_encoded_size(bu)
+        enc_bases = np.frombuffer(encode_varint(bu), dtype=np.uint8)
+    else:
+        enc_bases = np.zeros(0, dtype=np.uint8)
+        base_sizes = np.zeros(0, dtype=np.int64)
+
+    # ---- scatter assembly: header bytes + payload slices in group order ----
+    is_run = np.asarray(order_is_run, dtype=bool)
+    G = len(is_run)
+    hdr_len = np.where(is_run, 2, 1).astype(np.int64)
+    plen = np.empty(G, dtype=np.int64)
+    plen[is_run] = base_sizes
+    plen[~is_run] = lit_plen
+    glen = hdr_len + plen
+    gend = np.cumsum(glen)
+    gstart = gend - glen
+    out = np.empty(int(gend[-1]), dtype=np.uint8)
+    ro = gstart[is_run]
+    out[ro] = (rt - _MIN_RUN).astype(np.uint8)
+    out[ro + 1] = (np.asarray(run_delta, dtype=np.int64) & 0xFF).astype(np.uint8)
+    out[gstart[~is_run]] = (256 - ll).astype(np.uint8)
+    src_start = np.empty(G, dtype=np.int64)
+    src_start[~is_run] = np.cumsum(lit_plen) - lit_plen
+    src_start[is_run] = len(enc_lits) + (np.cumsum(base_sizes) - base_sizes)
+    pool = np.concatenate([enc_lits, enc_bases])
+    tot_p = int(plen.sum())
+    p_off = np.cumsum(plen) - plen
+    intra_p = np.arange(tot_p, dtype=np.int64) - np.repeat(p_off, plen)
+    gidx = np.repeat(np.arange(G), plen)
+    out[(gstart + hdr_len)[gidx] + intra_p] = pool[src_start[gidx] + intra_p]
+    return out.tobytes()
 
 
 def decode_rle_v1(buf, n: int, signed: bool, offset: int = 0) -> tuple[np.ndarray, int]:
@@ -634,17 +752,18 @@ def decode_string_dictionary(length_buf, dict_buf, n: int) -> list[str]:
 
 
 def encode_token_dict(strings: list[str]) -> bytes | None:
-    import itertools
-
     import pandas as pd
 
-    tok_lists = [s.split(" ") for s in strings]
-    counts = np.fromiter(map(len, tok_lists), dtype=np.int64, count=len(strings))
-    flat_toks = list(itertools.chain.from_iterable(tok_lists))
-    if any(not t for t in flat_toks):  # empty token: leading/trailing/double space or ""
-        return None
-    if flat_toks:
+    # one C-level join+split for the whole batch (a per-string .split loop
+    # cost ~0.2s per 100k captions); token counts via C-level str.count
+    flat_toks = " ".join(strings).split(" ") if strings else []
+    counts = np.fromiter(
+        (s.count(" ") + 1 for s in strings), dtype=np.int64, count=len(strings)
+    )
+    if strings:
         codes, uniques = pd.factorize(np.asarray(flat_toks, dtype=object), use_na_sentinel=False)
+        if (uniques == "").any():  # empty token: leading/trailing/double space or ""
+            return None
         flat = codes.astype(np.int64)
         vocab = list(uniques)
     else:
