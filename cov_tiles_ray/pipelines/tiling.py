@@ -26,7 +26,14 @@ import ray.data as rd
 
 from ..functions import image as img_f
 from ..sources import synth
-from ..stages.assign import assign_hex, assign_tiles, parse_fid, salt_dense_tiles, salt_hot_tiles
+from ..stages.assign import (
+    assign_hex,
+    assign_tiles,
+    parse_fid,
+    salt_dense_tiles,
+    salt_hot_tiles,
+    salt_quadtree,
+)
 from ..stages.tile_encode import (
     MultiTileEncoder,
     TileEncoder,
@@ -80,7 +87,19 @@ N_PART = 4096
 MAX_GROUP_ROWS = 16_384
 SALT_SAFETY = 8
 
+# Pyramid refinement cap (ship-once exchange): a quadtree-salt subtree whose
+# estimated row mass exceeds this refines one zoom deeper.  Larger than
+# MAX_GROUP_ROWS because pyramid groups are bounded in TILE count by the
+# subtree shape (the per-tile encode term), so the row cap only guards heap
+# and task balance; a smaller cap would refine past pyramid zooms and drag
+# their tiles through the merge's decode+re-encode for little balance gain.
+PYRAMID_GROUP_ROWS = 32_768
+
 _SHUFFLE_COLUMNS = ["tile_id", "salt", "fid", "loc_x", "loc_y", "caption", "fmt", "phash"]
+
+# What the ship-once pyramid exchange actually moves: partition key + salt +
+# raw position; every zoom's tile/local coords are re-derived post-shuffle.
+_PYRAMID_SHIP_COLUMNS = ["part", "salt", "fid", "lon", "lat", "caption", "fmt", "phash"]
 
 
 def hot_zooms_for(corpus_rows: int, zooms) -> tuple[int, ...]:
@@ -143,52 +162,78 @@ def _encode_partitioned(
     # re-verifies any tile it re-encodes
     tiles = tiles.map_batches(verify_tiles_batch, batch_format="pyarrow")
 
-    # Fragment merge — runs ONLY over tiles that actually salted.  The tile
-    # table (compact result of the heavy shuffle) is materialized once:
-    # (a) fanning out an unmaterialized dataset would re-execute the whole
-    # encode pipeline per branch, and (b) the salted tile-id set must be
-    # GLOBAL — the adaptive salting decision is per batch, so a borderline
-    # tile can have a salt-0 fragment from one batch and salted fragments
-    # from another; splitting on salt alone leaves that tile duplicated
-    # (one partial row in each branch).  Salt values are 1..k for salted
-    # rows, making `salt != 0` a cheap prefilter for the id scan.
+    return _merge_multi_fragment_tiles(tiles, opts, extent)
+
+
+def _merge_multi_fragment_tiles(
+    tiles: rd.Dataset, opts: EncodeOptions | None, extent: int
+) -> rd.Dataset:
+    """Reassemble tiles that came out of the exchange in >1 fragment.
+
+    The split is COUNT-based — a tile goes to the merge branch iff it has
+    >=2 encoded rows — which is exact under every salting scheme: it covers
+    borderline tiles (salt-0 fragment from one batch, salted fragments from
+    another — the adaptive decision is per batch) AND skips salted tiles
+    whose rows all collapsed into a single fragment (one row holding every
+    feature, already byte-identical to an unsalted encode — the old
+    ``salt != 0`` rule paid a pointless decode + re-encode for those).
+    The id scan pulls one int64 per OUTPUT TILE to the driver — the compact
+    result of the exchange, orders of magnitude smaller than the feature
+    input; a distributed partial-count tree could replace it if tile count
+    ever rivaled feature count."""
     tiles = tiles.materialize()
-    uniq = tiles.filter(expr="salt != 0").select_columns(["tile_id"]).unique("tile_id")
-    # unique() yields None / [None] on an empty dataset — normalize first
-    uniq = [u for u in (uniq or []) if u is not None]
-    salted_ids = np.sort(np.array(uniq, dtype=np.int64))
-    if len(salted_ids) == 0:
-        return tiles
+    tid_col = tiles.select_columns(["tile_id"]).to_pandas()["tile_id"].to_numpy()
+    u, c = np.unique(tid_col, return_counts=True)
+    dup_ids = np.sort(u[c > 1])
+
+    def zero_salt(b: pa.Table) -> pa.Table:
+        # salt is a shuffle implementation detail; output rows are whole
+        # tiles (salt semantically 0) regardless of how they shipped
+        i = b.schema.get_field_index("salt")
+        return b.set_column(i, "salt", pa.array(np.zeros(b.num_rows, dtype=np.int32)))
+
+    if len(dup_ids) == 0:
+        return tiles.map_batches(zero_salt, batch_format="pyarrow", zero_copy_batch=True)
 
     def split_mask(b: pa.Table) -> np.ndarray:
         tid = b["tile_id"].to_numpy(zero_copy_only=False)
-        return np.isin(tid, salted_ids)
+        return np.isin(tid, dup_ids)
 
     def take_frags(b: pa.Table) -> pa.Table:
         return b.filter(pa.array(split_mask(b)))
 
     def take_rest(b: pa.Table) -> pa.Table:
-        return b.filter(pa.array(~split_mask(b)))
+        return zero_salt(b.filter(pa.array(~split_mask(b))))
 
     rest = tiles.map_batches(take_rest, batch_format="pyarrow", zero_copy_batch=True)
     frags = tiles.map_batches(take_frags, batch_format="pyarrow", zero_copy_batch=True)
 
     merger = TileFragmentMerger(opts or EncodeOptions(), extent)
 
-    def merge_fragments(g):
+    # Fragmented tiles are the few hottest (densest) tiles: the fragment ROW
+    # count is tiny, but each merge decodes + re-encodes a big tile, so
+    # merges must run in PARALLEL (a single-task merge serialized 7 hot-tile
+    # merges into an 8.8s critical path at sf0.1).  Group by a HASH bucket
+    # of tile_id, not tile_id itself: the groupby exchange range-partitions
+    # its key, and tile ids of one zoom are ADJACENT (z lives in the high
+    # bits), which funneled every base-zoom merge into ONE task (measured
+    # 8.6s straggler); TileFragmentMerger segments by tile_id internally, so
+    # a bucket per task is exactly what it wants.  The hash also co-locates
+    # all fragments of a tile, and 64 buckets keep the exchange's fixed cost
+    # small while spreading the heavy merges across the pool.
+    def add_mpart(b: pa.Table) -> pa.Table:
+        tid = b["tile_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (tid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+        return b.append_column("mpart", pa.array((h % np.uint64(64)).astype(np.int64)))
+
+    def merge_bucket(g):
+        g = {k: v for k, v in g.items() if k != "mpart"}
         return merger(g)
 
-    # Salted tiles are BY CONSTRUCTION the few hottest (densest) tiles:
-    # the fragment ROW count is tiny, but each merge decodes + re-encodes
-    # a huge tile, so merges must run in PARALLEL (a single-task merge
-    # serialized 7 hot-tile merges into an 8.8s critical path at sf0.1).
-    # Coalesce the mostly-empty 120-block fragment scan down to a few
-    # blocks first so the key-colocating groupby exchange pays its fixed
-    # cost over 8 blocks, not 120 (measured 4.7s -> ~1s).
     merged = (
-        frags.repartition(8)
-        .groupby("tile_id")
-        .map_groups(merge_fragments, batch_format="numpy")
+        frags.map_batches(add_mpart, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("mpart")
+        .map_groups(merge_bucket, batch_format="numpy")
     )
     return rest.union(merged)
 
@@ -241,29 +286,69 @@ def build_tile_pyramid(
     hot_zooms: tuple[int, ...] | None = None,
     with_cells: bool = False,
 ) -> rd.Dataset:
-    """Full tile pyramid in ONE shuffle: every batch emits its rows once per
-    zoom (tile_id embeds z, so a single hash exchange co-locates all zooms'
-    tiles) and one encode pass segments the union.  A union of per-zoom
-    pipelines would pay the exchange fixed costs once per zoom — measured
-    ~4x worse scaling on a 32-way node.  (Production tileset shape: the
-    reference's corpora span z2-z14, CovtConverterTest.java:156-276.)"""
+    """Full tile pyramid in ONE shuffle, each feature shipped ONCE.
 
+    Features are hash-partitioned by their COARSEST-zoom tile (+ quadtree
+    salt, ``salt_quadtree``); because finer tiles nest inside coarser ones,
+    one partition holds everything needed to encode every zoom's tiles for
+    its slice of the world — the per-zoom assignments are re-derived from
+    lon/lat AFTER the exchange.  Shipping the assignment per zoom instead
+    (the v1 design) moved each feature — caption string included —
+    len(zooms) times through the sort; this exchange carries ~4x fewer
+    bytes at the default 4-zoom pyramid, and the win grows with pyramid
+    depth.  A union of per-zoom pipelines would be worse still: exchange
+    fixed costs once per zoom, measured ~4x worse scaling on a 32-way
+    node.  (Production tileset shape: the reference's corpora span z2-z14,
+    CovtConverterTest.java:156-276.)
+
+    ``hot_zooms`` (tests): force-salts the base zoom when it contains
+    ``zooms[0]``; an empty tuple disables salting entirely."""
+
+    zooms = tuple(sorted(zooms))
+    z_base = zooms[0]
+    z_salt = zooms[1] if len(zooms) > 1 else z_base + 2
     n_rows = _estimate_rows(images)
+    no_salt = hot_zooms is not None and z_base not in hot_zooms
 
-    def assign_all(b: pa.Table) -> pa.Table:
+    def assign_base(b: pa.Table) -> pa.Table:
         b = parse_fid(b)
-        outs = []
-        for z in zooms:
-            t = assign_tiles(b, z=z, extent=extent)
-            if hot_zooms is not None:
-                t = salt_hot_tiles(t, hot_zooms=hot_zooms)
-            else:
-                t = salt_dense_tiles(t, corpus_rows=n_rows, max_group_rows=MAX_GROUP_ROWS)
-            outs.append(t.select(_SHUFFLE_COLUMNS))
-        return pa.concat_tables(outs)
+        t = assign_tiles(b, z=z_base, extent=extent)
+        if no_salt:
+            t = t.append_column("salt", pa.array(np.zeros(t.num_rows, dtype=np.int32)))
+        else:
+            t = salt_quadtree(
+                t,
+                corpus_rows=n_rows,
+                z_salt=z_salt,
+                max_group_rows=PYRAMID_GROUP_ROWS,
+            )
+        tid = t["tile_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        salt = t["salt"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        # salt folded into the partition key: fragments of a hot tile SPREAD
+        # across partitions (that is the whole point of salting)
+        h = ((tid * np.uint64(31) + salt) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+        t = t.append_column("part", pa.array((h % np.uint64(N_PART)).astype(np.int64)))
+        return t.select(_PYRAMID_SHIP_COLUMNS)
 
-    ds = images.map_batches(assign_all, batch_format="pyarrow", zero_copy_batch=True)
-    return _encode_partitioned(ds, opts, extent, with_mvt, with_cells)
+    ds = images.map_batches(assign_base, batch_format="pyarrow", zero_copy_batch=True)
+
+    inner = TileEncoder(opts or EncodeOptions(), extent, with_cells=with_cells)
+    inner.with_mvt_baseline = with_mvt
+    encoder = MultiTileEncoder(inner=inner)
+
+    def encode_part(t: pa.Table):
+        # post-shuffle zoom expansion: int tile/local coords only — the
+        # heavy string columns are shared zero-copy across the zoom tables
+        if "part" in t.column_names:
+            t = t.drop_columns(["part"])
+        outs = [
+            assign_tiles(t, z=z, extent=extent).select(_SHUFFLE_COLUMNS) for z in zooms
+        ]
+        return encoder(pa.concat_tables(outs))
+
+    tiles = ds.groupby("part").map_groups(encode_part, batch_format="pyarrow")
+    tiles = tiles.map_batches(verify_tiles_batch, batch_format="pyarrow")
+    return _merge_multi_fragment_tiles(tiles, opts, extent)
 
 
 def write_tiles(tiles: rd.Dataset, out_dir: str, input_desc: dict | None = None) -> dict:

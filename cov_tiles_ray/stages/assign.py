@@ -63,6 +63,65 @@ def _row_salt_hash(batch: pa.Table, n: int) -> np.ndarray:
     return pd.util.hash_array(ids.astype(object)).astype(np.uint64)
 
 
+def salt_quadtree(
+    batch: pa.Table,
+    corpus_rows: int,
+    z_salt: int = 6,
+    max_group_rows: int = 32_768,
+    max_depth: int = 6,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> pa.Table:
+    """Quadtree shuffle salt for the ship-once pyramid exchange.
+
+    The pyramid ships each feature ONCE, partitioned by its coarsest-zoom
+    tile; finer-zoom assignments are re-derived post-shuffle.  A base tile
+    therefore cannot be split by an arbitrary row hash — that would
+    fragment EVERY descendant tile.  Instead EVERY row's salt is a hash of
+    its ancestor tile at a refinement zoom, starting at ``z_salt`` (the
+    second pyramid zoom): rows of one refinement subtree share a salt, so
+    every pyramid tile at a zoom >= its local refinement zoom stays WHOLE
+    inside one fragment; only the coarser tiles fragment and take the
+    merge pass.  Salting is UNIVERSAL (not gated on density) because a
+    group's cost has a per-TILE term as well as a per-row one: an unsalted
+    base-tile group would drag all ~4^(z_max-z_base) descendant tiles into
+    one encode task regardless of row count.  Subtrees whose
+    batch-estimated row mass (in-batch share x corpus size) still exceeds
+    ``max_group_rows`` refine deeper, so group row mass — and worker heap —
+    stays bounded at EVERY corpus scale (the reference's 'low-zoom tiles
+    hold the world' skew, SURVEY.md §4).  The estimate is per batch; a
+    borderline subtree may refine differently across batches, which only
+    creates extra fragments — the count-based merge split reassembles them.
+    """
+    from ..functions import spatial as S_
+    from ..sources.synth import _splitmix64
+
+    n = batch.num_rows
+    if n == 0:
+        return batch.append_column("salt", pa.array(np.zeros(n, dtype=np.int32)))
+    scale = corpus_rows / n if corpus_rows > 0 else 1.0
+    lon = batch[lon_col].to_numpy(zero_copy_only=False)
+    lat = batch[lat_col].to_numpy(zero_copy_only=False)
+    salt_key = np.zeros(n, dtype=np.uint64)
+    idx = np.arange(n)
+    for z in range(z_salt, z_salt + max_depth + 1):
+        tx, ty = S_.lonlat_to_tile(lon[idx], lat[idx], z)
+        child = S_.pack_tile_id(z, tx, ty).astype(np.uint64)
+        _, inv, counts = np.unique(child, return_inverse=True, return_counts=True)
+        fits = (counts.astype(np.float64) * scale)[inv] <= max_group_rows
+        if z == z_salt + max_depth:  # depth cap: salt at the deepest level
+            fits = np.ones(len(idx), dtype=bool)
+        salt_key[idx[fits]] = child[fits]
+        idx = idx[~fits]
+        if len(idx) == 0:
+            break
+    # 1..1021 (never 0 — salt 0 is reserved for 'unsalted'); collisions only
+    # merge sibling subtrees into one fragment (a perf detail, not
+    # a correctness one)
+    salt = 1 + (_splitmix64(salt_key) % np.uint64(1021)).astype(np.int32)
+    return batch.append_column("salt", pa.array(salt))
+
+
 def salt_hot_tiles(batch: pa.Table, hot_zooms=(), num_salts: int = 8) -> pa.Table:
     """Add a shuffle-salt column: tiles at the given HOT zooms split into
     ``num_salts`` sub-groups so one group never holds an unbounded slice of
