@@ -572,9 +572,18 @@ def q_codec_eval(sf_dir: str):
     point corpora).  One row per (corpus, codec): encoded bytes + ratio."""
     from ..functions import codecs as C
     from ..functions import fastpfor as FP
+    from ..functions import pfor_eval as PE
     from .queries import _event_lonlat
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def _zzd(v: np.ndarray) -> np.ndarray:
+        from ..functions.codecs import delta_encode, zigzag_encode
+
+        zz = zigzag_encode(delta_encode(v))
+        if len(zz) and int(zz.max()) >= (1 << 32):
+            raise OverflowError("eval stream value exceeds uint32 after delta+zigzag")
+        return zz.astype(np.uint32)
 
     def corpora(b: pa.Table) -> pa.Table:
         eid = b["event_id"].to_numpy(zero_copy_only=False)
@@ -594,6 +603,14 @@ def q_codec_eval(sf_dir: str):
             "varint_delta_zigzag": C.encode_varint_delta_zigzag,
             "rle_v1": lambda v: C.encode_rle_v1(v, signed=True),
             "fastpfor_delta_zigzag": FP.encode_fastpfor_delta_zigzag,
+            # remaining roles of the reference's 9-codec table
+            # (IntegerCompressionEvaluation.java:72-107); zigzag-delta
+            # front-end matches what the harness feeds its patched codecs
+            "binary_packing": lambda v: PE.encode_binary_packing(_zzd(v)),
+            "newpfd_delta_zigzag": lambda v: PE.encode_newpfd(_zzd(v)),
+            "optpfd_delta_zigzag": lambda v: PE.encode_optpfd(_zzd(v)),
+            "parquet_rle_hybrid": lambda v: PE.encode_parquet_hybrid(_zzd(v)),
+            "parquet_delta": PE.encode_parquet_delta,
         }
         names, cods, sizes, raws = [], [], [], []
         for cname, arr in corp.items():

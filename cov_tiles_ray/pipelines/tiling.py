@@ -30,14 +30,18 @@ from ..stages.assign import (
     assign_hex,
     assign_tiles,
     parse_fid,
+    plan_refinement,
     salt_dense_tiles,
     salt_hot_tiles,
-    salt_quadtree,
+    terminal_cells,
+    tiles_whole,
 )
 from ..stages.tile_encode import (
     MultiTileEncoder,
+    RawFragmentMerger,
     TileEncoder,
     TileFragmentMerger,
+    fragment_ipc_bytes,
     verify_tiles_batch,
 )
 from ..state import checkpoint
@@ -97,9 +101,9 @@ PYRAMID_GROUP_ROWS = 32_768
 
 _SHUFFLE_COLUMNS = ["tile_id", "salt", "fid", "loc_x", "loc_y", "caption", "fmt", "phash"]
 
-# What the ship-once pyramid exchange actually moves: partition key + salt +
-# raw position; every zoom's tile/local coords are re-derived post-shuffle.
-_PYRAMID_SHIP_COLUMNS = ["part", "salt", "fid", "lon", "lat", "caption", "fmt", "phash"]
+# What the ship-once pyramid exchange actually moves: partition key + raw
+# position; every zoom's tile/local coords are re-derived post-shuffle.
+_PYRAMID_SHIP_COLUMNS = ["part", "fid", "lon", "lat", "caption", "fmt", "phash"]
 
 
 def hot_zooms_for(corpus_rows: int, zooms) -> tuple[int, ...]:
@@ -286,69 +290,208 @@ def build_tile_pyramid(
     hot_zooms: tuple[int, ...] | None = None,
     with_cells: bool = False,
 ) -> rd.Dataset:
-    """Full tile pyramid in ONE shuffle, each feature shipped ONCE.
+    """Full tile pyramid: ONE feature exchange, every tile encoded ONCE.
 
-    Features are hash-partitioned by their COARSEST-zoom tile (+ quadtree
-    salt, ``salt_quadtree``); because finer tiles nest inside coarser ones,
-    one partition holds everything needed to encode every zoom's tiles for
-    its slice of the world — the per-zoom assignments are re-derived from
-    lon/lat AFTER the exchange.  Shipping the assignment per zoom instead
-    (the v1 design) moved each feature — caption string included —
-    len(zooms) times through the sort; this exchange carries ~4x fewer
-    bytes at the default 4-zoom pyramid, and the win grows with pyramid
-    depth.  A union of per-zoom pipelines would be worse still: exchange
-    fixed costs once per zoom, measured ~4x worse scaling on a 32-way
-    node.  (Production tileset shape: the reference's corpora span z2-z14,
+    Plan-then-execute: a deterministic sample builds a GLOBAL quadtree
+    refinement plan (``_plan_pyramid``), features hash-partition by their
+    terminal plan cell, and because finer tiles nest inside cells, every
+    tile at a zoom >= its region's terminal level is WHOLE in one partition
+    — encoded there directly (per-zoom assignments re-derived from lon/lat
+    AFTER the exchange, so each feature ships once, not once per zoom).
+    Tiles COARSER than their region's terminal level can never be whole in
+    one partition; their rows ship onward as raw Arrow IPC fragments
+    (dictionary-encoded strings, ``fragment_ipc_bytes``) and the tile is
+    encoded exactly once at the merge (``RawFragmentMerger``).  The v2
+    design encoded those fragments as real COVT tiles and then
+    decode+re-encoded at the merge — ~two wasted encode passes over every
+    low-zoom tile, the dominant non-scaling term at 4->16 CPUs.  A union of
+    per-zoom pipelines would pay the exchange fixed costs once per zoom
+    (measured ~4x worse scaling on a 32-way node).  (Production tileset
+    shape: the reference's corpora span z2-z14,
     CovtConverterTest.java:156-276.)
 
-    ``hot_zooms`` (tests): force-salts the base zoom when it contains
-    ``zooms[0]``; an empty tuple disables salting entirely."""
+    ``hot_zooms`` (tests): ``()`` disables refinement (every tile whole);
+    containing ``zooms[0]`` force-refines the base level so the fragment
+    merge runs even on tiny corpora."""
 
     zooms = tuple(sorted(zooms))
     z_base = zooms[0]
-    z_salt = zooms[1] if len(zooms) > 1 else z_base + 2
     n_rows = _estimate_rows(images)
-    no_salt = hot_zooms is not None and z_base not in hot_zooms
+    refined = _plan_pyramid(images, n_rows, z_base, zooms[-1], hot_zooms)
+    max_depth = (zooms[-1] + 2) - z_base
 
     def assign_base(b: pa.Table) -> pa.Table:
         b = parse_fid(b)
-        t = assign_tiles(b, z=z_base, extent=extent)
-        if no_salt:
-            t = t.append_column("salt", pa.array(np.zeros(t.num_rows, dtype=np.int32)))
-        else:
-            t = salt_quadtree(
-                t,
-                corpus_rows=n_rows,
-                z_salt=z_salt,
-                max_group_rows=PYRAMID_GROUP_ROWS,
-            )
-        tid = t["tile_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        salt = t["salt"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        # salt folded into the partition key: fragments of a hot tile SPREAD
-        # across partitions (that is the whole point of salting)
-        h = ((tid * np.uint64(31) + salt) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
-        t = t.append_column("part", pa.array((h % np.uint64(N_PART)).astype(np.int64)))
-        return t.select(_PYRAMID_SHIP_COLUMNS)
+        lon = b["lon"].to_numpy(zero_copy_only=False)
+        lat = b["lat"].to_numpy(zero_copy_only=False)
+        cell = terminal_cells(lon, lat, refined, z_base, max_depth)
+        # splitmix spreads sibling cells of a hot cluster across the key
+        # range (the groupby sort range-partitions its key); modulo buckets
+        # amortize the per-group cost over many cells per task
+        part = (synth._splitmix64(cell) % np.uint64(N_PART)).astype(np.int64)
+        b = b.append_column("part", pa.array(part))
+        return b.select(_PYRAMID_SHIP_COLUMNS)
 
     ds = images.map_batches(assign_base, batch_format="pyarrow", zero_copy_batch=True)
 
     inner = TileEncoder(opts or EncodeOptions(), extent, with_cells=with_cells)
     inner.with_mvt_baseline = with_mvt
     encoder = MultiTileEncoder(inner=inner)
+    zero_defaults = {
+        "n_features": np.int64, "n_layers": np.int32, "covt_bytes": np.int64,
+        "plain_bytes": np.int64, **({"mvt_bytes": np.int64, "mvt_gzip_bytes": np.int64} if with_mvt else {}),
+    }
+    canon = (
+        ["tile_id", "z", "x", "y", "salt", "n_features", "n_layers", "covt",
+         "covt_bytes", "plain_bytes"]
+        + (["mvt_bytes", "mvt_gzip_bytes"] if with_mvt else [])
+        + ["roundtrip_ok", "kind", "frag"]
+    )
 
-    def encode_part(t: pa.Table):
+    def encode_part(t: pa.Table) -> pa.Table:
         # post-shuffle zoom expansion: int tile/local coords only — the
         # heavy string columns are shared zero-copy across the zoom tables
         if "part" in t.column_names:
             t = t.drop_columns(["part"])
-        outs = [
-            assign_tiles(t, z=z, extent=extent).select(_SHUFFLE_COLUMNS) for z in zooms
-        ]
-        return encoder(pa.concat_tables(outs))
+        whole_tables: list[pa.Table] = []
+        frag_tid: list[int] = []
+        frag_blobs: list[bytes] = []
+        for z in zooms:
+            tz = assign_tiles(t, z=z, extent=extent)
+            whole = tiles_whole(
+                tz["tile_x"].to_numpy(zero_copy_only=False),
+                tz["tile_y"].to_numpy(zero_copy_only=False),
+                z, refined, z_base,
+            )
+            tzs = tz.select(_SHUFFLE_COLUMNS[:1] + _SHUFFLE_COLUMNS[2:])  # no salt col
+            if whole.all():
+                whole_tables.append(tzs)
+                continue
+            whole_idx = np.flatnonzero(whole)
+            if len(whole_idx):
+                whole_tables.append(tzs.take(pa.array(whole_idx)))
+            fr = tzs.take(pa.array(np.flatnonzero(~whole)))
+            tid = fr["tile_id"].to_numpy(zero_copy_only=False)
+            order = np.argsort(tid, kind="stable")
+            fr = fr.take(pa.array(order)).combine_chunks()
+            tid = tid[order]
+            change = np.concatenate([[True], tid[1:] != tid[:-1]])
+            starts = np.flatnonzero(change)
+            ends = np.concatenate([starts[1:], [len(tid)]])
+            payload = fr.drop_columns(["tile_id"])
+            for s, e in zip(starts, ends):
+                frag_tid.append(int(tid[s]))
+                frag_blobs.append(fragment_ipc_bytes(payload.slice(s, e - s)))
+        wt = pa.concat_tables(whole_tables) if whole_tables else None
+        if wt is not None and wt.num_rows:
+            wt = wt.append_column("salt", pa.array(np.zeros(wt.num_rows, dtype=np.int64)))
+            cols = encoder(wt)
+        else:
+            cols = None
+        out = None
+        if cols is not None:
+            n = len(cols["tile_id"])
+            enc_t = pa.table({k: pa.array(v) for k, v in cols.items()})
+            # decode-verify fused into the encode wave (overlaps compute
+            # instead of a second serialized phase; measured 21s vs 26s)
+            enc_t = verify_tiles_batch(enc_t)
+            enc_t = enc_t.append_column("kind", pa.array(np.ones(n, dtype=np.int8)))
+            enc_t = enc_t.append_column("frag", pa.array([b""] * n, pa.binary()))
+            out = enc_t
+        if frag_tid:
+            nf = len(frag_tid)
+            ftid = np.array(frag_tid, dtype=np.int64)
+            fcols: dict[str, pa.Array] = {
+                "tile_id": pa.array(ftid),
+                "z": pa.array((ftid >> 58).astype(np.int32)),
+                "x": pa.array(((ftid >> 29) & ((1 << 29) - 1)).astype(np.int32)),
+                "y": pa.array((ftid & ((1 << 29) - 1)).astype(np.int32)),
+                "salt": pa.array(np.zeros(nf, dtype=np.int32)),
+            }
+            for name, dt in zero_defaults.items():
+                fcols[name] = pa.array(np.zeros(nf, dtype=dt))
+            fcols["covt"] = pa.array([b""] * nf, pa.binary())
+            fcols["roundtrip_ok"] = pa.array(np.ones(nf, dtype=bool))
+            fcols["kind"] = pa.array(np.zeros(nf, dtype=np.int8))
+            fcols["frag"] = pa.array(frag_blobs, pa.binary())
+            ft = pa.table(fcols)
+            out = pa.concat_tables([out.select(ft.column_names), ft]) if out is not None else ft
+        if out is None:
+            # an empty partition: emit an empty table with the full schema
+            empty = {k: pa.array([], pa.int64()) for k in ["tile_id"]}
+            empty.update({k: pa.array([], pa.int32()) for k in ["z", "x", "y", "salt"]})
+            for name, dt in zero_defaults.items():
+                empty[name] = pa.array(np.array([], dtype=dt))
+            empty["covt"] = pa.array([], pa.binary())
+            empty["roundtrip_ok"] = pa.array([], pa.bool_())
+            empty["kind"] = pa.array([], pa.int8())
+            empty["frag"] = pa.array([], pa.binary())
+            out = pa.table(empty)
+        return out.select(canon)
 
     tiles = ds.groupby("part").map_groups(encode_part, batch_format="pyarrow")
-    tiles = tiles.map_batches(verify_tiles_batch, batch_format="pyarrow")
-    return _merge_multi_fragment_tiles(tiles, opts, extent)
+    if not refined:
+        # unrefined plan -> no tile can fragment; stay a single streamed
+        # pipeline (no materialize, no branch)
+        return tiles.drop_columns(["kind", "frag"])
+    # Materialized ONCE so the whole/fragment branches don't re-execute the
+    # exchange; the materialized set is the COMPACT encoded output plus raw
+    # fragments of the few fragmented (coarse/hot) tiles.  The branch
+    # predicate is the local `kind` flag — no driver-side id pull.
+    tiles = tiles.materialize()
+    whole = tiles.filter(expr="kind == 1").drop_columns(["kind", "frag"])
+    frags = tiles.filter(expr="kind == 0").select_columns(["tile_id", "frag"])
+    merger = RawFragmentMerger(
+        opts or EncodeOptions(), extent, with_cells=with_cells, with_mvt=with_mvt
+    )
+
+    def merge_tile(g):
+        return merger(g)
+
+    merged = frags.groupby("tile_id").map_groups(merge_tile, batch_format="numpy")
+    return whole.union(merged)
+
+
+def _plan_pyramid(
+    images: rd.Dataset,
+    n_rows: int,
+    z_base: int,
+    z_max: int,
+    hot_zooms: tuple[int, ...] | None,
+    sample_target: int = 200_000,
+) -> dict[int, np.ndarray]:
+    """Compute the pyramid's global refinement plan from a deterministic
+    sample (splitmix64(fid) threshold — shard-independent, so every run and
+    every cluster size plans IDENTICALLY).  Driver memory is bounded by
+    ``sample_target`` rows of (lon, lat) at ANY corpus scale; the extra
+    pass reads only the lon/lat/image_id columns.
+
+    ``hot_zooms`` test hook: ``()`` disables refinement entirely (every
+    tile whole); containing ``z_base`` force-refines the base level so the
+    fragment-merge path runs even on tiny corpora."""
+    if hot_zooms is not None and z_base not in hot_zooms:
+        return {}
+    force = (z_base,) if hot_zooms is not None else ()
+    p = min(1.0, sample_target / max(n_rows, 1))
+    thresh = np.uint64(int(p * (1 << 32)))
+
+    def pick(b: pa.Table) -> pa.Table:
+        b2 = parse_fid(b)
+        fid = b2["fid"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        keep = (synth._splitmix64(fid) & np.uint64(0xFFFFFFFF)) < thresh
+        return b.select(["lon", "lat"]).filter(pa.array(keep))
+
+    s = images.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    est_scale = n_rows / max(len(s), 1)
+    return plan_refinement(
+        s["lon"].to_numpy(),
+        s["lat"].to_numpy(),
+        est_scale,
+        z_base=z_base,
+        cap=PYRAMID_GROUP_ROWS,
+        max_depth=(z_max + 2) - z_base,
+        force_levels=force,
+    )
 
 
 def write_tiles(tiles: rd.Dataset, out_dir: str, input_desc: dict | None = None) -> dict:

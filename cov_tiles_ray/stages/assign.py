@@ -63,63 +63,121 @@ def _row_salt_hash(batch: pa.Table, n: int) -> np.ndarray:
     return pd.util.hash_array(ids.astype(object)).astype(np.uint64)
 
 
-def salt_quadtree(
-    batch: pa.Table,
-    corpus_rows: int,
-    z_salt: int = 6,
-    max_group_rows: int = 32_768,
+def plan_refinement(
+    lon: np.ndarray,
+    lat: np.ndarray,
+    est_scale: float,
+    z_base: int = 4,
+    cap: int = 32_768,
     max_depth: int = 6,
-    lon_col: str = "lon",
-    lat_col: str = "lat",
-) -> pa.Table:
-    """Quadtree shuffle salt for the ship-once pyramid exchange.
+    force_levels: tuple = (),
+) -> dict[int, np.ndarray]:
+    """Build the pyramid's GLOBAL quadtree refinement plan from a sample.
 
-    The pyramid ships each feature ONCE, partitioned by its coarsest-zoom
-    tile; finer-zoom assignments are re-derived post-shuffle.  A base tile
-    therefore cannot be split by an arbitrary row hash — that would
-    fragment EVERY descendant tile.  Instead EVERY row's salt is a hash of
-    its ancestor tile at a refinement zoom, starting at ``z_salt`` (the
-    second pyramid zoom): rows of one refinement subtree share a salt, so
-    every pyramid tile at a zoom >= its local refinement zoom stays WHOLE
-    inside one fragment; only the coarser tiles fragment and take the
-    merge pass.  Salting is UNIVERSAL (not gated on density) because a
-    group's cost has a per-TILE term as well as a per-row one: an unsalted
-    base-tile group would drag all ~4^(z_max-z_base) descendant tiles into
-    one encode task regardless of row count.  Subtrees whose
-    batch-estimated row mass (in-batch share x corpus size) still exceeds
-    ``max_group_rows`` refine deeper, so group row mass — and worker heap —
-    stays bounded at EVERY corpus scale (the reference's 'low-zoom tiles
-    hold the world' skew, SURVEY.md §4).  The estimate is per batch; a
-    borderline subtree may refine differently across batches, which only
-    creates extra fragments — the count-based merge split reassembles them.
+    Returns ``{level: sorted uint64 cell ids}`` — the cells whose estimated
+    row mass (sample count x ``est_scale``) exceeds ``cap`` and therefore
+    split into their four children for partitioning.  The plan is computed
+    ONCE (driver-side, from a deterministic sample) and broadcast, so every
+    batch makes IDENTICAL split decisions — which makes "is this tile whole
+    inside its partition?" locally decidable (``tiles_whole``) and removes
+    the borderline-tile fragment duplication class the per-batch adaptive
+    salting had (tests/test_salting.py history).  This is the same
+    sample-then-plan pattern Ray's sort uses for range boundaries; the
+    sample size bounds driver memory at ANY corpus scale.
+
+    ``force_levels`` refines every observed cell at those levels
+    unconditionally (test hook for exercising the merge path on tiny data).
     """
     from ..functions import spatial as S_
-    from ..sources.synth import _splitmix64
 
-    n = batch.num_rows
-    if n == 0:
-        return batch.append_column("salt", pa.array(np.zeros(n, dtype=np.int32)))
-    scale = corpus_rows / n if corpus_rows > 0 else 1.0
-    lon = batch[lon_col].to_numpy(zero_copy_only=False)
-    lat = batch[lat_col].to_numpy(zero_copy_only=False)
-    salt_key = np.zeros(n, dtype=np.uint64)
-    idx = np.arange(n)
-    for z in range(z_salt, z_salt + max_depth + 1):
-        tx, ty = S_.lonlat_to_tile(lon[idx], lat[idx], z)
-        child = S_.pack_tile_id(z, tx, ty).astype(np.uint64)
-        _, inv, counts = np.unique(child, return_inverse=True, return_counts=True)
-        fits = (counts.astype(np.float64) * scale)[inv] <= max_group_rows
-        if z == z_salt + max_depth:  # depth cap: salt at the deepest level
-            fits = np.ones(len(idx), dtype=bool)
-        salt_key[idx[fits]] = child[fits]
-        idx = idx[~fits]
-        if len(idx) == 0:
+    refined: dict[int, np.ndarray] = {}
+    zmax = z_base + max_depth
+    if len(lon) == 0:
+        return refined
+    tx, ty = S_.lonlat_to_tile(lon, lat, zmax)
+    active = np.ones(len(lon), dtype=bool)
+    for l in range(z_base, zmax):  # never refine the deepest level
+        sh = zmax - l
+        cells = S_.pack_tile_id(l, tx >> sh, ty >> sh).astype(np.uint64)
+        u, cnt = np.unique(cells[active], return_counts=True)
+        if l in force_levels:
+            hot = u
+        else:
+            hot = u[cnt.astype(np.float64) * est_scale > cap]
+        if len(hot) == 0:
             break
-    # 1..1021 (never 0 — salt 0 is reserved for 'unsalted'); collisions only
-    # merge sibling subtrees into one fragment (a perf detail, not
-    # a correctness one)
-    salt = 1 + (_splitmix64(salt_key) % np.uint64(1021)).astype(np.int32)
-    return batch.append_column("salt", pa.array(salt))
+        refined[l] = np.sort(hot)
+        active &= np.isin(cells, hot)
+        if not active.any():
+            break
+    return refined
+
+
+def terminal_cells(
+    lon: np.ndarray,
+    lat: np.ndarray,
+    refined: dict[int, np.ndarray],
+    z_base: int = 4,
+    max_depth: int = 6,
+) -> np.ndarray:
+    """Per-row terminal quadtree cell under a refinement plan: walk down
+    from ``z_base``, descending while the ancestor cell is refined.  The
+    terminal cell is the pyramid exchange's partition key — all rows of any
+    tile at a zoom >= the terminal level land in ONE partition."""
+    from ..functions import spatial as S_
+
+    n = len(lon)
+    zmax = z_base + max_depth
+    term = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return term
+    tx, ty = S_.lonlat_to_tile(lon, lat, zmax)
+    undecided = np.ones(n, dtype=bool)
+    for l in range(z_base, zmax + 1):
+        sh = zmax - l
+        cells = S_.pack_tile_id(l, tx >> sh, ty >> sh).astype(np.uint64)
+        r = refined.get(l)
+        if r is None or len(r) == 0:
+            term[undecided] = cells[undecided]
+            return term
+        stop = undecided & ~np.isin(cells, r)
+        term[stop] = cells[stop]
+        undecided &= ~stop
+        if not undecided.any():
+            return term
+    # depth cap: anything still undecided terminates at the deepest level
+    term[undecided] = S_.pack_tile_id(zmax, tx, ty).astype(np.uint64)[undecided]
+    return term
+
+
+def tiles_whole(
+    tile_x: np.ndarray,
+    tile_y: np.ndarray,
+    z: int,
+    refined: dict[int, np.ndarray],
+    z_base: int = 4,
+) -> np.ndarray:
+    """Whole-tile mask: tile t at zoom ``z`` has ALL its corpus rows inside
+    one terminal-cell partition iff the refinement walk along t's own
+    ancestors stops at a level <= z — equivalently, NOT every ancestor in
+    [z_base, z] is refined.  Purely a function of the broadcast plan and
+    the tile coords, so every partition classifies identically."""
+    from ..functions import spatial as S_
+
+    n = len(tile_x)
+    if z < z_base:
+        return np.zeros(n, dtype=bool)  # coarser than the partition root
+    frag = np.ones(n, dtype=bool)
+    for l in range(z_base, z + 1):
+        r = refined.get(l)
+        if r is None or len(r) == 0:
+            return np.ones(n, dtype=bool)
+        sh = z - l
+        cells = S_.pack_tile_id(l, tile_x >> sh, tile_y >> sh).astype(np.uint64)
+        frag &= np.isin(cells, r)
+        if not frag.any():
+            break
+    return ~frag
 
 
 def salt_hot_tiles(batch: pa.Table, hot_zooms=(), num_salts: int = 8) -> pa.Table:

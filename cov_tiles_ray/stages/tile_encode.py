@@ -492,6 +492,75 @@ class TileFragmentMerger:
         return out
 
 
+def fragment_ipc_bytes(sub: pa.Table) -> bytes:
+    """Serialize one tile-fragment slice as an Arrow IPC stream with
+    dictionary-encoded string columns — the pyramid's raw-fragment transit
+    format.  Fragments ship ONCE and are encoded ONCE at the merge, so the
+    transit format optimizes for (de)serialization speed + shuffle bytes,
+    not for the COVT candidate machinery (SURVEY.md §7.4 'pre-encode
+    partial streams per salt, concat-merge in final group' — here the
+    'partial stream' is simply the columnar rows)."""
+    import pyarrow.compute as pc
+
+    for name in ("caption", "fmt"):
+        i = sub.schema.get_field_index(name)
+        col = sub[name]
+        if not pa.types.is_dictionary(col.type):
+            sub = sub.set_column(i, name, pc.dictionary_encode(col))
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, sub.schema) as w:
+        w.write_table(sub)
+    return sink.getvalue().to_pybytes()
+
+
+class RawFragmentMerger:
+    """map_groups kernel for the pyramid's fragment path: one group = ALL
+    raw (never-encoded) fragments of ONE tile, as IPC blobs.  Deserialize,
+    concat, sort by fid, encode the tile EXACTLY ONCE — replacing the old
+    encode-fragments → decode → re-encode merge, which paid ~two extra full
+    encode passes over every fragmented (low-zoom) tile."""
+
+    def __init__(
+        self,
+        opts: EncodeOptions | None = None,
+        extent: int = 4096,
+        with_cells: bool = False,
+        with_mvt: bool = False,
+    ):
+        self.enc = TileEncoder(opts, extent, with_cells=with_cells)
+        self.enc.with_mvt_baseline = with_mvt
+
+    def _merge_one(self, tid: int, blobs) -> dict:
+        tables = [pa.ipc.open_stream(pa.py_buffer(b)).read_all() for b in blobs]
+        t = pa.concat_tables(tables).combine_chunks()
+        for name in ("caption", "fmt"):
+            i = t.schema.get_field_index(name)
+            if pa.types.is_dictionary(t[name].type):
+                t = t.set_column(i, name, t[name].cast(pa.string()))
+        order = np.argsort(t["fid"].to_numpy(zero_copy_only=False), kind="stable")
+        t = t.take(pa.array(order)).combine_chunks()
+        row = self.enc.encode_one_table(t, tid, 0)
+        # same verify policy as the whole-tile path: basic decode check on
+        # every tile; full_ok carries the deterministic full-equality sample
+        row["roundtrip_ok"] = row.pop("full_ok") and verify_tile_buf(
+            row["covt"], row["n_features"], n_layers=row["n_layers"]
+        )
+        return row
+
+    def __call__(self, g: dict) -> dict:
+        tid = np.asarray(g["tile_id"], dtype=np.int64)
+        blobs = np.asarray(g["frag"], dtype=object)
+        order = np.argsort(tid, kind="stable")
+        tid, blobs = tid[order], blobs[order]
+        change = np.concatenate([[True], tid[1:] != tid[:-1]])
+        starts = np.flatnonzero(change)
+        ends = np.concatenate([starts[1:], [len(tid)]])
+        rows = [
+            self._merge_one(int(tid[s]), blobs[s:e]) for s, e in zip(starts, ends)
+        ]
+        return TileEncoder.rows_to_columns(rows)
+
+
 def verify_tiles_batch(batch: pa.Table) -> pa.Table:
     """Decode-verify stage: decode every COVT tile and check feature counts
     and id round-trip (the engine's per-partition slice of the reference's
