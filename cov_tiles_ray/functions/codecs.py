@@ -23,6 +23,8 @@ repeat/cumsum scatter, RLE via constant-delta segment detection.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 
 U64 = np.uint64
@@ -341,6 +343,26 @@ _MAX_RUN = 130  # header <= 0x7f -> numRuns = header + 3
 _MAX_LITERALS = 128  # header > 0x7f -> numLiterals = 256 - header
 
 
+@lru_cache(maxsize=8192)
+def _const_rle_v1(val: int, n: int, signed: bool) -> bytes:
+    """RLE v1 of a constant array — byte-identical to the greedy path:
+    delta-0 runs of <=130, any 1-2 value remainder as a literal group."""
+    u = ((val << 1) ^ (val >> 63)) & _U64_MASK if signed else val & _U64_MASK
+    vb = encode_varint_scalar(u)
+    out = bytearray()
+    span = n
+    if span >= _MIN_RUN:
+        while span >= _MIN_RUN:
+            take = min(span, _MAX_RUN)
+            out += bytes([take - 3, 0])
+            out += vb
+            span -= take
+    if span:
+        out.append(256 - span)
+        out += vb * span
+    return bytes(out)
+
+
 def encode_rle_v1(values: np.ndarray, signed: bool) -> bytes:
     """ORC-style RLE v1 encode (framing per decodingUtils.ts:230-265).
 
@@ -363,6 +385,14 @@ def encode_rle_v1(values: np.ndarray, signed: bool) -> bytes:
     n = len(v)
     if n == 0:
         return b""
+    # constant arrays (all-1 part_offsets, all-4 ring_offsets, zero salts —
+    # the flagship's every-tile topology streams) hit a cached scalar
+    # emitter: the greedy machinery costs ~50us of numpy fixed overhead per
+    # call on tiny streams for a byte-identical result
+    if (n <= 4 and v[0] == v[-1] and (n < 3 or (v[1] == v[0] and v[2] == v[0]))) or (
+        n > 4 and (v[0] == v).all()
+    ):
+        return _const_rle_v1(int(v[0]), n, signed)
     if n > 64:
         return _encode_rle_v1_vec(v, signed)
 

@@ -91,13 +91,14 @@ N_PART = 4096
 MAX_GROUP_ROWS = 16_384
 SALT_SAFETY = 8
 
-# Pyramid refinement cap (ship-once exchange): a quadtree-salt subtree whose
-# estimated row mass exceeds this refines one zoom deeper.  Larger than
-# MAX_GROUP_ROWS because pyramid groups are bounded in TILE count by the
-# subtree shape (the per-tile encode term), so the row cap only guards heap
-# and task balance; a smaller cap would refine past pyramid zooms and drag
-# their tiles through the merge's decode+re-encode for little balance gain.
-PYRAMID_GROUP_ROWS = 32_768
+# Pyramid refinement cap (ship-once exchange): a quadtree cell whose
+# estimated row mass exceeds this refines into its four children.  A cell is
+# the largest indivisible unit the exchange can place in one reduce block,
+# so the cap bounds the encode stage's straggler task directly: 32k left a
+# 33.6k-row block = 10.3s task vs 2.1s mean at sf0.1/32cpus; 8k cuts the
+# straggler to ~8s and the headline by ~2s.  The cost of refining deeper is
+# a few more coarse tiles taking the (single-encode) raw-fragment merge.
+PYRAMID_GROUP_ROWS = 8_192
 
 _SHUFFLE_COLUMNS = ["tile_id", "salt", "fid", "loc_x", "loc_y", "caption", "fmt", "phash"]
 
@@ -280,6 +281,128 @@ def build_tiles(
     return _encode_partitioned(ds, opts, extent, with_mvt, with_cells)
 
 
+class PyramidPartEncoder:
+    """map_groups kernel for the pyramid exchange: one group = one hash
+    partition of terminal plan cells.  Re-derives every zoom's tile
+    assignment from lon/lat (the exchange ships each feature ONCE), encodes
+    every tile that is WHOLE under the broadcast refinement plan, and emits
+    the rows of fragmented (coarser-than-terminal) tiles as raw Arrow IPC
+    blobs for the single downstream merge encode.
+
+    A module-level class (not a closure) so the kernel is constructible in
+    tests/profilers without a Ray session, and so the captured plan ships
+    once per task via the serialized callable."""
+
+    def __init__(
+        self,
+        zooms: tuple[int, ...],
+        refined: dict[int, np.ndarray],
+        opts: EncodeOptions | None = None,
+        extent: int = 4096,
+        with_mvt: bool = False,
+        with_cells: bool = False,
+    ):
+        self.zooms = tuple(sorted(zooms))
+        self.z_base = self.zooms[0]
+        self.refined = refined
+        self.extent = extent
+        inner = TileEncoder(opts or EncodeOptions(), extent, with_cells=with_cells)
+        inner.with_mvt_baseline = with_mvt
+        self.encoder = MultiTileEncoder(inner=inner)
+        self.zero_defaults = {
+            "n_features": np.int64, "n_layers": np.int32, "covt_bytes": np.int64,
+            "plain_bytes": np.int64,
+            **({"mvt_bytes": np.int64, "mvt_gzip_bytes": np.int64} if with_mvt else {}),
+        }
+        self.canon = (
+            ["tile_id", "z", "x", "y", "salt", "n_features", "n_layers", "covt",
+             "covt_bytes", "plain_bytes"]
+            + (["mvt_bytes", "mvt_gzip_bytes"] if with_mvt else [])
+            + ["roundtrip_ok", "kind", "frag"]
+        )
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        # post-shuffle zoom expansion: int tile/local coords only — the
+        # heavy string columns are shared zero-copy across the zoom tables
+        if "part" in t.column_names:
+            t = t.drop_columns(["part"])
+        whole_tables: list[pa.Table] = []
+        frag_tid: list[int] = []
+        frag_blobs: list[bytes] = []
+        for z in self.zooms:
+            tz = assign_tiles(t, z=z, extent=self.extent)
+            whole = tiles_whole(
+                tz["tile_x"].to_numpy(zero_copy_only=False),
+                tz["tile_y"].to_numpy(zero_copy_only=False),
+                z, self.refined, self.z_base,
+            )
+            tzs = tz.select(_SHUFFLE_COLUMNS[:1] + _SHUFFLE_COLUMNS[2:])  # no salt col
+            if whole.all():
+                whole_tables.append(tzs)
+                continue
+            whole_idx = np.flatnonzero(whole)
+            if len(whole_idx):
+                whole_tables.append(tzs.take(pa.array(whole_idx)))
+            fr = tzs.take(pa.array(np.flatnonzero(~whole)))
+            tid = fr["tile_id"].to_numpy(zero_copy_only=False)
+            order = np.argsort(tid, kind="stable")
+            fr = fr.take(pa.array(order)).combine_chunks()
+            tid = tid[order]
+            change = np.concatenate([[True], tid[1:] != tid[:-1]])
+            starts = np.flatnonzero(change)
+            ends = np.concatenate([starts[1:], [len(tid)]])
+            payload = fr.drop_columns(["tile_id"])
+            for s, e in zip(starts, ends):
+                frag_tid.append(int(tid[s]))
+                frag_blobs.append(fragment_ipc_bytes(payload.slice(s, e - s)))
+        wt = pa.concat_tables(whole_tables) if whole_tables else None
+        if wt is not None and wt.num_rows:
+            wt = wt.append_column("salt", pa.array(np.zeros(wt.num_rows, dtype=np.int64)))
+            cols = self.encoder(wt)
+        else:
+            cols = None
+        out = None
+        if cols is not None:
+            n = len(cols["tile_id"])
+            enc_t = pa.table({k: pa.array(v) for k, v in cols.items()})
+            # decode-verify fused into the encode wave (overlaps compute
+            # instead of a second serialized phase; measured 21s vs 26s)
+            enc_t = verify_tiles_batch(enc_t)
+            enc_t = enc_t.append_column("kind", pa.array(np.ones(n, dtype=np.int8)))
+            enc_t = enc_t.append_column("frag", pa.array([b""] * n, pa.binary()))
+            out = enc_t
+        if frag_tid:
+            nf = len(frag_tid)
+            ftid = np.array(frag_tid, dtype=np.int64)
+            fcols: dict[str, pa.Array] = {
+                "tile_id": pa.array(ftid),
+                "z": pa.array((ftid >> 58).astype(np.int32)),
+                "x": pa.array(((ftid >> 29) & ((1 << 29) - 1)).astype(np.int32)),
+                "y": pa.array((ftid & ((1 << 29) - 1)).astype(np.int32)),
+                "salt": pa.array(np.zeros(nf, dtype=np.int32)),
+            }
+            for name, dt in self.zero_defaults.items():
+                fcols[name] = pa.array(np.zeros(nf, dtype=dt))
+            fcols["covt"] = pa.array([b""] * nf, pa.binary())
+            fcols["roundtrip_ok"] = pa.array(np.ones(nf, dtype=bool))
+            fcols["kind"] = pa.array(np.zeros(nf, dtype=np.int8))
+            fcols["frag"] = pa.array(frag_blobs, pa.binary())
+            ft = pa.table(fcols)
+            out = pa.concat_tables([out.select(ft.column_names), ft]) if out is not None else ft
+        if out is None:
+            # an empty partition: emit an empty table with the full schema
+            empty = {k: pa.array([], pa.int64()) for k in ["tile_id"]}
+            empty.update({k: pa.array([], pa.int32()) for k in ["z", "x", "y", "salt"]})
+            for name, dt in self.zero_defaults.items():
+                empty[name] = pa.array(np.array([], dtype=dt))
+            empty["covt"] = pa.array([], pa.binary())
+            empty["roundtrip_ok"] = pa.array([], pa.bool_())
+            empty["kind"] = pa.array([], pa.int8())
+            empty["frag"] = pa.array([], pa.binary())
+            out = pa.table(empty)
+        return out.select(self.canon)
+
+
 def build_tile_pyramid(
     images: rd.Dataset,
     zooms: tuple[int, ...] = (4, 6, 8, 10),
@@ -334,100 +457,12 @@ def build_tile_pyramid(
 
     ds = images.map_batches(assign_base, batch_format="pyarrow", zero_copy_batch=True)
 
-    inner = TileEncoder(opts or EncodeOptions(), extent, with_cells=with_cells)
-    inner.with_mvt_baseline = with_mvt
-    encoder = MultiTileEncoder(inner=inner)
-    zero_defaults = {
-        "n_features": np.int64, "n_layers": np.int32, "covt_bytes": np.int64,
-        "plain_bytes": np.int64, **({"mvt_bytes": np.int64, "mvt_gzip_bytes": np.int64} if with_mvt else {}),
-    }
-    canon = (
-        ["tile_id", "z", "x", "y", "salt", "n_features", "n_layers", "covt",
-         "covt_bytes", "plain_bytes"]
-        + (["mvt_bytes", "mvt_gzip_bytes"] if with_mvt else [])
-        + ["roundtrip_ok", "kind", "frag"]
+    kernel = PyramidPartEncoder(
+        zooms, refined, opts=opts, extent=extent, with_mvt=with_mvt, with_cells=with_cells
     )
 
-    def encode_part(t: pa.Table) -> pa.Table:
-        # post-shuffle zoom expansion: int tile/local coords only — the
-        # heavy string columns are shared zero-copy across the zoom tables
-        if "part" in t.column_names:
-            t = t.drop_columns(["part"])
-        whole_tables: list[pa.Table] = []
-        frag_tid: list[int] = []
-        frag_blobs: list[bytes] = []
-        for z in zooms:
-            tz = assign_tiles(t, z=z, extent=extent)
-            whole = tiles_whole(
-                tz["tile_x"].to_numpy(zero_copy_only=False),
-                tz["tile_y"].to_numpy(zero_copy_only=False),
-                z, refined, z_base,
-            )
-            tzs = tz.select(_SHUFFLE_COLUMNS[:1] + _SHUFFLE_COLUMNS[2:])  # no salt col
-            if whole.all():
-                whole_tables.append(tzs)
-                continue
-            whole_idx = np.flatnonzero(whole)
-            if len(whole_idx):
-                whole_tables.append(tzs.take(pa.array(whole_idx)))
-            fr = tzs.take(pa.array(np.flatnonzero(~whole)))
-            tid = fr["tile_id"].to_numpy(zero_copy_only=False)
-            order = np.argsort(tid, kind="stable")
-            fr = fr.take(pa.array(order)).combine_chunks()
-            tid = tid[order]
-            change = np.concatenate([[True], tid[1:] != tid[:-1]])
-            starts = np.flatnonzero(change)
-            ends = np.concatenate([starts[1:], [len(tid)]])
-            payload = fr.drop_columns(["tile_id"])
-            for s, e in zip(starts, ends):
-                frag_tid.append(int(tid[s]))
-                frag_blobs.append(fragment_ipc_bytes(payload.slice(s, e - s)))
-        wt = pa.concat_tables(whole_tables) if whole_tables else None
-        if wt is not None and wt.num_rows:
-            wt = wt.append_column("salt", pa.array(np.zeros(wt.num_rows, dtype=np.int64)))
-            cols = encoder(wt)
-        else:
-            cols = None
-        out = None
-        if cols is not None:
-            n = len(cols["tile_id"])
-            enc_t = pa.table({k: pa.array(v) for k, v in cols.items()})
-            # decode-verify fused into the encode wave (overlaps compute
-            # instead of a second serialized phase; measured 21s vs 26s)
-            enc_t = verify_tiles_batch(enc_t)
-            enc_t = enc_t.append_column("kind", pa.array(np.ones(n, dtype=np.int8)))
-            enc_t = enc_t.append_column("frag", pa.array([b""] * n, pa.binary()))
-            out = enc_t
-        if frag_tid:
-            nf = len(frag_tid)
-            ftid = np.array(frag_tid, dtype=np.int64)
-            fcols: dict[str, pa.Array] = {
-                "tile_id": pa.array(ftid),
-                "z": pa.array((ftid >> 58).astype(np.int32)),
-                "x": pa.array(((ftid >> 29) & ((1 << 29) - 1)).astype(np.int32)),
-                "y": pa.array((ftid & ((1 << 29) - 1)).astype(np.int32)),
-                "salt": pa.array(np.zeros(nf, dtype=np.int32)),
-            }
-            for name, dt in zero_defaults.items():
-                fcols[name] = pa.array(np.zeros(nf, dtype=dt))
-            fcols["covt"] = pa.array([b""] * nf, pa.binary())
-            fcols["roundtrip_ok"] = pa.array(np.ones(nf, dtype=bool))
-            fcols["kind"] = pa.array(np.zeros(nf, dtype=np.int8))
-            fcols["frag"] = pa.array(frag_blobs, pa.binary())
-            ft = pa.table(fcols)
-            out = pa.concat_tables([out.select(ft.column_names), ft]) if out is not None else ft
-        if out is None:
-            # an empty partition: emit an empty table with the full schema
-            empty = {k: pa.array([], pa.int64()) for k in ["tile_id"]}
-            empty.update({k: pa.array([], pa.int32()) for k in ["z", "x", "y", "salt"]})
-            for name, dt in zero_defaults.items():
-                empty[name] = pa.array(np.array([], dtype=dt))
-            empty["covt"] = pa.array([], pa.binary())
-            empty["roundtrip_ok"] = pa.array([], pa.bool_())
-            empty["kind"] = pa.array([], pa.int8())
-            empty["frag"] = pa.array([], pa.binary())
-            out = pa.table(empty)
-        return out.select(canon)
+    def encode_part(t: pa.Table) -> pa.Table:  # map_groups needs __name__
+        return kernel(t)
 
     tiles = ds.groupby("part").map_groups(encode_part, batch_format="pyarrow")
     if not refined:

@@ -114,8 +114,11 @@ def decode_layer(buf, pos: int, ids=None) -> tuple[LayerData, int]:
                 col_name, pos = C.decode_string(b, pos)
         desc = b[pos]
         pos += 1
-        dt = ColumnDataType((desc >> 3) & 0xF)
-        ct = ColumnType(desc & 0x7)
+        # plain ints, not enum constructions (IntEnum-compatible in every
+        # comparison and as PropertyColumn.data_type; constructing 2 enums
+        # per column measurably dents many-tiny-tile decode)
+        dt = (desc >> 3) & 0xF
+        ct = desc & 0x7
         ns, pos = C.read_varint_py(b, pos)
         metas, pos = _read_streams(b, pos, ns)
         columns.append((cid, col_name, dt, ct, metas))
