@@ -829,11 +829,82 @@ def q_covt_golden_decode(sf_dir: str):
     return df
 
 
+GOLDEN_COVT_DIRS = [
+    "/root/reference/test/fixtures/omt/covt",
+    "/root/reference/test/fixtures/bing/covt",
+    "/root/reference/test/fixtures/amazon/covt",
+    "/root/reference/test/fixtures/amazon_here/covt",
+    "/root/reference/parser/js/data/omt",
+    "/root/reference/parser/js/data/bing",
+    "/root/reference/parser/js/data/amazon",
+]
+
+
+def q_covt_ref_write(sf_dir: str):
+    """Reference-layout WRITER sweep: decode every parseable golden, write
+    it back in the reference's own old-layout framing
+    (sources/covt_ref_write.py), re-read, and require EXACT LayerData
+    equality — tiles the engine writes are readable by the reference's
+    parsers.  One task per golden via read_binary_files; the documented
+    defective goldens (tests/test_covt_ref.py header) count as
+    ``parsed=0``.  Ignores ``sf_dir``."""
+    import os as _os
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    dirs = [d for d in GOLDEN_COVT_DIRS if _os.path.isdir(d)]
+    files = rd.read_binary_files(dirs, include_paths=True, file_extensions=["covt"])
+
+    def check(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..sources.covt_ref import parse_ref_covt
+        from ..sources.covt_ref_write import encode_ref_tile
+
+        out = []
+        for _, row in batch.iterrows():
+            p = row["path"]
+            corpus = p.split("/reference/", 1)[-1].rsplit("/", 2)[0].replace("/", "_")
+            rec = {
+                "corpus": corpus, "tile": _os.path.basename(p)[:-5],
+                "parsed": False, "exact": False,
+                "golden_bytes": len(row["bytes"]), "our_bytes": 0,
+            }
+            try:
+                layers = parse_ref_covt(bytes(row["bytes"]))
+                rec["parsed"] = True
+                buf = encode_ref_tile(layers)
+                rec["our_bytes"] = len(buf)
+                back = parse_ref_covt(buf)
+                rec["exact"] = len(back) == len(layers) and all(
+                    a == b for a, b in zip(layers, back)
+                )
+            except Exception:
+                pass
+            out.append(rec)
+        return pd.DataFrame(out)
+
+    return (
+        files.map_batches(check, batch_format="pandas", batch_size=1)
+        .groupby("corpus")
+        .aggregate(
+            Count(alias_name="tiles"),
+            Sum("parsed", alias_name="parsed"),
+            Sum("exact", alias_name="exact"),
+            Sum("golden_bytes", alias_name="golden_bytes"),
+            Sum("our_bytes", alias_name="our_bytes"),
+        )
+        .to_pandas()
+        .sort_values("corpus")
+        .reset_index(drop=True)
+    )
+
+
 # simhash_docs / langid_detect / quality_scores / doc_fingerprints moved to
 # the SQL-oracle registry (pipelines.queries.SQL_QUERIES, VERDICT r1 #4).
 ROWS_ONLY_QUERIES = {
     "omt_fixture_transcode": q_omt_fixture_transcode,
     "covt_golden_decode": q_covt_golden_decode,
+    "covt_ref_write": q_covt_ref_write,
     "covt_tiles": q_covt_tiles,
     "covt_compression": q_covt_compression,
     "validate_images": q_validate_images,

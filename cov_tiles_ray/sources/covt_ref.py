@@ -769,6 +769,11 @@ def _decode_property(b, p, cname, dt, ct, nfeat, streams, props):
     elif dt == _DT_FLOAT:
         vals, _ = C.decode_floats_le(b, nv, pos)
         props[cname] = PropertyColumn(ColumnDataType.FLOAT, present, vals)
+    elif dt == _DT_DOUBLE:
+        # no golden carries doubles (the old converter threw on them); the
+        # branch exists for tiles written by covt_ref_write.encode_ref_tile
+        vals, _ = C.decode_doubles_le(b, nv, pos)
+        props[cname] = PropertyColumn(ColumnDataType.DOUBLE, present, vals)
     elif dt == _DT_STRING:
         idx = _decode_int_stream(b, pos, nv, bl, enc)
         lpos, lnv, lbl, lenc = smap["length"]
