@@ -70,6 +70,10 @@ def _enc_unsigned(vals: np.ndarray) -> tuple[int, bytes]:
     if len(v) and (np.diff(v) >= 0).all() and v[0] >= 0:
         d = C.delta_encode(v)
         cands.append((R._ENC_VARINT_DELTA, C.encode_varint(d.view(U64))))
+    if len(v) >= _FPF_MIN_VALUES:
+        fp = _fastpfor_zz_delta(v)
+        if fp is not None:
+            cands.append((R._ENC_FASTPFOR_DELTA_ZZ, fp))
     return min(cands, key=lambda c: len(c[1]))
 
 
@@ -80,7 +84,146 @@ def _enc_signed(vals: np.ndarray) -> tuple[int, bytes]:
         (R._ENC_RLE, C.encode_rle_v1(v, signed=True)),
         (R._ENC_VARINT_DELTA_ZZ, C.encode_varint_delta_zigzag(v)),
     ]
+    if len(v) >= _FPF_MIN_VALUES:
+        fp = _fastpfor_zz_delta(v)
+        if fp is not None:
+            cands.append((R._ENC_FASTPFOR_DELTA_ZZ, fp))
     return min(cands, key=lambda c: len(c[1]))
+
+
+# ---------------------------------------------------------------------------
+# JavaFastPFOR-compatible encoder: Composition(FastPFOR(), VariableByte())
+# (exact inverse of covt_ref._decode_fastpfor_ints; layout pinned there)
+# ---------------------------------------------------------------------------
+
+_FPF_BLOCK = 256
+_FPF_PAGE = 65536
+_FPF_MIN_VALUES = 64  # below this the VB-only stream can't beat varints
+U32 = np.uint32
+
+
+def _pack_bits(vals: np.ndarray, b: int) -> np.ndarray:
+    """Tightly pack b-bit values LSB-first across u32 words (inverse of
+    covt_ref._unpack_bits)."""
+    count = len(vals)
+    if b == 0 or count == 0:
+        return np.zeros(0, dtype=U32)
+    if b == 32:
+        return vals.astype(U32)
+    nw = (count * b + 31) >> 5
+    out = np.zeros(nw + 1, dtype=np.uint64)
+    bitpos = np.arange(count, dtype=np.int64) * b
+    wi = bitpos >> 5
+    sh = (bitpos & 31).astype(np.uint64)
+    v = vals.astype(np.uint64)
+    np.bitwise_or.at(out, wi, v << sh)
+    np.bitwise_or.at(out, wi + 1, v >> (np.uint64(32) - sh))
+    return (out[:nw] & np.uint64(0xFFFFFFFF)).astype(U32)
+
+
+def _vb_tail(vals: np.ndarray) -> bytes:
+    """lemire VariableByte: 7-bit groups LSB-first, SET high bit terminates
+    a value (inverted continuation vs LEB128)."""
+    out = bytearray()
+    for v in vals.tolist():
+        while v >= 128:
+            out.append(v & 0x7F)
+            v >>= 7
+        out.append(v | 0x80)
+    return bytes(out)
+
+
+def _encode_fpf_page(vals: np.ndarray, words: list[np.ndarray]) -> None:
+    """One FastPFOR page (<= 65536 values, multiple of 256): data words,
+    then the exception area (meta byte container, bitmap, per-width packed
+    exception arrays)."""
+    nblocks = len(vals) // _FPF_BLOCK
+    meta = bytearray()
+    data: list[np.ndarray] = []
+    ex_by_width: dict[int, list[np.ndarray]] = {}
+    for blk in range(nblocks):
+        v = vals[blk * _FPF_BLOCK : (blk + 1) * _FPF_BLOCK]
+        maxbits = int(v.max()).bit_length()
+        # choose b by encoded-bit cost (any legal b decodes; this mirrors
+        # JavaFastPFOR's getBestBFromData shape: meta positions cost 8 bits
+        # per exception + (maxbits-b) packed bits each)
+        best_b, best_cost = maxbits, maxbits * _FPF_BLOCK
+        for b in range(maxbits - 1, -1, -1):
+            cexcept = int((v >> b != 0).sum()) if b else int((v != 0).sum())
+            if cexcept > 255:
+                break
+            cost = b * _FPF_BLOCK + cexcept * (8 + (maxbits - b)) + 8
+            if cost < best_cost:
+                best_b, best_cost = b, cost
+        b = best_b
+        if b == maxbits:
+            meta += bytes([b, 0])
+        else:
+            positions = np.flatnonzero(v >> b) if b else np.flatnonzero(v)
+            cexcept = len(positions)
+            meta += bytes([b, cexcept, maxbits]) + bytes(positions.tolist())
+            width = maxbits - b
+            if width > 1:  # width-1 exceptions are implied top bits
+                ex_by_width.setdefault(width, []).append(v[positions] >> b)
+        data.append(_pack_bits(v & ((np.uint64(1) << np.uint64(b)) - np.uint64(1)) if b < 32 else v, b))
+    datawords = np.concatenate(data) if data else np.zeros(0, dtype=U32)
+    words.append(np.array([1 + len(datawords)], dtype=U32))  # wheremeta
+    words.append(datawords)
+    # meta byte container: serialized little-endian per u32 word
+    words.append(np.array([len(meta)], dtype=U32))
+    pad = (-len(meta)) % 4
+    words.append(np.frombuffer(bytes(meta) + b"\x00" * pad, dtype="<u4").astype(U32))
+    bitmap = 0
+    for width in ex_by_width:
+        bitmap |= 1 << (width - 1)
+    words.append(np.array([bitmap], dtype=U32))
+    for width in sorted(ex_by_width):
+        ex = np.concatenate(ex_by_width[width])
+        words.append(np.array([len(ex)], dtype=U32))
+        words.append(_pack_bits(ex, width))
+
+
+def encode_fastpfor_ref(vals: np.ndarray) -> bytes:
+    """uint32 values -> Composition(FastPFOR, VariableByte) stream as
+    big-endian u32 words — bit-compatible with the goldens' FastPFOR
+    streams (EncodingUtils.java:149-188) and with covt_ref's decoder."""
+    v = np.ascontiguousarray(vals, dtype=U32)
+    n = len(v)
+    fp_count = n - (n % _FPF_BLOCK)
+    words: list[np.ndarray] = []
+    words.append(np.array([fp_count], dtype=U32))  # zero count word for short streams
+    pos = 0
+    while pos < fp_count:
+        take = min(_FPF_PAGE, fp_count - pos)
+        _encode_fpf_page(v[pos : pos + take], words)
+        pos += take
+    vb = _vb_tail(v[fp_count:])
+    pad = (-len(vb)) % 4
+    words.append(np.frombuffer(vb + b"\x00" * pad, dtype="<u4").astype(U32))
+    return np.concatenate(words).astype(">u4").tobytes()
+
+
+def _fastpfor_zz_delta(vals: np.ndarray) -> bytes | None:
+    """Int-stream FASTPFOR_DELTA_ZZ payload (reader: cumsum(unzigzag))."""
+    v = np.ascontiguousarray(vals, dtype=I64)
+    d = np.diff(v, prepend=I64(0))
+    zz = ((d << 1) ^ (d >> 63)).view(U64)
+    if len(zz) and int(zz.max()) >= (1 << 32):
+        return None
+    return encode_fastpfor_ref(zz.astype(U32))
+
+
+def _fastpfor_coords(vb: np.ndarray) -> bytes | None:
+    """Coord-stream FASTPFOR_DELTA_ZZ payload: per-axis global delta
+    chains, interleaved, zigzag (reader: _decode_coord_deltas)."""
+    v = np.ascontiguousarray(vb, dtype=I64)
+    d = np.empty_like(v)
+    d[0::2] = np.diff(v[0::2], prepend=I64(0))
+    d[1::2] = np.diff(v[1::2], prepend=I64(0))
+    zz = ((d << 1) ^ (d >> 63)).view(U64)
+    if len(zz) and int(zz.max()) >= (1 << 32):
+        return None
+    return encode_fastpfor_ref(zz.astype(U32))
 
 
 def _present_bits(mask: np.ndarray) -> bytes:
@@ -193,6 +336,43 @@ def _add_dictionary(col: _Col, distinct: list[str]) -> None:
     col.add("dictionary", len(distinct), R._ENC_PLAIN, b"".join(raws))
 
 
+def _ice_streams(vb: np.ndarray) -> tuple[int, np.ndarray, np.ndarray] | None:
+    """ICE candidate: dedupe vertices into a Hilbert-ordered dictionary.
+    Returns (n_dict_vertices, offsets, dict_vertex_buffer) — or None when
+    the dictionary cannot win (no repeats)."""
+    from ..functions import sfc
+
+    xy = vb.reshape(-1, 2)
+    x, y = xy[:, 0], xy[:, 1]
+    if len(x) < 8:
+        return None
+    # uint64 pack: (x + 2^31) << 32 overflows int64 for every x >= 0
+    key = ((x.astype(np.int64) + (1 << 31)).astype(np.uint64) << np.uint64(32)) | (
+        (y.astype(np.int64) + (1 << 31)).astype(np.uint64)
+    )
+    uk, inverse = np.unique(key, return_inverse=True)
+    if len(uk) > 0.95 * len(x):
+        return None  # nearly all unique: the offsets stream cannot pay off
+    dx = (uk >> np.uint64(32)).astype(I64) - (1 << 31)
+    dy = (uk & np.uint64(0xFFFFFFFF)).astype(I64) - (1 << 31)
+    # dictionary in SFC order when in domain (golden convention: compact
+    # deltas); any consistent order round-trips, so out-of-domain coords
+    # just keep packed-key order
+    span = max(int(np.abs(dx).max()), int(np.abs(dy).max())) if len(dx) else 0
+    num_bits = max(span.bit_length() + 1, 2)
+    if num_bits <= 16:
+        perm = np.argsort(sfc.hilbert_encode_signed(dx, dy, num_bits), kind="stable")
+        inv_perm = np.empty_like(perm)
+        inv_perm[perm] = np.arange(len(perm))
+        dx, dy = dx[perm], dy[perm]
+        offsets = inv_perm[inverse]
+    else:
+        offsets = inverse
+    dict_vb = np.empty(2 * len(dx), dtype=I64)
+    dict_vb[0::2], dict_vb[1::2] = dx, dy
+    return len(dx), offsets.astype(I64), dict_vb
+
+
 def _geometry_column(layer: LayerData) -> _Col:
     vb, ro_closed = _close_rings(layer)
     col = _Col("geometry", R._DT_GEOM, R._CT_PLAIN)
@@ -213,8 +393,34 @@ def _geometry_column(layer: LayerData) -> _Col:
         if vals is not None and len(vals):
             enc, buf = _enc_unsigned(np.asarray(vals, dtype=I64))
             col.add(sname, len(vals), enc, buf)
-    col.add("vertex_buffer", len(vb), R._ENC_VARINT_DELTA_ZZ, _vertex_delta_zz(vb))
+    # plain vs ICE by encoded size — the reference's own keep-the-smaller
+    # rule (CovtConverter.java:227-236), restricted to golden-readable encs
+    plain_enc, plain_buf = _coord_candidates(vb)
+    ice = _ice_streams(vb)
+    if ice is not None:
+        n_dict, offsets, dict_vb = ice
+        off_enc, off_buf = _enc_unsigned(offsets)
+        dict_enc, dict_buf = _coord_candidates(dict_vb)
+        if len(off_buf) + len(dict_buf) < len(plain_buf):
+            col.ct = R._CT_ICE
+            col.add("vertex_offsets", len(offsets), off_enc, off_buf)
+            # metadata quirk: ICE vertex_buffer numValues counts VERTICES
+            # (the reader doubles it back, covt_ref._parse_metadata_a)
+            col.add("vertex_buffer", n_dict, dict_enc, dict_buf)
+            return col
+    col.add("vertex_buffer", len(vb), plain_enc, plain_buf)
     return col
+
+
+def _coord_candidates(vb: np.ndarray) -> tuple[int, bytes]:
+    """Interleaved coordinate stream: varint vs FastPFOR over the same
+    per-axis global zigzag delta chains."""
+    cands = [(R._ENC_VARINT_DELTA_ZZ, _vertex_delta_zz(vb))]
+    if len(vb) >= _FPF_MIN_VALUES:
+        fp = _fastpfor_coords(vb)
+        if fp is not None:
+            cands.append((R._ENC_FASTPFOR_DELTA_ZZ, fp))
+    return min(cands, key=lambda c: len(c[1]))
 
 
 def _property_columns(layer: LayerData) -> list[_Col]:

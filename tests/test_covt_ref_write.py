@@ -100,6 +100,58 @@ def _mk_props(n, rng):
     }
 
 
+class TestFastPforRefEncoder:
+    """encode_fastpfor_ref must be the exact inverse of the golden reader's
+    Composition(FastPFOR, VariableByte) decoder."""
+
+    def test_roundtrip_matrix(self):
+        from cov_tiles_ray.sources.covt_ref import _decode_fastpfor_ints
+        from cov_tiles_ray.sources.covt_ref_write import encode_fastpfor_ref
+
+        rng = np.random.default_rng(3)
+        exc = rng.integers(0, 16, size=2048).astype(np.uint32)
+        exc[rng.integers(0, 2048, size=100)] = rng.integers(
+            2**20, 2**30, size=100
+        ).astype(np.uint32)
+        w1 = rng.integers(0, 8, size=256).astype(np.uint32)
+        w1[7] = 15  # width-1 exception (implied top bit)
+        cases = [
+            np.zeros(0, dtype=np.uint32),
+            np.array([5], dtype=np.uint32),
+            rng.integers(0, 100, size=17).astype(np.uint32),
+            rng.integers(0, 2**31, size=255).astype(np.uint32),
+            rng.integers(0, 2**32, size=256, dtype=np.uint64).astype(np.uint32),
+            np.zeros(512, dtype=np.uint32),
+            np.full(300, 2**31, dtype=np.uint32),
+            rng.integers(0, 2**16, size=70000).astype(np.uint32),  # multi-page
+            exc,
+            w1,
+        ]
+        for i, c in enumerate(cases):
+            buf = encode_fastpfor_ref(c)
+            back = _decode_fastpfor_ints(buf, len(c))
+            assert len(back) == len(c) and (back == c).all(), f"case {i}"
+
+    def test_ice_dictionary_roundtrip(self):
+        """Shared-vertex layer: ICE must be selected and round-trip."""
+        rng = np.random.default_rng(23)
+        grid = rng.integers(0, 64, size=(40, 2)) * 64  # heavy vertex sharing
+        seq = grid[rng.integers(0, 40, size=400)]
+        n = 100
+        lay = LayerData(
+            name="lines", extent=4096,
+            geometry_types=np.full(n, GeometryType.LINESTRING, dtype=np.uint8),
+            vertex_buffer=seq.reshape(-1),
+            part_offsets=np.full(n, 4, dtype=np.int64),
+            ids=np.arange(n, dtype=np.uint64),
+            properties={},
+        )
+        buf = _roundtrip([lay])
+        # the dictionary must actually have deduped (ICE chosen => small)
+        from cov_tiles_ray.sources.covt_ref_write import _vertex_delta_zz
+        assert len(buf) < len(_vertex_delta_zz(seq.reshape(-1).astype(np.int64))) + 200
+
+
 class TestSyntheticShapes:
     def test_point_layer(self):
         rng = np.random.default_rng(7)
