@@ -829,6 +829,81 @@ def q_covt_golden_decode(sf_dir: str):
     return df
 
 
+def q_schema_scan(sf_dir: str):
+    """Distributed property-schema scan (M1): union the per-tile property
+    schemas of a real MVT corpus into one per-(layer, column) schema table
+    — the distributed form of the reference converter's column-collection
+    pass (CovtConverter.java:365-430 walks all features to type each
+    column; here each tile scans locally and a groupby merges, so no
+    single task ever sees the whole corpus).  Mixed per-tile types reduce
+    with the same promotion lattice the MVT decoder uses
+    (sources/mvt._promote_dtype).  Ignores ``sf_dir`` — the input is the
+    reference's fixture corpus."""
+    import os as _os
+
+    import ray.data as rd
+
+    from ..sources.mvt_files import read_mvt_dir
+
+    dirs = [d for d in REFERENCE_FIXTURE_DIRS if _os.path.isdir(d)]
+
+    def scan(batch: pa.Table) -> pa.Table:
+        from ..sources.mvt import decode_mvt_tile
+
+        layer, column, dtype, present, tiles = [], [], [], [], []
+        for i in range(batch.num_rows):
+            try:
+                decoded = decode_mvt_tile(batch["mvt"][i].as_py())
+            except Exception:
+                continue
+            for ly in decoded:
+                for cname, col in ly.properties.items():
+                    layer.append(ly.name)
+                    column.append(cname)
+                    dtype.append(int(col.data_type))
+                    present.append(int(np.asarray(col.present).sum()))
+                    tiles.append(1)
+        return pa.table(
+            {
+                "layer": pa.array(layer), "column": pa.array(column),
+                "dtype": pa.array(np.array(dtype, dtype=np.int64)),
+                "present_rows": pa.array(np.array(present, dtype=np.int64)),
+                "tiles": pa.array(np.array(tiles, dtype=np.int64)),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        from functools import reduce as _reduce
+
+        from ..model.format import ColumnDataType
+        from ..sources.mvt import _promote_dtype
+
+        dt = _reduce(
+            lambda a, b: int(_promote_dtype(ColumnDataType(a), ColumnDataType(b))),
+            g["dtype"].tolist(),
+        )
+        return pd.DataFrame(
+            {
+                "layer": [g["layer"].iloc[0]],
+                "column": [g["column"].iloc[0]],
+                "dtype": np.array([dt], dtype=np.int64),
+                "present_rows": np.array([g["present_rows"].sum()], dtype=np.int64),
+                "tiles": np.array([g["tiles"].sum()], dtype=np.int64),
+            }
+        )
+
+    df = (
+        read_mvt_dir(dirs)
+        .map_batches(scan, batch_format="pyarrow", batch_size=8)
+        .groupby(["layer", "column"])
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["layer", "column"])
+        .reset_index(drop=True)
+    )
+    return df
+
+
 GOLDEN_COVT_DIRS = [
     "/root/reference/test/fixtures/omt/covt",
     "/root/reference/test/fixtures/bing/covt",
@@ -905,6 +980,7 @@ ROWS_ONLY_QUERIES = {
     "omt_fixture_transcode": q_omt_fixture_transcode,
     "covt_golden_decode": q_covt_golden_decode,
     "covt_ref_write": q_covt_ref_write,
+    "schema_scan": q_schema_scan,
     "covt_tiles": q_covt_tiles,
     "covt_compression": q_covt_compression,
     "validate_images": q_validate_images,

@@ -117,3 +117,18 @@ def test_read_mvt_dir_parses_names_and_gunzips(ray_session):
     for r in rows:
         assert r["z"] >= 0 and r["mvt"][:2] != b"\x1f\x8b"
         decode_mvt_tile(r["mvt"])  # parses
+
+
+@needs_fixtures
+def test_schema_scan_unions_layer_schemas(ray_session, monkeypatch):
+    """M1 distributed schema-union: per-tile scans merge into one
+    per-(layer, column) schema with promoted dtypes."""
+    from cov_tiles_ray.pipelines import rows_only
+
+    monkeypatch.setattr(rows_only, "REFERENCE_FIXTURE_DIRS", [HERE_DIR])
+    df = rows_only.q_schema_scan("ignored")
+    assert len(df) > 5
+    assert (df.groupby(["layer", "column"]).size() == 1).all()  # unioned
+    from cov_tiles_ray.model.format import ColumnDataType
+    assert set(df["dtype"]) <= {int(v) for v in ColumnDataType}
+    assert (df["present_rows"] > 0).all() and (df["tiles"] >= 1).all()
