@@ -54,16 +54,19 @@ def read_images(sf_dir_or_sf, columns: list[str] | None = None) -> rd.Dataset:
     """Dataset over the synthetic image corpus for a scale factor or sf dir.
 
     ``columns`` prunes at the read (never load `bytes` unless a stage needs
-    pixels).  Block count is pinned to DATA SIZE (~5k rows per block), NOT
-    cluster size: it sets the downstream sort's output-block granularity
-    (task size of the encode stage), and deriving it from CPU count made
-    runs at different parallelism levels non-comparable — the scaling
-    criterion's exact failure mode.  Measured at sf0.1: 60 blocks leave a
-    6-8s straggler block (eff 4->16 cpus 0.64), 120 blocks flatten it
-    (0.83), 240 blow up the sort's chunk matrix (worse everywhere)."""
+    pixels).  Block count is pinned to DATA SIZE (~20k rows per block), NOT
+    cluster size: deriving it from CPU count made runs at different
+    parallelism levels non-comparable — the scaling criterion's exact
+    failure mode.  History: 5k-row blocks (120 at sf0.1) were chosen when
+    the exchange's OUTPUT granularity was tied to its input count; the
+    plan-derived boundary exchange decouples them (N_EXCHANGE_BLOCKS), so
+    the input count now only sizes read/assign tasks and the shuffle's
+    map side — and the sort schedules in_blocks x out_blocks chunks, so
+    30 map blocks cut that coordination 4x (measured 24.5s -> 19.0s at
+    16 CPUs, sf0.1)."""
     sf = synth.sf_from_dir(sf_dir_or_sf) if isinstance(sf_dir_or_sf, str) else float(sf_dir_or_sf)
     path = synth.images_parquet_path(sf)
-    nblocks = int(np.clip(synth.rows_for_sf(sf) // 5_000, 8, 512))
+    nblocks = int(np.clip(synth.rows_for_sf(sf) // 20_000, 8, 512))
     return rd.read_parquet(path, columns=columns, override_num_blocks=nblocks)
 
 
@@ -440,7 +443,7 @@ def build_tile_pyramid(
     zooms = tuple(sorted(zooms))
     z_base = zooms[0]
     n_rows = _estimate_rows(images)
-    refined = _plan_pyramid(images, n_rows, z_base, zooms[-1], hot_zooms)
+    refined, part_bounds = _plan_pyramid(images, n_rows, z_base, zooms[-1], hot_zooms)
     max_depth = (zooms[-1] + 2) - z_base
 
     def assign_base(b: pa.Table) -> pa.Table:
@@ -461,10 +464,25 @@ def build_tile_pyramid(
         zooms, refined, opts=opts, extent=extent, with_mvt=with_mvt, with_cells=with_cells
     )
 
-    def encode_part(t: pa.Table) -> pa.Table:  # map_groups needs __name__
+    def encode_part(t: pa.Table) -> pa.Table:
         return kernel(t)
 
-    tiles = ds.groupby("part").map_groups(encode_part, batch_format="pyarrow")
+    # The exchange: range-partition on `part` with PLAN-DERIVED boundaries
+    # instead of groupby's sampled sort.  The boundaries come from the same
+    # deterministic sample as the refinement plan, weighted so every range
+    # carries ~equal estimated row load — which (a) skips the sort's
+    # sampling round-trip, (b) fixes the reduce-block count independent of
+    # input block count and cluster size, and (c) removes the straggler
+    # class where several heavy cells landed in one sampled range.  A part
+    # value never straddles a boundary, so every terminal cell — and hence
+    # every whole tile — stays inside one batch; batch_size=None hands each
+    # sorted range to the kernel as ONE zero-copy batch.
+    if PYRAMID_EXCHANGE == "bounds":
+        tiles = ds.sort("part", boundaries=part_bounds).map_batches(
+            encode_part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+    else:  # sampled-sort groupby (the v3 exchange, kept for A/B measurement)
+        tiles = ds.groupby("part").map_groups(encode_part, batch_format="pyarrow")
     if not refined:
         # unrefined plan -> no tile can fragment; stay a single streamed
         # pipeline (no materialize, no branch)
@@ -483,8 +501,78 @@ def build_tile_pyramid(
     def merge_tile(g):
         return merger(g)
 
-    merged = frags.groupby("tile_id").map_groups(merge_tile, batch_format="numpy")
+    # coalesce the tiny fragment set first: its filter inherits the main
+    # exchange's ~120 blocks, and a groupby over B blocks schedules a BxB
+    # chunk matrix — ~14k shuffle chunks for a few hundred fragment rows
+    # (measured ~8s of pure coordination).  8 blocks keeps the heavy merge
+    # encodes parallel while the matrix collapses to 64 chunks.
+    merged = (
+        frags.repartition(8)
+        .groupby("tile_id")
+        .map_groups(merge_tile, batch_format="numpy")
+    )
     return whole.union(merged)
+
+
+# Exchange range count: the encode stage's task granularity.  FIXED
+# (cluster-size independent) so runs at different parallelism levels build
+# identical block structures; 120 matched the measured sweet spot for task
+# balance at sf0.1 (see read_images).
+N_EXCHANGE_BLOCKS = 120
+
+# Exchange strategy: "bounds" = plan-derived range boundaries (no sort
+# sampling, load-balanced reduce ranges); "groupby" = Ray's sampled sort.
+PYRAMID_EXCHANGE = "bounds"
+
+
+def _plan_sample(images: rd.Dataset, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (lon, lat) sample of ~n rows for planning.
+
+    Fast path: when the dataset's input parquet files are discoverable
+    (``input_files`` — a metadata call, no execution), read row groups
+    DIRECTLY on the driver, round-robining over files spread evenly across
+    the listing so spatially-partitioned corpora stay representative.  This
+    replaces a full Ray job (~1.8s of fixed cost per pyramid build) with a
+    ~50ms bounded read — the same driver-side sampling posture Ray's own
+    sort uses for range boundaries.  Falls back to ``limit()`` (stable
+    block order -> deterministic) for non-parquet-backed datasets."""
+    try:
+        files = sorted(images.input_files())
+    except Exception:
+        files = []
+    if files:
+        import pyarrow.parquet as pq
+
+        k = min(len(files), 8)
+        picks = [files[(i * len(files)) // k] for i in range(k)]
+        per_file = -(-n // k)  # ceil: each picked file contributes ~n/k rows
+        lons: list[np.ndarray] = []
+        lats: list[np.ndarray] = []
+        got = 0
+        try:
+            for path in picks:
+                f = pq.ParquetFile(path)
+                taken = 0
+                for rg in range(f.num_row_groups):
+                    t = f.read_row_group(rg, columns=["lon", "lat"])
+                    lons.append(t["lon"].to_numpy())
+                    lats.append(t["lat"].to_numpy())
+                    taken += t.num_rows
+                    got += t.num_rows
+                    if taken >= per_file:
+                        break
+        except Exception:
+            return _plan_sample_ray(images, n)
+        if got:
+            lon = np.concatenate(lons)[:n]
+            lat = np.concatenate(lats)[:n]
+            return lon, lat
+    return _plan_sample_ray(images, n)
+
+
+def _plan_sample_ray(images: rd.Dataset, n: int) -> tuple[np.ndarray, np.ndarray]:
+    s = images.limit(n).select_columns(["lon", "lat"]).to_pandas()
+    return s["lon"].to_numpy(), s["lat"].to_numpy()
 
 
 def _plan_pyramid(
@@ -494,39 +582,46 @@ def _plan_pyramid(
     z_max: int,
     hot_zooms: tuple[int, ...] | None,
     sample_target: int = 200_000,
-) -> dict[int, np.ndarray]:
-    """Compute the pyramid's global refinement plan from a deterministic
-    sample (splitmix64(fid) threshold — shard-independent, so every run and
-    every cluster size plans IDENTICALLY).  Driver memory is bounded by
-    ``sample_target`` rows of (lon, lat) at ANY corpus scale; the extra
-    pass reads only the lon/lat/image_id columns.
+) -> tuple[dict[int, np.ndarray], list[int]]:
+    """Compute the pyramid's global refinement plan AND the exchange's
+    load-weighted range boundaries from one deterministic sample
+    (``limit(sample_target)`` — block order is stable, so every run and
+    every cluster size plans IDENTICALLY; the read prunes to the lon/lat
+    columns of only the blocks the limit needs).  Driver memory is bounded
+    by ``sample_target`` rows at ANY corpus scale.
+
+    Returns ``(refined, part_bounds)``: the quadtree refinement plan and
+    the sorted interior boundaries for ``Dataset.sort(boundaries=...)`` —
+    chosen so each of the ~N_EXCHANGE_BLOCKS ranges carries an equal share
+    of the SAMPLED row load (the plan knows where the mass is; Ray's own
+    sort sampling is skipped entirely).
 
     ``hot_zooms`` test hook: ``()`` disables refinement entirely (every
     tile whole); containing ``z_base`` force-refines the base level so the
     fragment-merge path runs even on tiny corpora."""
+    lon, lat = _plan_sample(images, min(sample_target, max(n_rows, 1)))
+    est_scale = n_rows / max(len(lon), 1)
+    max_depth = (z_max + 2) - z_base
     if hot_zooms is not None and z_base not in hot_zooms:
-        return {}
-    force = (z_base,) if hot_zooms is not None else ()
-    p = min(1.0, sample_target / max(n_rows, 1))
-    thresh = np.uint64(int(p * (1 << 32)))
-
-    def pick(b: pa.Table) -> pa.Table:
-        b2 = parse_fid(b)
-        fid = b2["fid"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        keep = (synth._splitmix64(fid) & np.uint64(0xFFFFFFFF)) < thresh
-        return b.select(["lon", "lat"]).filter(pa.array(keep))
-
-    s = images.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
-    est_scale = n_rows / max(len(s), 1)
-    return plan_refinement(
-        s["lon"].to_numpy(),
-        s["lat"].to_numpy(),
-        est_scale,
-        z_base=z_base,
-        cap=PYRAMID_GROUP_ROWS,
-        max_depth=(z_max + 2) - z_base,
-        force_levels=force,
-    )
+        refined: dict[int, np.ndarray] = {}
+    else:
+        force = (z_base,) if hot_zooms is not None else ()
+        refined = plan_refinement(
+            lon, lat, est_scale,
+            z_base=z_base, cap=PYRAMID_GROUP_ROWS, max_depth=max_depth,
+            force_levels=force,
+        )
+    # load-weighted boundaries over the part key space
+    cell = terminal_cells(lon, lat, refined, z_base, max_depth)
+    part = np.sort((synth._splitmix64(cell) % np.uint64(N_PART)).astype(np.int64))
+    if len(part) == 0:
+        step = max(1, N_PART // N_EXCHANGE_BLOCKS)
+        return refined, list(range(step, N_PART, step))
+    targets = (np.arange(1, N_EXCHANGE_BLOCKS) * len(part)) // N_EXCHANGE_BLOCKS
+    # boundary ABOVE the part at each load quantile: a part value never
+    # splits across ranges, heavy parts just own a wider load share
+    bounds = np.unique(part[targets] + 1).tolist()
+    return refined, bounds
 
 
 def write_tiles(tiles: rd.Dataset, out_dir: str, input_desc: dict | None = None) -> dict:
