@@ -59,7 +59,7 @@ def read_images(sf_dir_or_sf, columns: list[str] | None = None) -> rd.Dataset:
     parallelism levels non-comparable — the scaling criterion's exact
     failure mode.  History: 5k-row blocks (120 at sf0.1) were chosen when
     the exchange's OUTPUT granularity was tied to its input count; the
-    plan-derived boundary exchange decouples them (N_EXCHANGE_BLOCKS), so
+    plan-derived boundary exchange decouples them (exchange_ranges), so
     the input count now only sizes read/assign tasks and the shuffle's
     map side — and the sort schedules in_blocks x out_blocks chunks, so
     30 map blocks cut that coordination 4x (measured 24.5s -> 19.0s at
@@ -502,23 +502,37 @@ def build_tile_pyramid(
         return merger(g)
 
     # coalesce the tiny fragment set first: its filter inherits the main
-    # exchange's ~120 blocks, and a groupby over B blocks schedules a BxB
+    # exchange's block count, and a groupby over B blocks schedules a BxB
     # chunk matrix — ~14k shuffle chunks for a few hundred fragment rows
-    # (measured ~8s of pure coordination).  8 blocks keeps the heavy merge
-    # encodes parallel while the matrix collapses to 64 chunks.
+    # (measured ~8s of pure coordination).  Block count follows the PLAN
+    # (one fragmented tile per refined cell, give or take ancestors), so
+    # the merge keeps heavy encodes parallel at any corpus scale while the
+    # matrix stays tiny.
+    n_frag_est = sum(len(v) for v in refined.values())
     merged = (
-        frags.repartition(8)
+        frags.repartition(int(np.clip(n_frag_est // 32, 8, 512)))
         .groupby("tile_id")
         .map_groups(merge_tile, batch_format="numpy")
     )
     return whole.union(merged)
 
 
-# Exchange range count: the encode stage's task granularity.  FIXED
-# (cluster-size independent) so runs at different parallelism levels build
-# identical block structures; 120 matched the measured sweet spot for task
-# balance at sf0.1 (see read_images).
-N_EXCHANGE_BLOCKS = 120
+# Exchange range sizing: the encode stage's task granularity.  DATA-derived
+# (~5k rows per range, the measured sweet spot at sf0.1 = 120 ranges), never
+# cluster-derived, so runs at different parallelism levels build identical
+# block structures.  Ranges must also stay far below Ray's
+# target_max_block_size: a reduce block that exceeded it would be split
+# mid-range, and a split could cut a terminal cell in two — which would
+# encode its "whole" tiles twice.  ~5k rows ~ 0.5 MB per range keeps two
+# orders of magnitude of headroom.  The 65536 cap bounds the shuffle's
+# chunk matrix; beyond ~300M rows, build the pyramid per input shard (the
+# resumable per-zoom write layout already supports that).
+EXCHANGE_ROWS_PER_RANGE = 5_000
+MAX_EXCHANGE_RANGES = 65_536
+
+
+def exchange_ranges(n_rows: int) -> int:
+    return int(np.clip(n_rows // EXCHANGE_ROWS_PER_RANGE, 8, MAX_EXCHANGE_RANGES))
 
 # Exchange strategy: "bounds" = plan-derived range boundaries (no sort
 # sampling, load-balanced reduce ranges); "groupby" = Ray's sampled sort.
@@ -592,7 +606,8 @@ def _plan_pyramid(
 
     Returns ``(refined, part_bounds)``: the quadtree refinement plan and
     the sorted interior boundaries for ``Dataset.sort(boundaries=...)`` —
-    chosen so each of the ~N_EXCHANGE_BLOCKS ranges carries an equal share
+    chosen so each of the ~exchange_ranges(n_rows) ranges carries an equal
+    share
     of the SAMPLED row load (the plan knows where the mass is; Ray's own
     sort sampling is skipped entirely).
 
@@ -614,10 +629,11 @@ def _plan_pyramid(
     # load-weighted boundaries over the part key space
     cell = terminal_cells(lon, lat, refined, z_base, max_depth)
     part = np.sort((synth._splitmix64(cell) % np.uint64(N_PART)).astype(np.int64))
+    nb = exchange_ranges(n_rows)
     if len(part) == 0:
-        step = max(1, N_PART // N_EXCHANGE_BLOCKS)
+        step = max(1, N_PART // nb)
         return refined, list(range(step, N_PART, step))
-    targets = (np.arange(1, N_EXCHANGE_BLOCKS) * len(part)) // N_EXCHANGE_BLOCKS
+    targets = (np.arange(1, nb) * len(part)) // nb
     # boundary ABOVE the part at each load quantile: a part value never
     # splits across ranges, heavy parts just own a wider load share
     bounds = np.unique(part[targets] + 1).tolist()
