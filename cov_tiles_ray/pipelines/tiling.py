@@ -501,18 +501,19 @@ def build_tile_pyramid(
     def merge_tile(g):
         return merger(g)
 
-    # coalesce the tiny fragment set first: its filter inherits the main
-    # exchange's block count, and a groupby over B blocks schedules a BxB
-    # chunk matrix — ~14k shuffle chunks for a few hundred fragment rows
-    # (measured ~8s of pure coordination).  Block count follows the PLAN
-    # (one fragmented tile per refined cell, give or take ancestors), so
-    # the merge keeps heavy encodes parallel at any corpus scale while the
-    # matrix stays tiny.
-    n_frag_est = sum(len(v) for v in refined.values())
-    merged = (
-        frags.repartition(int(np.clip(n_frag_est // 32, 8, 512)))
-        .groupby("tile_id")
-        .map_groups(merge_tile, batch_format="numpy")
+    # The merge exchange also uses PLAN-derived boundaries: a tile
+    # fragments iff its whole ancestor chain is refined, so the fragmented
+    # tile ids are EXACTLY the plan's refined cells at pyramid zooms —
+    # known up front.  One bounded sort (no sampling, no repartition)
+    # replaces the sampled groupby whose chunk matrix inherited the main
+    # exchange's ~120 blocks (~14k chunks for a few hundred fragment rows).
+    frag_ids = np.sort(
+        np.concatenate([refined[z] for z in zooms if z in refined])
+    ).astype(np.int64)
+    step = max(1, -(-len(frag_ids) // 32))  # ~32 merge ranges
+    fb = np.unique(frag_ids[step::step] + 1).tolist()
+    merged = frags.sort("tile_id", boundaries=fb).map_batches(
+        merge_tile, batch_format="numpy", batch_size=None
     )
     return whole.union(merged)
 

@@ -549,6 +549,15 @@ class RawFragmentMerger:
 
     def __call__(self, g: dict) -> dict:
         tid = np.asarray(g["tile_id"], dtype=np.int64)
+        if len(tid) == 0:  # an empty merge range (bounded sort slack)
+            cols = ["tile_id", "z", "x", "y", "salt", "n_features", "n_layers",
+                    "covt", "covt_bytes", "plain_bytes"]
+            if self.enc.with_mvt_baseline:
+                cols += ["mvt_bytes", "mvt_gzip_bytes"]
+            cols.append("roundtrip_ok")
+            return {
+                k: np.array([], dtype=TileEncoder._DTYPES.get(k, object)) for k in cols
+            }
         blobs = np.asarray(g["frag"], dtype=object)
         order = np.argsort(tid, kind="stable")
         tid, blobs = tid[order], blobs[order]
