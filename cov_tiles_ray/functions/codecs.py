@@ -393,6 +393,42 @@ def encode_rle_v1(values: np.ndarray, signed: bool) -> bytes:
         n > 4 and (v[0] == v).all()
     ):
         return _const_rle_v1(int(v[0]), n, signed)
+    if n <= 8:
+        # scalar greedy for tiny non-constant streams (dictionary LENGTH
+        # streams of few-feature tiles): byte-identical to the numpy greedy
+        # below at ~1/6 the fixed cost
+        vals = v.tolist()
+        parts: list[bytes] = []
+        lit: list[int] = []
+
+        def _flush_lit() -> None:
+            if lit:
+                parts.append(bytes([256 - len(lit)]))
+                for x in lit:
+                    u = ((x << 1) ^ (x >> 63)) & _U64_MASK if signed else x & _U64_MASK
+                    parts.append(encode_varint_scalar(u))
+                lit.clear()
+
+        i = 0
+        while i < n:
+            j = i + 1
+            d = 0
+            if j < n:
+                d = vals[j] - vals[i]
+                while j + 1 < n and vals[j + 1] - vals[j] == d:
+                    j += 1
+            span = j - i + 1 if j < n else 1
+            if span >= _MIN_RUN and -128 <= d <= 127:
+                _flush_lit()
+                x = vals[i]
+                u = ((x << 1) ^ (x >> 63)) & _U64_MASK if signed else x & _U64_MASK
+                parts.append(bytes([span - 3, d & 0xFF]) + encode_varint_scalar(u))
+                i += span
+            else:
+                lit.append(vals[i])
+                i += 1
+        _flush_lit()
+        return b"".join(parts)
     if n > 64:
         return _encode_rle_v1_vec(v, signed)
 

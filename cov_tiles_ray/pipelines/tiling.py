@@ -42,6 +42,7 @@ from ..stages.tile_encode import (
     TileEncoder,
     TileFragmentMerger,
     fragment_ipc_bytes,
+    verify_tile_buf,
     verify_tiles_batch,
 )
 from ..state import checkpoint
@@ -367,10 +368,24 @@ class PyramidPartEncoder:
         out = None
         if cols is not None:
             n = len(cols["tile_id"])
-            enc_t = pa.table({k: pa.array(v) for k, v in cols.items()})
             # decode-verify fused into the encode wave (overlaps compute
-            # instead of a second serialized phase; measured 21s vs 26s)
-            enc_t = verify_tiles_batch(enc_t)
+            # instead of a second serialized phase; measured 21s vs 26s),
+            # run straight off the numpy columns — the covt payloads are
+            # still python bytes here, so no per-row Arrow .as_py() cost
+            covt = cols["covt"]
+            nf = cols["n_features"]
+            nl = cols["n_layers"]
+            oks = np.fromiter(
+                (
+                    verify_tile_buf(covt[i], int(nf[i]), n_layers=int(nl[i]))
+                    for i in range(n)
+                ),
+                dtype=bool,
+                count=n,
+            )
+            oks &= np.asarray(cols.pop("full_ok"), dtype=bool)
+            cols["roundtrip_ok"] = oks
+            enc_t = pa.table({k: pa.array(v) for k, v in cols.items()})
             enc_t = enc_t.append_column("kind", pa.array(np.ones(n, dtype=np.int8)))
             enc_t = enc_t.append_column("frag", pa.array([b""] * n, pa.binary()))
             out = enc_t

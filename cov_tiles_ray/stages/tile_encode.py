@@ -580,13 +580,11 @@ def verify_tiles_batch(batch: pa.Table) -> pa.Table:
         nl = batch["n_layers"].to_numpy(zero_copy_only=False).astype(np.int64)
     else:
         nl = np.ones(batch.num_rows, dtype=np.int64)
+    covt = batch["covt"].to_pylist()  # one bulk conversion, not per-row .as_py()
+    nf = batch["n_features"].to_numpy(zero_copy_only=False)
     oks = np.fromiter(
         (
-            verify_tile_buf(
-                batch["covt"][row].as_py(),
-                batch["n_features"][row].as_py(),
-                n_layers=int(nl[row]),
-            )
+            verify_tile_buf(covt[row], int(nf[row]), n_layers=int(nl[row]))
             for row in range(batch.num_rows)
         ),
         dtype=bool,

@@ -236,12 +236,21 @@ class TestFastPfor:
         out, _ = F.decode_fastpfor(F.encode_fastpfor(vals))
         np.testing.assert_array_equal(out, vals)
 
-    @given(st.lists(st.integers(-(2**30), 2**30), max_size=300))
+    # +-(2^30 - 1): at +-2^30 inclusive the worst-case delta is 2^31 whose
+    # zigzag is exactly 2^32 — outside the codec's u32 domain, where it
+    # raises OverflowError BY DESIGN (best_encoding skips such candidates)
+    @given(st.lists(st.integers(-(2**30) + 1, 2**30 - 1), max_size=300))
     @settings(max_examples=30, deadline=None)
     def test_delta_zigzag_roundtrip(self, values):
         vals = np.array(values, dtype=np.int64)
         out, _ = F.decode_fastpfor_delta_zigzag(F.encode_fastpfor_delta_zigzag(vals))
         np.testing.assert_array_equal(out, vals)
+
+    def test_delta_zigzag_out_of_domain_raises(self):
+        with pytest.raises(OverflowError):
+            F.encode_fastpfor_delta_zigzag(
+                np.array([-(2**30), 2**30], dtype=np.int64)
+            )
 
 
 # ---------------------------------------------------------------- sfc
