@@ -33,7 +33,45 @@ def fetch_tile(path: str, z: int, x: int, y: int) -> bytes | None:
     return buf
 
 
+def main_transcode_dir(argv: list[str]) -> int:
+    """Distributed directory transcode: MVT tiles in, reference-readable
+    ``.covt`` tiles out (resumable — existing outputs are skipped).
+
+        python -m cov_tiles_ray.cli transcode-dir --in-dir test/fixtures/omt/mvt \\
+            --out-dir /tmp/covt [--layout ref|covtr] [--num-cpus N]
+    """
+    import json
+
+    ap = argparse.ArgumentParser(description=main_transcode_dir.__doc__)
+    ap.add_argument("--in-dir", required=True)
+    ap.add_argument("--out-dir", required=True)
+    ap.add_argument("--layout", choices=("ref", "covtr"), default="ref")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from .pipelines.transcode import transcode_dir_to_covt
+
+    summary = transcode_dir_to_covt(args.in_dir, args.out_dir, layout=args.layout)
+    print(json.dumps(summary))
+    ray.shutdown()
+    return 0 if summary["ok"] == summary["tiles"] else 1
+
+
 def main(argv: list[str] | None = None) -> int:
+    import sys
+
+    argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "transcode-dir":
+        return main_transcode_dir(argv[1:])
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--filename", required=True, help="MBTiles file")
     ap.add_argument("-z", type=int, required=True)

@@ -148,3 +148,99 @@ def transcode_fixture_dir(path: str | list[str], opts: EncodeOptions | None = No
     return read_mvt_dir(path).map_batches(
         FixtureTranscodeKernel(opts), batch_format="pyarrow", batch_size=1
     )
+
+
+class DirTranscodeWriter:
+    """map_batches kernel: decode each MVT tile, encode to the requested
+    layout, verify, and write ``{z}_{x}_{y}.covt`` into ``out_dir``.  Each
+    task writes only its own tiles (partitioned-sink pattern) and SKIPS
+    tiles whose output already exists — a killed run resumes for free.
+
+    ``layout="ref"`` writes the reference's old-layout framing
+    (sources/covt_ref_write — readable by the reference's own parsers);
+    ``layout="covtr"`` writes the engine's COVT-R framing."""
+
+    def __init__(self, out_dir: str, layout: str = "ref", opts: EncodeOptions | None = None):
+        if layout not in ("ref", "covtr"):
+            raise ValueError(f"unknown layout {layout!r}")
+        self.out_dir = out_dir
+        self.layout = layout
+        self.opts = opts or EncodeOptions()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import os
+
+        from ..sources.covt_ref import parse_ref_covt
+        from ..sources.covt_ref_write import encode_ref_tile
+
+        os.makedirs(self.out_dir, exist_ok=True)
+        n = batch.num_rows
+        covt_b = np.zeros(n, dtype=np.int64)
+        mvt_b = np.zeros(n, dtype=np.int64)
+        ok = np.zeros(n, dtype=bool)
+        skipped = np.zeros(n, dtype=bool)
+        names = []
+        for i in range(n):
+            z, x, y = (int(batch[c][i].as_py()) for c in ("z", "x", "y"))
+            name = f"{z}_{x}_{y}.covt"
+            names.append(name)
+            out_path = os.path.join(self.out_dir, name)
+            raw = batch["mvt"][i].as_py()
+            mvt_b[i] = len(raw)
+            if os.path.exists(out_path):
+                skipped[i] = True
+                ok[i] = True
+                covt_b[i] = os.path.getsize(out_path)
+                continue
+            try:
+                layers = mvt_codec.decode_mvt_tile(raw)
+                if self.layout == "ref":
+                    buf = encode_ref_tile(layers)
+                    back = parse_ref_covt(buf)
+                else:
+                    buf = encode_tile(layers, self.opts)
+                    back = decode_tile(buf)
+                ok[i] = len(back) == len(layers) and all(
+                    a == b for a, b in zip(back, layers)
+                )
+                if ok[i]:
+                    tmp = out_path + ".part"
+                    with open(tmp, "wb") as f:
+                        f.write(buf)
+                    os.replace(tmp, out_path)  # atomic: no torn files on kill
+                    covt_b[i] = len(buf)
+            except Exception:
+                ok[i] = False
+        return pa.table(
+            {
+                "tile": pa.array(names),
+                "mvt_bytes": pa.array(mvt_b),
+                "covt_bytes": pa.array(covt_b),
+                "ok": pa.array(ok),
+                "skipped": pa.array(skipped),
+            }
+        )
+
+
+def transcode_dir_to_covt(
+    mvt_dir: str | list[str],
+    out_dir: str,
+    layout: str = "ref",
+    opts: EncodeOptions | None = None,
+) -> dict:
+    """Distributed MVT-directory -> .covt-directory transcode (the
+    reference converter's batch workflow, CovtConverterTest.java:156-276,
+    as a resumable Ray pipeline).  Returns a summary dict."""
+    from ..sources.mvt_files import read_mvt_dir
+
+    res = read_mvt_dir(mvt_dir).map_batches(
+        DirTranscodeWriter(out_dir, layout, opts), batch_format="pyarrow", batch_size=4
+    )
+    df = res.to_pandas()
+    return {
+        "tiles": int(len(df)),
+        "ok": int(df["ok"].sum()),
+        "skipped": int(df["skipped"].sum()),
+        "mvt_bytes": int(df["mvt_bytes"].sum()),
+        "covt_bytes": int(df["covt_bytes"].sum()),
+    }

@@ -579,7 +579,14 @@ def decode_mvt_layer(buf: bytes, span: tuple[int, int]) -> LayerData:
         present = np.zeros(n, dtype=bool)
         present[[r for r, _, _ in raw_rows]] = True
         dt = prop_types[key]
-        rows = [(fi_, _coerce_value(dt, rdt, v)) for fi_, rdt, v in raw_rows]
+        # a feature MAY carry the same tag key twice (seen in the HERE
+        # tileset); LAST occurrence wins (the reference decoder's map-put
+        # semantics, MvtUtils.java) so len(values) == present.sum() —
+        # otherwise the dense column misaligns with the Present stream
+        dedup: dict[int, tuple] = {}
+        for fi_, rdt, v in raw_rows:
+            dedup[fi_] = (rdt, v)
+        rows = [(fi_, _coerce_value(dt, rdt, v)) for fi_, (rdt, v) in dedup.items()]
         if dt == ColumnDataType.STRING:
             dense = np.array([v for _, v in rows], dtype=object)
         elif dt == ColumnDataType.FLOAT:

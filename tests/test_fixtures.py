@@ -132,3 +132,27 @@ def test_schema_scan_unions_layer_schemas(ray_session, monkeypatch):
     from cov_tiles_ray.model.format import ColumnDataType
     assert set(df["dtype"]) <= {int(v) for v in ColumnDataType}
     assert (df["present_rows"] > 0).all() and (df["tiles"] >= 1).all()
+
+
+@needs_fixtures
+def test_transcode_dir_ref_layout_resumable(ray_session, tmp_path):
+    """MVT dir -> reference-layout .covt dir: outputs parse with the golden
+    reader and match the MVT decode exactly; a second run skips everything
+    (resumable partitioned sink)."""
+    import glob as _glob
+
+    from cov_tiles_ray.pipelines.transcode import transcode_dir_to_covt
+    from cov_tiles_ray.sources.covt_ref import parse_ref_covt
+
+    out = str(tmp_path / "covt")
+    s1 = transcode_dir_to_covt(HERE_DIR, out, layout="ref")
+    n_in = len(_glob.glob(f"{HERE_DIR}/*.pbf"))
+    assert s1["tiles"] == n_in and s1["ok"] == n_in and s1["skipped"] == 0
+    for f in _glob.glob(out + "/*.covt"):
+        z, x, y = (int(v) for v in os.path.basename(f)[:-5].split("_"))
+        mvt_path = os.path.join(HERE_DIR, f"{z}_{x}_{y}.pbf")
+        want = decode_mvt_tile(_load(mvt_path))
+        got = parse_ref_covt(open(f, "rb").read())
+        assert len(got) == len(want) and all(a == b for a, b in zip(want, got))
+    s2 = transcode_dir_to_covt(HERE_DIR, out, layout="ref")
+    assert s2["skipped"] == n_in and s2["ok"] == n_in
