@@ -393,10 +393,12 @@ def encode_rle_v1(values: np.ndarray, signed: bool) -> bytes:
         n > 4 and (v[0] == v).all()
     ):
         return _const_rle_v1(int(v[0]), n, signed)
-    if n <= 8:
-        # scalar greedy for tiny non-constant streams (dictionary LENGTH
+    if n <= 32:
+        # scalar greedy for small non-constant streams (dictionary LENGTH
         # streams of few-feature tiles): byte-identical to the numpy greedy
-        # below at ~1/6 the fixed cost
+        # below at a fraction of its fixed cost (re-measured with the
+        # segmented batch encoder: the numpy greedy's ~60us fixed cost vs
+        # ~1.5us/value scalar loop puts the break-even past 32 values)
         vals = v.tolist()
         parts: list[bytes] = []
         lit: list[int] = []

@@ -354,10 +354,18 @@ class MultiTileEncoder:
         """Arrow partition path: ONE lexsort + take co-sorts the partition by
         (tile_id, salt, fid); every tile is then a zero-copy slice already in
         canonical id order, and string columns never leave Arrow (SURVEY.md
-        §1.4 'encode is a per-batch kernel').  Falls back to the numpy path
-        for option combinations whose kernels are row-oriented (MVT baseline,
-        localized dictionaries)."""
-        if self.enc.with_mvt_baseline or self.enc.opts.allow_localized_dictionary:
+        §1.4 'encode is a per-batch kernel').  The flagship schema takes the
+        SEGMENTED batch encoder (stages/batch_encode.py): every varint-family
+        stream of every tile computed in one vectorized pass, byte-identical
+        output.  Falls back to the numpy path for option combinations whose
+        kernels are row-oriented (MVT baseline, localized dictionaries on
+        non-flagship schemas)."""
+        from . import batch_encode as BE
+
+        flagship = t.num_rows > 0 and BE.eligible(self.enc, t)
+        if not flagship and (
+            self.enc.with_mvt_baseline or self.enc.opts.allow_localized_dictionary
+        ):
             return self(
                 {k: t[k].to_numpy(zero_copy_only=False) for k in t.column_names}
             )
@@ -375,10 +383,15 @@ class MultiTileEncoder:
         )
         starts = np.flatnonzero(key_change)
         ends = np.concatenate([starts[1:], [len(tid)]])
-        rows = [
-            self.enc.encode_one_table(t.slice(s, e - s), int(tid[s]), int(salt[s]))
-            for s, e in zip(starts, ends)
-        ]
+        if flagship:
+            rows = BE.encode_flagship_table(
+                t, starts, ends, tid[starts], salt[starts], self.enc
+            )
+        else:
+            rows = [
+                self.enc.encode_one_table(t.slice(s, e - s), int(tid[s]), int(salt[s]))
+                for s, e in zip(starts, ends)
+            ]
         return TileEncoder.rows_to_columns(rows)
 
 
