@@ -371,18 +371,12 @@ class PyramidPartEncoder:
             # decode-verify fused into the encode wave (overlaps compute
             # instead of a second serialized phase; measured 21s vs 26s),
             # run straight off the numpy columns — the covt payloads are
-            # still python bytes here, so no per-row Arrow .as_py() cost
-            covt = cols["covt"]
-            nf = cols["n_features"]
-            nl = cols["n_layers"]
-            oks = np.fromiter(
-                (
-                    verify_tile_buf(covt[i], int(nf[i]), n_layers=int(nl[i]))
-                    for i in range(n)
-                ),
-                dtype=bool,
-                count=n,
-            )
+            # still python bytes here, so no per-row Arrow .as_py() cost.
+            # Batched decode (tile/batch_verify.py): stream payloads of the
+            # whole wave decode grouped by encoding family.
+            from ..tile.batch_verify import verify_tiles
+
+            oks = verify_tiles(cols["covt"], cols["n_features"], cols["n_layers"])
             oks &= np.asarray(cols.pop("full_ok"), dtype=bool)
             cols["roundtrip_ok"] = oks
             enc_t = pa.table({k: pa.array(v) for k, v in cols.items()})

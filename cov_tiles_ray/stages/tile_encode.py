@@ -589,20 +589,15 @@ def verify_tiles_batch(batch: pa.Table) -> pa.Table:
     round-trip oracle, CovtParserTest.java:44-91).  The encode stage's
     full-equality sample verdict (``full_ok``, ~1% of tiles compared field
     by field against the original layer) is folded into ``roundtrip_ok``."""
+    from ..tile.batch_verify import verify_tiles
+
     if "n_layers" in batch.column_names:
         nl = batch["n_layers"].to_numpy(zero_copy_only=False).astype(np.int64)
     else:
         nl = np.ones(batch.num_rows, dtype=np.int64)
     covt = batch["covt"].to_pylist()  # one bulk conversion, not per-row .as_py()
     nf = batch["n_features"].to_numpy(zero_copy_only=False)
-    oks = np.fromiter(
-        (
-            verify_tile_buf(covt[row], int(nf[row]), n_layers=int(nl[row]))
-            for row in range(batch.num_rows)
-        ),
-        dtype=bool,
-        count=batch.num_rows,
-    )
+    oks = verify_tiles(covt, nf, nl)
     if "full_ok" in batch.column_names:
         oks &= batch["full_ok"].to_numpy(zero_copy_only=False).astype(bool)
         batch = batch.drop_columns(["full_ok"])
