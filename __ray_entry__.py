@@ -41,5 +41,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from cov_tiles_ray.pipelines.queries import SQL_QUERIES
+    from cov_tiles_ray.sources import synth
 
+    # phash_dedup's oracle reads the synthesized image-corpus parquet
+    # directly (it is not a driver-registered view); make sure the sf0.01
+    # cache exists whichever side (Ray query / DuckDB oracle) runs first.
+    synth.images_parquet_path(0.01)
     return {name: sql for name, (_fn, sql) in SQL_QUERIES.items()}

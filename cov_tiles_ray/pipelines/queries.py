@@ -1116,6 +1116,21 @@ def _sql_langid_detect() -> str:
     """
 
 
+def _sql_phash_dedup(sf: float = 0.01) -> str:
+    # The image corpus is a deterministic synthesized parquet cache
+    # (sources/synth.py images_parquet_path) — not one of the driver's
+    # pre-registered views — so the oracle reads the SAME parquet files
+    # the Ray query reads.  __ray_entry__.oracle_sql() ensures the sf0.01
+    # cache exists before handing this string to DuckDB.
+    from ..sources import synth
+
+    return f"""
+    SELECT phash, MIN(image_id) AS keep_image_id, COUNT(*) AS n_copies
+    FROM read_parquet('{synth.images_dir(sf)}/*.parquet')
+    GROUP BY phash
+    """
+
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -1151,6 +1166,7 @@ def _register_promoted() -> None:
 
     SQL_QUERIES.update(
         {
+            "phash_dedup": (_ro.q_phash_dedup, _sql_phash_dedup()),
             "doc_fingerprints": (_ro.q_doc_fingerprints, _sql_doc_fingerprints()),
             "simhash_docs": (_ro.q_simhash_docs, _sql_simhash_docs()),
             "quality_scores": (_ro.q_quality_scores, _sql_quality_scores()),

@@ -984,7 +984,6 @@ ROWS_ONLY_QUERIES = {
     "covt_tiles": q_covt_tiles,
     "covt_compression": q_covt_compression,
     "validate_images": q_validate_images,
-    "phash_dedup": q_phash_dedup,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "polygonize_tiles": q_polygonize_tiles,

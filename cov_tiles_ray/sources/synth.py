@@ -164,7 +164,15 @@ def generate_images_batch(start: int, n: int, seed: int = SEED) -> pa.Table:
     )
 
 
-def images_parquet_path(sf: float, cache_dir: str = "/tmp/cov_tiles_ray_cache") -> str:
+CACHE_DIR = "/tmp/cov_tiles_ray_cache"
+
+
+def images_dir(sf: float, cache_dir: str = CACHE_DIR) -> str:
+    """Pure path of the corpus cache dir at ``sf`` (no generation)."""
+    return os.path.join(cache_dir, f"images_sf{sf:g}")
+
+
+def images_parquet_path(sf: float, cache_dir: str = CACHE_DIR) -> str:
     """Generate (once) and return the parquet path for the corpus at ``sf``.
 
     Written as a directory of shard files so reads parallelize; shards are

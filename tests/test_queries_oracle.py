@@ -53,9 +53,16 @@ def sql_query_names():
 
 @pytest.mark.parametrize("name", sql_query_names())
 def test_sql_query_matches_oracle(name, con, ray_session):
-    from cov_tiles_ray.pipelines.queries import SQL_QUERIES
+    from cov_tiles_ray.pipelines.queries import SQL_QUERIES, _sql_phash_dedup
 
     fn, sql = SQL_QUERIES[name]
+    if name == "phash_dedup":
+        # registered SQL targets the driver's sf0.01 corpus; rebuild for
+        # this test's scale (and make sure the cache exists for DuckDB)
+        from cov_tiles_ray.sources import synth
+
+        synth.images_parquet_path(0.001)
+        sql = _sql_phash_dedup(0.001)
     got = _normalize(_to_df(fn(SF_DIR)))
     want = _normalize(con.execute(sql).fetchdf())
     assert list(got.columns) == list(want.columns), f"{name}: column mismatch"
