@@ -67,8 +67,17 @@ def read_images(sf_dir_or_sf, columns: list[str] | None = None) -> rd.Dataset:
     16 CPUs, sf0.1)."""
     sf = synth.sf_from_dir(sf_dir_or_sf) if isinstance(sf_dir_or_sf, str) else float(sf_dir_or_sf)
     path = synth.images_parquet_path(sf)
-    nblocks = int(np.clip(synth.rows_for_sf(sf) // 20_000, 8, 512))
-    return rd.read_parquet(path, columns=columns, override_num_blocks=nblocks)
+    return rd.read_parquet(
+        path, columns=columns, override_num_blocks=read_blocks(synth.rows_for_sf(sf))
+    )
+
+
+def read_blocks(n_rows: int) -> int:
+    """Input block count for an n-row corpus: ~20k rows/block up to sf0.1,
+    sqrt(n)-scaled beyond (see exchange_ranges — the map side of the same
+    chunk matrix).  Capped so a block stays a comfortable task size."""
+    rpb = int(np.clip(_BLOCK_SQRT_COEF * max(n_rows, 1) ** 0.5, 20_000, 2_000_000))
+    return int(np.clip(n_rows // rpb, 8, 512))
 
 
 # Hash partition count for the tile exchange.  FIXED (not cluster-derived):
@@ -527,22 +536,40 @@ def build_tile_pyramid(
     return whole.union(merged)
 
 
-# Exchange range sizing: the encode stage's task granularity.  DATA-derived
-# (~5k rows per range, the measured sweet spot at sf0.1 = 120 ranges), never
-# cluster-derived, so runs at different parallelism levels build identical
-# block structures.  Ranges must also stay far below Ray's
-# target_max_block_size: a reduce block that exceeded it would be split
-# mid-range, and a split could cut a terminal cell in two — which would
-# encode its "whole" tiles twice.  ~5k rows ~ 0.5 MB per range keeps two
-# orders of magnitude of headroom.  The 65536 cap bounds the shuffle's
-# chunk matrix; beyond ~300M rows, build the pyramid per input shard (the
+# Exchange range sizing: the encode stage's task granularity.  DATA-derived,
+# never cluster-derived, so runs at different parallelism levels build
+# identical block structures.  Two regimes:
+#   * small corpora (<= ~600k rows): constant ~5k rows per range — the
+#     measured per-batch sweet spot (sf0.1 = 120 ranges);
+#   * beyond that, rows-per-range grows as sqrt(n).  Ray's range shuffle
+#     schedules map_blocks x reduce_ranges intermediate chunks (~1ms of
+#     driver coordination each); with BOTH rows-per-block and
+#     rows-per-range scaling as sqrt(n) the chunk matrix grows LINEARLY
+#     with data instead of quadratically (measured at sf0.2: 60x240 chunks
+#     pushed 16-CPU walls from ~2x sf0.1 to ~3x, efficiency 0.65).
+# Ranges must also stay far below Ray's target_max_block_size: a reduce
+# block that exceeded it would be split mid-range, and a split could cut a
+# terminal cell in two — which would encode its "whole" tiles twice.  The
+# 500k-row (~50 MB) cap keeps that headroom; past it (n ~ 6e9 rows) and
+# past the 65536-range cap, build the pyramid per input shard instead (the
 # resumable per-zoom write layout already supports that).
 EXCHANGE_ROWS_PER_RANGE = 5_000
 MAX_EXCHANGE_RANGES = 65_536
+# sqrt coefficients anchored at n=600k (sf0.1): 5_000/sqrt(600k) and
+# 20_000/sqrt(600k) — sizing is bit-identical to the tuned constants for
+# every corpus at or below sf0.1.
+_RANGE_SQRT_COEF = 5_000 / 600_000**0.5
+_BLOCK_SQRT_COEF = 20_000 / 600_000**0.5
+
+
+def exchange_rows_per_range(n_rows: int) -> int:
+    return int(np.clip(_RANGE_SQRT_COEF * max(n_rows, 1) ** 0.5, 5_000, 500_000))
 
 
 def exchange_ranges(n_rows: int) -> int:
-    return int(np.clip(n_rows // EXCHANGE_ROWS_PER_RANGE, 8, MAX_EXCHANGE_RANGES))
+    return int(
+        np.clip(n_rows // exchange_rows_per_range(n_rows), 8, MAX_EXCHANGE_RANGES)
+    )
 
 # Exchange strategy: "bounds" = plan-derived range boundaries (no sort
 # sampling, load-balanced reduce ranges); "groupby" = Ray's sampled sort.
