@@ -94,10 +94,14 @@ def _run_bench(headline_only: bool = False) -> dict:
         cp = pilot_tiles.select_columns(["tile_id", "covt"]).to_pandas()
         cp = cp.sort_values("tile_id").head(400)
         bufs = [bytes(b) for b in cp["covt"]]
-        t0 = time.perf_counter()
-        for b in bufs:
-            decode_tile(b)
-        canary = len(bufs) / (time.perf_counter() - t0)
+        # best of 3 passes: a single ~0.15s pass can land inside a brief
+        # interference spike; the fastest pass estimates host CAPABILITY
+        canary = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for b in bufs:
+                decode_tile(b)
+            canary = max(canary, len(bufs) / (time.perf_counter() - t0))
         # scaling legs time ONLY the headline pipeline — the decode micro
         # and query suite are single-threaded / tiny and would dilute the
         # parallelism comparison
