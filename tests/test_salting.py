@@ -120,3 +120,36 @@ class TestBorderlineTileConsistency:
         assert out["tile_id"].is_unique, "borderline tile duplicated across branches"
         assert int(out["n_features"].sum()) == n
         assert (out["salt"] == 0).all()
+
+
+class TestExchangeSizing:
+    """sqrt(n)-scaled block/range sizing: bit-identical to the tuned
+    constants at or below sf0.1, linear chunk-matrix growth beyond."""
+
+    def test_anchored_at_sf01_and_below(self):
+        from cov_tiles_ray.pipelines.tiling import exchange_ranges, read_blocks
+
+        # the exact tuned values the round-1/2 benchmarks were built on
+        assert (read_blocks(600_000), exchange_ranges(600_000)) == (30, 120)
+        assert (read_blocks(60_000), exchange_ranges(60_000)) == (8, 12)
+        assert (read_blocks(6_000), exchange_ranges(6_000)) == (8, 8)
+
+    def test_chunk_matrix_grows_linearly_beyond(self):
+        from cov_tiles_ray.pipelines.tiling import exchange_ranges, read_blocks
+
+        chunks = lambda n: read_blocks(n) * exchange_ranges(n)
+        # doubling data must not ~quadruple the shuffle's chunk matrix
+        assert chunks(1_200_000) < 2.5 * chunks(600_000)
+        assert chunks(2_400_000) < 2.5 * chunks(1_200_000)
+        # and sizing keeps growing monotonically (no plateau inversion)
+        assert exchange_ranges(2_400_000) > exchange_ranges(1_200_000)
+        assert read_blocks(2_400_000) > read_blocks(1_200_000)
+
+    def test_range_rows_capped_below_block_split_hazard(self):
+        from cov_tiles_ray.pipelines.tiling import exchange_rows_per_range
+
+        # a reduce range must stay far below Ray's 128 MB block cap: a
+        # split range could cut a terminal cell in two -> double-encoded
+        # tiles.  500k rows ~ 50 MB of light columns.
+        for n in (10**6, 10**8, 10**10, 10**12):
+            assert exchange_rows_per_range(n) <= 500_000
