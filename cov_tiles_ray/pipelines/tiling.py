@@ -530,10 +530,23 @@ def build_tile_pyramid(
     ).astype(np.int64)
     step = max(1, -(-len(frag_ids) // 32))  # ~32 merge ranges
     fb = np.unique(frag_ids[step::step] + 1).tolist()
-    merged = frags.sort("tile_id", boundaries=fb).map_batches(
-        merge_tile, batch_format="numpy", batch_size=None
+    # Coalesce before the sort: `frags` inherits the main exchange's ~120
+    # blocks, nearly all EMPTY (only refined cells fragment), and the sort
+    # schedules in_blocks x ranges chunks — 109x32 of coordination for a
+    # few hundred rows.  A non-shuffle repartition to a handful of blocks
+    # cuts that ~30x; row content (and thus the merge output) is unchanged.
+    merged = (
+        frags.repartition(MERGE_SORT_IN_BLOCKS, shuffle=False)
+        .sort("tile_id", boundaries=fb)
+        .map_batches(merge_tile, batch_format="numpy", batch_size=None)
     )
     return whole.union(merged)
+
+
+# In-block count for the fragment-merge sort (see coalesce note above):
+# FIXED small constant — the fragment set is plan-bounded (refined cells
+# only), a few hundred rows at any corpus scale.
+MERGE_SORT_IN_BLOCKS = 4
 
 
 # Exchange range sizing: the encode stage's task granularity.  DATA-derived,
