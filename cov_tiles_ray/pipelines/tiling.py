@@ -636,6 +636,8 @@ def _plan_sample(images: rd.Dataset, n: int) -> tuple[np.ndarray, np.ndarray]:
 
 def _plan_sample_ray(images: rd.Dataset, n: int) -> tuple[np.ndarray, np.ndarray]:
     s = images.limit(n).select_columns(["lon", "lat"]).to_pandas()
+    if "lon" not in s.columns:  # empty dataset -> column-less DataFrame
+        return np.empty(0, np.float64), np.empty(0, np.float64)
     return s["lon"].to_numpy(), s["lat"].to_numpy()
 
 

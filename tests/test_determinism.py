@@ -67,3 +67,49 @@ class TestClusterShapeDeterminism:
         assert a.keys() == b.keys()
         diff = [t for t in a if a[t][0] != b[t][0]]
         assert not diff, f"{len(diff)} tiles differ across block structures"
+
+
+class TestDegenerateInputs:
+    """The pyramid must not crash or mis-plan on empty / single-row
+    corpora (a resumable 100-TB run WILL see empty shards)."""
+
+    def _pyramid(self, df: "pd.DataFrame"):
+        import pandas as pd  # noqa: F401
+
+        ds = rd.from_pandas(df) if len(df) else rd.from_arrow(
+            pa.table(
+                {
+                    "image_id": pa.array([], pa.string()),
+                    "caption": pa.array([], pa.string()),
+                    "fmt": pa.array([], pa.string()),
+                    "phash": pa.array([], pa.int64()),
+                    "lon": pa.array([], pa.float64()),
+                    "lat": pa.array([], pa.float64()),
+                }
+            )
+        )
+        return tiling.build_tile_pyramid(ds, zooms=(2, 4), with_cells=True)
+
+    def test_empty_corpus(self, ray_session):
+        import pandas as pd
+
+        out = self._pyramid(pd.DataFrame(columns=tiling.LIGHT_COLUMNS))
+        assert out.count() == 0
+
+    def test_single_row_corpus(self, ray_session):
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "image_id": ["img000000000001"],
+                "caption": ["one lonely pixel"],
+                "fmt": ["ppm"],
+                "phash": [12345],
+                "lon": [11.5],
+                "lat": [48.1],
+            }
+        )
+        tiles = _tile_map(self._pyramid(df))
+        # one feature -> exactly one tile per zoom, all round-trip clean
+        assert len(tiles) == 2
+        assert all(ok for _, ok in tiles.values())
