@@ -60,8 +60,14 @@ def hyperplane_lsh_params(dim: int, num_bits: int = 16, seed: int = 11) -> np.nd
 
 
 def hyperplane_bucket(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
-    """Sign-pattern bucket id (int64) per vector."""
-    proj = np.asarray(vecs, dtype=np.float32) @ planes.T  # (n, bits)
+    """Sign-pattern bucket id (int64) per vector.
+
+    Projections are computed in float64 so the SQL oracle (DuckDB
+    ``list_dot_product`` over ``DOUBLE[]``) sees the same signs: the
+    smallest |projection| in the test corpora is ~1e-6, seven orders of
+    magnitude above float64 summation-order noise, but float32 matmul
+    error (~1e-6 relative) would sit right at that margin."""
+    proj = np.asarray(vecs, dtype=np.float64) @ np.asarray(planes, dtype=np.float64).T
     bits = (proj > 0).astype(np.uint64)
     out = np.zeros(len(bits), dtype=np.uint64)
     for j in range(bits.shape[1]):

@@ -1131,6 +1131,46 @@ def _sql_phash_dedup(sf: float = 0.01) -> str:
     """
 
 
+def _sql_ann_lsh_buckets() -> str:
+    # Inline the seeded hyperplanes (functions/ann.hyperplane_lsh_params,
+    # seed 11, 12 bits) as DOUBLE[] literals: the testdata embedding dim is
+    # fixed at 64 (TESTDATA.md), and float32 plane values are exactly
+    # representable in DOUBLE, so DuckDB's sequential list_dot_product and
+    # numpy's float64 matmul agree on every projection sign (min |proj| in
+    # the corpora ~1e-6 vs ~1e-13 summation-order noise).
+    from ..functions import ann as ann_f
+
+    planes = ann_f.hyperplane_lsh_params(64, num_bits=12).astype(np.float64)
+    terms = []
+    for j, p in enumerate(planes):
+        lit = "[" + ",".join("%.17g" % v for v in p) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) > 0"
+            f" THEN {1 << j} ELSE 0 END)"
+        )
+    expr = "\n         + ".join(terms)
+    return f"""
+    SELECT ({expr}) AS bucket, count(*) AS n
+    FROM embeddings
+    GROUP BY 1
+    """
+
+
+def _sql_embedding_neardup() -> str:
+    # The Ray side's block-pair join is an execution strategy for exact
+    # all-pairs cosine >= 0.4; the oracle states the semantics directly.
+    # Both sides quantize in float64 (floor boundaries sit >= 3e-3 away
+    # from every corpus value).
+    return """
+    WITH p AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS s
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, CAST(floor(s * 1000.0) AS BIGINT) AS sim_x1000
+    FROM p WHERE s >= 0.4
+    """
+
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -1171,6 +1211,8 @@ def _register_promoted() -> None:
             "simhash_docs": (_ro.q_simhash_docs, _sql_simhash_docs()),
             "quality_scores": (_ro.q_quality_scores, _sql_quality_scores()),
             "langid_detect": (_ro.q_langid_detect, _sql_langid_detect()),
+            "ann_lsh_buckets": (_ro.q_ann_lsh_buckets, _sql_ann_lsh_buckets()),
+            "embedding_neardup": (_ro.q_embedding_neardup, _sql_embedding_neardup()),
         }
     )
 

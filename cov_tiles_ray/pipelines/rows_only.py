@@ -308,7 +308,7 @@ def q_ann_lsh_buckets(sf_dir: str):
     planes = {}
 
     def bucket(b: pa.Table) -> pa.Table:
-        vecs = np.stack(b["embedding"].to_numpy(zero_copy_only=False)).astype(np.float32)
+        vecs = np.stack(b["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
         if "p" not in planes:
             planes["p"] = ann_f.hyperplane_lsh_params(vecs.shape[1], num_bits=12)
         return pa.table({"bucket": pa.array(ann_f.hyperplane_bucket(vecs, planes["p"]))})
@@ -515,7 +515,11 @@ def q_embedding_neardup(sf_dir: str):
         bp = int(g["bp"].iloc[0])
         bi, bj = bp // B, bp % B
         ids = g["vec_id"].to_numpy(np.int64)
-        mats = ann_f.normalize_rows(np.stack(g["embedding"].to_numpy()).astype(np.float64))
+        # float64 normalize inline (normalize_rows is float32): the SQL
+        # oracle computes cosine in DOUBLE, and the sim_x1000 floor
+        # boundaries sit ~3e-3 away — float64 keeps both sides identical.
+        raw = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        mats = raw / np.maximum(np.linalg.norm(raw, axis=1, keepdims=True), 1e-12)
         blk = g["blk"].to_numpy(np.int64)
         if bi == bj:
             sims = mats @ mats.T
@@ -985,11 +989,12 @@ ROWS_ONLY_QUERIES = {
     "covt_compression": q_covt_compression,
     "validate_images": q_validate_images,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "ann_lsh_buckets": q_ann_lsh_buckets,
     "polygonize_tiles": q_polygonize_tiles,
     "ann_ivf_top5": q_ann_ivf_top5,
     "neardup_verified": q_neardup_verified,
-    "embedding_neardup": q_embedding_neardup,
+    # ann_lsh_buckets / embedding_neardup moved to the SQL-oracle registry
+    # (round-2 promotion: DuckDB list_dot_product / list_cosine_similarity
+    # over DOUBLE[] reproduce the float64 kernels exactly).
     "mvt_transcode": q_mvt_transcode,
     "codec_eval": q_codec_eval,
     "zoom_stats": q_zoom_stats,
