@@ -67,3 +67,45 @@ class TestResume:
         # lineage still records the FIRST run's inputs
         lin = json.load(open(os.path.join(checkpoint.lineage_dir(out), "z=3.json")))
         assert lin["inputs"] == {"sf": "1"} or lin["inputs"] == {"run": "1"}
+
+
+class TestJobEntrypoint:
+    """`python -m cov_tiles_ray.job` — the ray-job-submit driver script."""
+
+    def test_run_and_resume(self, ray_session, tmp_path):
+        from cov_tiles_ray import job
+
+        out = str(tmp_path / "job_out")
+        s1 = job.run_job(0.001, out, zooms=(4, 6), with_cells=False)
+        assert s1["tiles"] > 0 and s1["roundtrip_failures"] == 0
+        assert s1["skipped_partitions"] == []
+        assert checkpoint.finished_partitions(out) == {"z=4", "z=6"}
+        # resume: a second run must skip every finished partition
+        s2 = job.run_job(0.001, out, zooms=(4, 6), with_cells=False)
+        assert s2["skipped_partitions"] == ["z=4", "z=6"]
+        assert s2["tiles"] == 0  # nothing recomputed
+
+    def test_resume_after_partial_kill(self, ray_session, tmp_path):
+        """Simulate a killed job: z=4's lineage landed, z=6's did not."""
+        from cov_tiles_ray import job
+
+        out = str(tmp_path / "killed")
+        job.run_job(0.001, out, zooms=(4,), with_cells=False)
+        assert checkpoint.finished_partitions(out) == {"z=4"}
+        s = job.run_job(0.001, out, zooms=(4, 6), with_cells=False)
+        assert s["skipped_partitions"] == ["z=4"]
+        assert checkpoint.finished_partitions(out) == {"z=4", "z=6"}
+        assert s["roundtrip_failures"] == 0
+
+    def test_main_guards_existing_session(self, ray_session, tmp_path, capsys):
+        """Under `ray job submit` (or pytest) Ray is live: main() must not
+        re-init or shut the session down."""
+        import ray
+
+        from cov_tiles_ray import job
+
+        rc = job.main(["--sf", "0.001", "--out", str(tmp_path / "m"), "--zooms", "4", "--no-cells"])
+        assert rc == 0
+        assert ray.is_initialized()  # session untouched
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["tiles"] > 0 and summary["roundtrip_failures"] == 0
