@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -330,6 +331,70 @@ def _sql_hex_assign_r3() -> str:
     return f"""
     WITH pts AS (SELECT {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events)
     SELECT {_hex_sql(3)} AS hex_id, count(*) AS n FROM pts GROUP BY hex_id
+    """
+
+
+HEX_PYRAMID_RES = tuple(range(13))  # north-star range: H3-style res 0-12
+
+
+def q_hex_pyramid(sf_dir: str):
+    """Multi-resolution hex assignment: every event lands in its cell at
+    ALL 13 resolutions (res 0-12) in ONE pass over the table.
+
+    Scale shape: the per-batch kernel pre-aggregates (np.unique counts per
+    res — the combiner), so the shuffle carries at most one row per
+    (res, cell) per batch instead of 13x the input rows; the resolution is
+    already packed into the cell id (res * 2^52), so one groupby key
+    covers the whole pyramid."""
+    from ray.data.aggregate import Sum
+
+    ds = _events_points(sf_dir)
+
+    def assign(b: pa.Table) -> pa.Table:
+        lon = b["lon"].to_numpy(zero_copy_only=False)
+        lat = b["lat"].to_numpy(zero_copy_only=False)
+        ids, counts = [], []
+        for res in HEX_PYRAMID_RES:
+            u, c = np.unique(S.lonlat_to_hex(lon, lat, res), return_counts=True)
+            ids.append(u)
+            counts.append(c.astype(np.int64))
+        return pa.table(
+            {
+                "hex_id": pa.array(np.concatenate(ids)),
+                "partial": pa.array(np.concatenate(counts)),
+            }
+        )
+
+    out = (
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hex_id")
+        .aggregate(Sum("partial", alias_name="n"))
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        res, _q, _r = S.unpack_hex_id(b["hex_id"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "res": pa.array(res.astype(np.int64)),
+                "hex_id": b["hex_id"],
+                "n": pc.cast(b["n"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_hex_pyramid() -> str:
+    unions = "\n      UNION ALL\n      ".join(
+        f"SELECT {_hex_sql(res)} AS hex_id FROM pts" for res in HEX_PYRAMID_RES
+    )
+    return f"""
+    WITH pts AS (SELECT {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events),
+    allcells AS (
+      {unions}
+    )
+    SELECT CAST(hex_id // {1 << 52} AS BIGINT) AS res, hex_id, count(*) AS n
+    FROM allcells GROUP BY hex_id
     """
 
 
@@ -1180,6 +1245,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "tile_assign_z6": (q_tile_assign_z6, _sql_tile_assign(6)),
     "tile_assign_z10": (q_tile_assign_z10, _sql_tile_assign(10)),
     "hex_assign_r3": (q_hex_assign_r3, _sql_hex_assign_r3()),
+    "hex_pyramid": (q_hex_pyramid, _sql_hex_pyramid()),
     "tile_bbox_z6": (q_tile_bbox_z6, _sql_tile_bbox_z6()),
     "pip_regions": (q_pip_regions, _sql_pip_regions()),
     "pip_actor": (q_pip_actor, _sql_pip_actor()),
