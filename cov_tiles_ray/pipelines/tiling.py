@@ -314,11 +314,16 @@ class PyramidPartEncoder:
         extent: int = 4096,
         with_mvt: bool = False,
         with_cells: bool = False,
+        channel=None,
     ):
         self.zooms = tuple(sorted(zooms))
         self.z_base = self.zooms[0]
         self.refined = refined
         self.extent = extent
+        # side-channel mode (stages/frag_channel.py): fragments leave via
+        # the channel actor instead of riding the output as kind=0 rows,
+        # so the output is whole-tiles-only and needs no kind/frag columns
+        self.channel = channel
         inner = TileEncoder(opts or EncodeOptions(), extent, with_cells=with_cells)
         inner.with_mvt_baseline = with_mvt
         self.encoder = MultiTileEncoder(inner=inner)
@@ -331,13 +336,20 @@ class PyramidPartEncoder:
             ["tile_id", "z", "x", "y", "salt", "n_features", "n_layers", "covt",
              "covt_bytes", "plain_bytes"]
             + (["mvt_bytes", "mvt_gzip_bytes"] if with_mvt else [])
-            + ["roundtrip_ok", "kind", "frag"]
+            + ["roundtrip_ok"]
+            + ([] if channel is not None else ["kind", "frag"])
         )
 
     def __call__(self, t: pa.Table) -> pa.Table:
         # post-shuffle zoom expansion: int tile/local coords only — the
         # heavy string columns are shared zero-copy across the zoom tables
+        src = -1
         if "part" in t.column_names:
+            if t.num_rows:
+                # first part value of the sorted range: unique per task
+                # (boundaries never split a part) — the channel dedup key
+                # that makes a retried task's re-registration idempotent
+                src = int(t["part"][0].as_py())
             t = t.drop_columns(["part"])
         whole_tables: list[pa.Table] = []
         frag_tid: list[int] = []
@@ -389,10 +401,23 @@ class PyramidPartEncoder:
             oks &= np.asarray(cols.pop("full_ok"), dtype=bool)
             cols["roundtrip_ok"] = oks
             enc_t = pa.table({k: pa.array(v) for k, v in cols.items()})
-            enc_t = enc_t.append_column("kind", pa.array(np.ones(n, dtype=np.int8)))
-            enc_t = enc_t.append_column("frag", pa.array([b""] * n, pa.binary()))
+            if self.channel is None:
+                enc_t = enc_t.append_column("kind", pa.array(np.ones(n, dtype=np.int8)))
+                enc_t = enc_t.append_column("frag", pa.array([b""] * n, pa.binary()))
             out = enc_t
-        if frag_tid:
+        if frag_tid and self.channel is not None:
+            import ray
+
+            # bytes go to the object store owned by the channel actor
+            # (spillable, survives this worker); the actor holds refs only.
+            # The blocking ack makes task completion imply registration —
+            # the pipeline's materialize is then a valid collect barrier.
+            entries = [
+                (tid, src, ray.put(blob, _owner=self.channel))
+                for tid, blob in zip(frag_tid, frag_blobs)
+            ]
+            ray.get(self.channel.add.remote(entries))
+        elif frag_tid:
             nf = len(frag_tid)
             ftid = np.array(frag_tid, dtype=np.int64)
             fcols: dict[str, pa.Array] = {
@@ -418,8 +443,9 @@ class PyramidPartEncoder:
                 empty[name] = pa.array(np.array([], dtype=dt))
             empty["covt"] = pa.array([], pa.binary())
             empty["roundtrip_ok"] = pa.array([], pa.bool_())
-            empty["kind"] = pa.array([], pa.int8())
-            empty["frag"] = pa.array([], pa.binary())
+            if self.channel is None:
+                empty["kind"] = pa.array([], pa.int8())
+                empty["frag"] = pa.array([], pa.binary())
             out = pa.table(empty)
         return out.select(self.canon)
 
@@ -478,8 +504,19 @@ def build_tile_pyramid(
 
     ds = images.map_batches(assign_base, batch_format="pyarrow", zero_copy_batch=True)
 
+    channel = None
+    if refined and PYRAMID_MERGE == "channel":
+        import ray
+
+        from ..stages.frag_channel import FragmentChannel
+
+        channel = FragmentChannel.remote()
+        # block until the actor process is up: ray.put(_owner=...) against
+        # a still-starting actor fails with "worker_id is empty"
+        ray.get(channel.__ray_ready__.remote())
     kernel = PyramidPartEncoder(
-        zooms, refined, opts=opts, extent=extent, with_mvt=with_mvt, with_cells=with_cells
+        zooms, refined, opts=opts, extent=extent, with_mvt=with_mvt,
+        with_cells=with_cells, channel=channel,
     )
 
     def encode_part(t: pa.Table) -> pa.Table:
@@ -505,16 +542,50 @@ def build_tile_pyramid(
         # unrefined plan -> no tile can fragment; stay a single streamed
         # pipeline (no materialize, no branch)
         return tiles.drop_columns(["kind", "frag"])
-    # Materialized ONCE so the whole/fragment branches don't re-execute the
-    # exchange; the materialized set is the COMPACT encoded output plus raw
-    # fragments of the few fragmented (coarse/hot) tiles.  The branch
-    # predicate is the local `kind` flag — no driver-side id pull.
-    tiles = tiles.materialize()
-    whole = tiles.filter(expr="kind == 1").drop_columns(["kind", "frag"])
-    frags = tiles.filter(expr="kind == 0").select_columns(["tile_id", "frag"])
     merger = RawFragmentMerger(
         opts or EncodeOptions(), extent, with_cells=with_cells, with_mvt=with_mvt
     )
+    if channel is not None:
+        # Side-channel merge (stages/frag_channel.py): the output above is
+        # whole-tiles-only; fragments are already registered with the
+        # channel actor.  The materialize is the completion barrier (every
+        # encode task acked its adds before finishing), and the merge runs
+        # as ONE round of plain Ray tasks over sorted tile-id ranges —
+        # replacing the filter/repartition/sort serial tail (measured
+        # 2.6-4.3 s of driver-side coordination at sf0.1, BASELINE.md).
+        import ray
+
+        tiles = tiles.materialize()
+        groups = ray.get(channel.collect.remote())
+        if not groups:
+            return tiles
+        tids = sorted(groups)
+        n_tasks = max(1, min(32, len(tids)))
+        spans = np.array_split(np.asarray(tids, dtype=np.int64), n_tasks)
+        from ..stages.frag_channel import merge_fragment_tiles
+
+        schema = tiles.schema()
+        pa_schema = getattr(schema, "base_schema", schema)
+        refs = [
+            merge_fragment_tiles.remote(
+                merger, span.tolist(), [groups[t] for t in span.tolist()], pa_schema
+            )
+            for span in spans
+            if len(span)
+        ]
+        # block until the merge tasks finish (fetch_local=False keeps the
+        # tables in the object store): after this the channel actor — and
+        # the fragment blobs it owns — may be garbage-collected safely.
+        ray.wait(refs, num_returns=len(refs), fetch_local=False)
+        return tiles.union(rd.from_arrow_refs(refs))
+    # Pure-Dataset merge path (kept for A/B): materialized ONCE so the
+    # whole/fragment branches don't re-execute the exchange; the
+    # materialized set is the COMPACT encoded output plus raw fragments of
+    # the few fragmented (coarse/hot) tiles.  The branch predicate is the
+    # local `kind` flag — no driver-side id pull.
+    tiles = tiles.materialize()
+    whole = tiles.filter(expr="kind == 1").drop_columns(["kind", "frag"])
+    frags = tiles.filter(expr="kind == 0").select_columns(["tile_id", "frag"])
 
     def merge_tile(g):
         return merger(g)
@@ -587,6 +658,13 @@ def exchange_ranges(n_rows: int) -> int:
 # Exchange strategy: "bounds" = plan-derived range boundaries (no sort
 # sampling, load-balanced reduce ranges); "groupby" = Ray's sampled sort.
 PYRAMID_EXCHANGE = "bounds"
+
+# Fragment-merge strategy: "channel" routes fragments through the
+# side-channel actor (stages/frag_channel.py — one merge-task round after
+# the barrier); "sort" is the pure-Dataset alternative (filter ->
+# repartition -> bounded sort -> map), kept for A/B and as the reference
+# semantics.  Both produce byte-identical tiles (tests/test_determinism.py).
+PYRAMID_MERGE = "channel"
 
 
 def _plan_sample(images: rd.Dataset, n: int) -> tuple[np.ndarray, np.ndarray]:

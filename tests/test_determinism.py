@@ -113,3 +113,19 @@ class TestDegenerateInputs:
         # one feature -> exactly one tile per zoom, all round-trip clean
         assert len(tiles) == 2
         assert all(ok for _, ok in tiles.values())
+
+
+class TestMergeStrategyEquivalence:
+    """The side-channel fragment merge (PYRAMID_MERGE='channel') and the
+    pure-Dataset sort merge must produce byte-identical tile sets."""
+
+    def test_channel_equals_sort_merge(self, ray_session, monkeypatch):
+        kw = dict(zooms=(2, 4), hot_zooms=(2,), with_cells=True)
+        monkeypatch.setattr(tiling, "PYRAMID_MERGE", "channel")
+        a = _tile_map(tiling.build_tile_pyramid(_read(5), **kw))
+        monkeypatch.setattr(tiling, "PYRAMID_MERGE", "sort")
+        b = _tile_map(tiling.build_tile_pyramid(_read(5), **kw))
+        assert a.keys() == b.keys()
+        diff = [t for t in a if a[t] != b[t]]
+        assert not diff, f"{len(diff)} tiles differ between merge strategies"
+        assert all(ok for _, ok in a.values())
