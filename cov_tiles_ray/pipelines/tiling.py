@@ -315,6 +315,7 @@ class PyramidPartEncoder:
         with_mvt: bool = False,
         with_cells: bool = False,
         channel=None,
+        run_id: int = 0,
     ):
         self.zooms = tuple(sorted(zooms))
         self.z_base = self.zooms[0]
@@ -324,6 +325,7 @@ class PyramidPartEncoder:
         # the channel actor instead of riding the output as kind=0 rows,
         # so the output is whole-tiles-only and needs no kind/frag columns
         self.channel = channel
+        self.run_id = run_id
         inner = TileEncoder(opts or EncodeOptions(), extent, with_cells=with_cells)
         inner.with_mvt_baseline = with_mvt
         self.encoder = MultiTileEncoder(inner=inner)
@@ -416,7 +418,7 @@ class PyramidPartEncoder:
                 (tid, src, ray.put(blob, _owner=self.channel))
                 for tid, blob in zip(frag_tid, frag_blobs)
             ]
-            ray.get(self.channel.add.remote(entries))
+            ray.get(self.channel.add.remote(self.run_id, entries))
         elif frag_tid:
             nf = len(frag_tid)
             ftid = np.array(frag_tid, dtype=np.int64)
@@ -486,6 +488,9 @@ def build_tile_pyramid(
 
     zooms = tuple(sorted(zooms))
     z_base = zooms[0]
+    # kick off the (cached) channel actor boot BEFORE planning so the
+    # worker-process spawn overlaps the driver-side plan sample read
+    channel = _get_frag_channel() if PYRAMID_MERGE == "channel" else None
     n_rows = _estimate_rows(images)
     refined, part_bounds = _plan_pyramid(images, n_rows, z_base, zooms[-1], hot_zooms)
     max_depth = (zooms[-1] + 2) - z_base
@@ -504,19 +509,19 @@ def build_tile_pyramid(
 
     ds = images.map_batches(assign_base, batch_format="pyarrow", zero_copy_batch=True)
 
-    channel = None
-    if refined and PYRAMID_MERGE == "channel":
+    run_id = 0
+    if not refined:
+        channel = None  # no tile can fragment; the channel is not needed
+    elif channel is not None:
         import ray
 
-        from ..stages.frag_channel import FragmentChannel
-
-        channel = FragmentChannel.remote()
-        # block until the actor process is up: ray.put(_owner=...) against
-        # a still-starting actor fails with "worker_id is empty"
-        ray.get(channel.__ray_ready__.remote())
+        # begin_run doubles as the readiness barrier: an actor call only
+        # returns once the actor is up, and ray.put(_owner=...) against a
+        # still-starting actor fails with "worker_id is empty"
+        run_id = ray.get(channel.begin_run.remote())
     kernel = PyramidPartEncoder(
         zooms, refined, opts=opts, extent=extent, with_mvt=with_mvt,
-        with_cells=with_cells, channel=channel,
+        with_cells=with_cells, channel=channel, run_id=run_id,
     )
 
     def encode_part(t: pa.Table) -> pa.Table:
@@ -556,7 +561,7 @@ def build_tile_pyramid(
         import ray
 
         tiles = tiles.materialize()
-        groups = ray.get(channel.collect.remote())
+        groups = ray.get(channel.collect.remote(run_id))
         if not groups:
             return tiles
         tids = sorted(groups)
@@ -574,8 +579,8 @@ def build_tile_pyramid(
             if len(span)
         ]
         # block until the merge tasks finish (fetch_local=False keeps the
-        # tables in the object store): after this the channel actor — and
-        # the fragment blobs it owns — may be garbage-collected safely.
+        # tables in the object store): after this the run's fragment blobs
+        # (already popped from the cached actor by collect) can be GC'd.
         ray.wait(refs, num_returns=len(refs), fetch_local=False)
         return tiles.union(rd.from_arrow_refs(refs))
     # Pure-Dataset merge path (kept for A/B): materialized ONCE so the
@@ -665,6 +670,31 @@ PYRAMID_EXCHANGE = "bounds"
 # repartition -> bounded sort -> map), kept for A/B and as the reference
 # semantics.  Both produce byte-identical tiles (tests/test_determinism.py).
 PYRAMID_MERGE = "channel"
+
+_FRAG_CHANNEL = None
+
+
+def _get_frag_channel():
+    """Session-cached FragmentChannel handle (boot is ~1-2 s of worker
+    spawn — on a fresh pyramid's critical path otherwise).  Returns the
+    handle WITHOUT waiting for readiness: the caller's first actor call
+    (begin_run) is the readiness barrier, so the boot overlaps the
+    driver-side plan sample.  A stale handle from a previous Ray session
+    (tests / CLI runs that init+shutdown repeatedly) is detected by a
+    cheap ping and recreated."""
+    global _FRAG_CHANNEL
+    import ray
+
+    from ..stages.frag_channel import FragmentChannel
+
+    if _FRAG_CHANNEL is not None:
+        try:
+            ray.get(_FRAG_CHANNEL.__ray_ready__.remote(), timeout=30)
+            return _FRAG_CHANNEL
+        except Exception:
+            _FRAG_CHANNEL = None
+    _FRAG_CHANNEL = FragmentChannel.remote()
+    return _FRAG_CHANNEL
 
 
 def _plan_sample(images: rd.Dataset, n: int) -> tuple[np.ndarray, np.ndarray]:

@@ -41,22 +41,40 @@ import ray
 @ray.remote(num_cpus=0)
 class FragmentChannel:
     """Collects (tile_id, src_partition) -> fragment-blob ref during the
-    encode wave.  num_cpus=0: it only shuffles refs, never bytes."""
+    encode wave.  num_cpus=0: it only shuffles refs, never bytes.
+
+    One channel actor is CACHED per driver session (worker-process boot is
+    ~1-2 s — on the critical path of a fresh pyramid otherwise), so state
+    is scoped by a run id: each pipeline invocation calls ``begin_run``
+    (which doubles as the actor-readiness barrier) and ``collect`` pops
+    its run's entries, freeing the owned blob refs.  Concurrent pyramids
+    get distinct run ids.  A run whose driver code crashes between
+    begin_run and collect leaks its refs until the actor dies with the
+    session — bounded and disclosed."""
 
     def __init__(self):
-        self._frags: dict[tuple[int, int], "ray.ObjectRef"] = {}
+        self._runs: dict[int, dict[tuple[int, int], "ray.ObjectRef"]] = {}
+        self._next_run = 0
 
-    def add(self, entries) -> int:
+    def begin_run(self) -> int:
+        self._next_run += 1
+        self._runs[self._next_run] = {}
+        return self._next_run
+
+    def add(self, run_id: int, entries) -> int:
         """Register fragment refs; idempotent per (tile_id, src) key."""
+        frags = self._runs.setdefault(run_id, {})
         for tid, src, ref in entries:
-            self._frags[(int(tid), int(src))] = ref
-        return len(self._frags)
+            frags[(int(tid), int(src))] = ref
+        return len(frags)
 
-    def collect(self) -> dict:
+    def collect(self, run_id: int) -> dict:
         """tile_id -> [refs ordered by src partition] (deterministic; the
-        merger re-sorts rows by fid anyway, so blob order is cosmetic)."""
+        merger re-sorts rows by fid anyway, so blob order is cosmetic).
+        Pops the run: the actor drops its refs so the blobs can be GC'd
+        once the merge tasks finish with them."""
         groups: dict[int, list] = {}
-        for (tid, _src), ref in sorted(self._frags.items(), key=lambda kv: kv[0]):
+        for (tid, _src), ref in sorted(self._runs.pop(run_id, {}).items(), key=lambda kv: kv[0]):
             groups.setdefault(tid, []).append(ref)
         return groups
 
