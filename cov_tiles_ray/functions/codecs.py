@@ -613,7 +613,15 @@ def _encode_rle_v1_vec(v: np.ndarray, signed: bool) -> bytes:
 
 
 def decode_rle_v1(buf, n: int, signed: bool, offset: int = 0) -> tuple[np.ndarray, int]:
-    """ORC-style RLE v1 decode (clean-room per decodingUtils.ts:230-265)."""
+    """ORC-style RLE v1 decode (clean-room per decodingUtils.ts:230-265).
+
+    Streams of >=512 values take the vectorized path: the group walk stays
+    a (cheap, framing-only) Python loop, but every varint in the stream —
+    literal values and run bases — is decoded in two gathered vectorized
+    passes and scattered with segment arithmetic.  The scalar path below is
+    the reference semantics and the small-stream fast path."""
+    if n >= 512:
+        return _decode_rle_v1_vec(buf, n, signed, offset)
     b = buf
     np_input = isinstance(b, np.ndarray)
     out = np.empty(n, dtype=I64)
@@ -647,6 +655,88 @@ def decode_rle_v1(buf, n: int, signed: bool, offset: int = 0) -> tuple[np.ndarra
     if got != n:
         raise ValueError("RLE v1 stream produced wrong count")
     return out, pos
+
+
+def _decode_rle_v1_vec(buf, n: int, signed: bool, offset: int) -> tuple[np.ndarray, int]:
+    """Vectorized RLE v1 decode (same framing/semantics as the scalar path).
+
+    Pass 1 walks group headers only — each literal group is skipped in
+    O(log) via a searchsorted over the precomputed varint-terminator
+    positions, never decoding values.  Pass 2 decodes all literal values
+    (one gathered buffer, one ``decode_varint`` call) and all run bases
+    (ditto), then scatters with repeat/arange segment arithmetic."""
+    # worst case: every value a 10-byte varint + ~n/3 group headers
+    b = _as_u8(buf)[offset : offset + 11 * n + (n // 3 + 2) * 2]
+    term_idx = np.flatnonzero((b & 0x80) == 0)
+    pos = 0
+    got = 0
+    # (kind, out_start, num, byte_start, byte_end, extra) per group
+    lit_regions: list[tuple[int, int, int]] = []  # (out_start, num, bstart)
+    lit_bends: list[int] = []
+    run_out: list[int] = []
+    run_num: list[int] = []
+    run_delta: list[int] = []
+    run_bstart: list[int] = []
+    run_bend: list[int] = []
+    try:
+        while got < n:
+            header = int(b[pos])
+            if header <= 0x7F:
+                num = header + 3
+                delta = int(b[pos + 1])
+                if delta > 127:
+                    delta -= 256  # int8
+                vstart = pos + 2
+                j = int(np.searchsorted(term_idx, vstart))
+                vend = int(term_idx[j]) + 1
+                run_out.append(got)
+                run_num.append(num)
+                run_delta.append(delta)
+                run_bstart.append(vstart)
+                run_bend.append(vend)
+                pos = vend
+            else:
+                num = 256 - header
+                vstart = pos + 1
+                j = int(np.searchsorted(term_idx, vstart))
+                vend = int(term_idx[j + num - 1]) + 1
+                lit_regions.append((got, num, vstart))
+                lit_bends.append(vend)
+                pos = vend
+            got += num
+    except IndexError:
+        raise ValueError("RLE v1 stream truncated") from None
+    if got != n:
+        raise ValueError("RLE v1 stream produced wrong count")
+    out = np.empty(n, dtype=I64)
+    if lit_regions:
+        gathered = np.concatenate(
+            [b[s : e] for (_, _, s), e in zip(lit_regions, lit_bends)]
+        )
+        n_lit = int(sum(num for _, num, _ in lit_regions))
+        vals, vpos = decode_varint(gathered, n_lit, 0)
+        if vpos != len(gathered):
+            raise ValueError("RLE v1 literal group has trailing bytes")
+        sv = zigzag_decode(vals) if signed else vals.view(I64)
+        starts = np.array([o for o, _, _ in lit_regions], dtype=I64)
+        nums = np.array([num for _, num, _ in lit_regions], dtype=I64)
+        intra = np.arange(n_lit, dtype=I64) - np.repeat(np.cumsum(nums) - nums, nums)
+        out[np.repeat(starts, nums) + intra] = sv
+    if run_out:
+        gathered = np.concatenate(
+            [b[s:e] for s, e in zip(run_bstart, run_bend)]
+        )
+        bases, vpos = decode_varint(gathered, len(run_out), 0)
+        if vpos != len(gathered):
+            raise ValueError("RLE v1 run base has trailing bytes")
+        sb = zigzag_decode(bases) if signed else bases.view(I64)
+        starts = np.array(run_out, dtype=I64)
+        nums = np.array(run_num, dtype=I64)
+        deltas = np.array(run_delta, dtype=I64)
+        total = int(nums.sum())
+        intra = np.arange(total, dtype=I64) - np.repeat(np.cumsum(nums) - nums, nums)
+        out[np.repeat(starts, nums) + intra] = np.repeat(sb, nums) + np.repeat(deltas, nums) * intra
+    return out, offset + pos
 
 
 # ---------------------------------------------------------------------------

@@ -356,3 +356,38 @@ class TestPlainIntCandidate:
         vals = np.arange(1000) % 50
         enc, _ = best_encoding(vals, INT_STREAM_CANDIDATES)
         assert enc != StreamEncoding.PLAIN
+
+
+class TestRleV1VecDecode:
+    """_decode_rle_v1_vec (>=512-value path) must match the scalar
+    reference decode exactly on mixed run/literal streams."""
+
+    def test_vec_matches_scalar_mixed_streams(self):
+        rng = np.random.default_rng(3)
+        for signed in (True, False):
+            for _ in range(60):
+                vals = []
+                n_target = int(rng.integers(520, 4000))
+                while sum(len(v) for v in vals) < n_target:
+                    if rng.random() < 0.5:
+                        ln = int(rng.integers(3, 130))
+                        base = int(rng.integers(0, 2**40)) if not signed else int(rng.integers(-(2**40), 2**40))
+                        d = int(rng.integers(-128, 128))
+                        vals.append(base + d * np.arange(ln, dtype=np.int64))
+                    else:
+                        lo = 0 if not signed else -(2**50)
+                        vals.append(rng.integers(lo, 2**50, int(rng.integers(1, 129))))
+                v = np.concatenate(vals).astype(np.int64)
+                enc = C.encode_rle_v1(v, signed)
+                a, pa_ = C._decode_rle_v1_vec(enc, len(v), signed, 0)
+                # scalar reference: decode in the public path with a buffer
+                # offset so both entry points are exercised
+                b, pb = C.decode_rle_v1(b"\x00" + enc, len(v), signed, 1)
+                assert np.array_equal(a, v) and pa_ == len(enc)
+                assert np.array_equal(b, v) and pb == len(enc) + 1
+
+    def test_vec_rejects_truncation(self):
+        v = np.arange(600, dtype=np.int64)
+        enc = C.encode_rle_v1(v, True)
+        with pytest.raises(ValueError):
+            C._decode_rle_v1_vec(enc[:-2], 600, True, 0)
