@@ -250,8 +250,17 @@ class _BatchVerifier:
             nlen, pos = C.read_varint_py(b, pos)
             pos += nlen
             extent, pos = C.read_varint_py(b, pos)
-            meta_nf, pos = C.read_varint_py(b, pos)
-            num_columns, pos = C.read_varint_py(b, pos)
+            nf_b = b[pos]
+            if nf_b < 0x80:
+                meta_nf = nf_b
+                pos += 1
+            else:
+                meta_nf, pos = C.read_varint_py(b, pos)
+            num_columns = b[pos]
+            if num_columns < 0x80:
+                pos += 1
+            else:
+                num_columns, pos = C.read_varint_py(b, pos)
             saw_ids = False
             saw_geometry = False
             gt_nvals = -1
@@ -259,16 +268,30 @@ class _BatchVerifier:
             # like decode_layer's two-pass walk — stream payloads follow the
             # whole metadata block, in metadata order
             columns = []
+            # descriptor walk with the 1-/2-byte varint cases inlined: this
+            # loop runs ~70 varints per tile over >10k tiles per partition,
+            # and the read_varint_py call overhead alone was ~20% of the
+            # whole encode kernel's CPU (framing values are almost always
+            # short varints on flagship tiles)
+            rv = C.read_varint_py
             for _ in range(num_columns):
-                cid, pos = C.read_varint_py(b, pos)
+                cid = b[pos]
+                if cid < 0x80:
+                    pos += 1
+                else:
+                    cid, pos = rv(b, pos)
                 if cid >= 2:
-                    cnlen, pos = C.read_varint_py(b, pos)
+                    cnlen, pos = rv(b, pos)
                     pos += cnlen
                 desc = b[pos]
                 pos += 1
                 dt = (desc >> 3) & 0xF
                 ct = desc & 0x7
-                ns, pos = C.read_varint_py(b, pos)
+                ns = b[pos]
+                if ns < 0x80:
+                    pos += 1
+                else:
+                    ns, pos = rv(b, pos)
                 if ct not in (_CT_PLAIN, _CT_DICT):
                     raise _Unsupported
                 if dt not in _INT_DTS and dt not in (_DT_STRING, _DT_GEOM):
@@ -276,8 +299,22 @@ class _BatchVerifier:
                 metas = []
                 for _ in range(ns):
                     sd = b[pos]
-                    nv, p = C.read_varint_py(b, pos + 1)
-                    blen, pos = C.read_varint_py(b, p)
+                    p = pos + 1
+                    nv = b[p]
+                    if nv < 0x80:
+                        p += 1
+                    else:
+                        nv, p = rv(b, p)
+                    blen = b[p]
+                    if blen < 0x80:
+                        pos = p + 1
+                    else:
+                        b2 = b[p + 1]
+                        if b2 < 0x80:
+                            blen = (blen & 0x7F) | (b2 << 7)
+                            pos = p + 2
+                        else:
+                            blen, pos = rv(b, p)
                     metas.append((sd >> 4, sd & 0xF, nv, blen))
                 columns.append((cid, dt, ct, metas))
             # pass 2: stream payloads
