@@ -19,7 +19,6 @@ never crosses the exchange.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
@@ -42,7 +41,6 @@ from ..stages.tile_encode import (
     TileEncoder,
     TileFragmentMerger,
     fragment_ipc_bytes,
-    verify_tile_buf,
     verify_tiles_batch,
 )
 from ..state import checkpoint
