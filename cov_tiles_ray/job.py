@@ -52,15 +52,26 @@ def run_job(
     from .pipelines import tiling
     from .state import checkpoint
 
-    images = tiling.read_images(sf, columns=tiling.LIGHT_COLUMNS)
-    tiles = tiling.build_tile_pyramid(
-        images, zooms=zooms, hex_res=hex_res, with_cells=with_cells
-    )
-    agg = tiling.write_tiles(
-        tiles,
-        out_dir,
-        input_desc={"sf": sf, "zooms": list(zooms), "with_cells": with_cells},
-    )
+    # resume skips COMPUTE, not just writes: only unfinished zooms enter
+    # the pyramid (a tile's bytes are a pure function of its own rows —
+    # independent of which sibling zooms are built, tests/test_determinism)
+    done = checkpoint.finished_partitions(out_dir)
+    remaining = tuple(z for z in zooms if f"z={z}" not in done)
+    if remaining:
+        images = tiling.read_images(sf, columns=tiling.LIGHT_COLUMNS)
+        tiles = tiling.build_tile_pyramid(
+            images, zooms=remaining, hex_res=hex_res, with_cells=with_cells
+        )
+        agg = tiling.write_tiles(
+            tiles,
+            out_dir,
+            input_desc={"sf": sf, "zooms": list(zooms), "with_cells": with_cells},
+        )
+    else:
+        agg = {
+            "tiles": 0, "features": 0, "covt_bytes": 0, "plain_bytes": 0,
+            "skipped_partitions": sorted(done),
+        }
     failures = sum(
         int(m.get("roundtrip_failures", 0)) for m in checkpoint.load_metrics(out_dir)
     )

@@ -18,6 +18,8 @@ never crosses the exchange.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -827,6 +829,14 @@ def write_tiles(tiles: rd.Dataset, out_dir: str, input_desc: dict | None = None)
             continue
         part = tiles.filter(expr=f"z == {z}")
         part_dir = f"{out_dir}/{key}"
+        # no lineage record => the partition is unfinished by definition; a
+        # run killed mid-write leaves partial files here, and write_parquet
+        # appends uniquely-named files rather than replacing — clear first
+        # so a resume can't produce duplicate rows
+        if os.path.isdir(part_dir):
+            import shutil
+
+            shutil.rmtree(part_dir)
         part.write_parquet(part_dir)
         pdf = part.select_columns(["n_features", "covt_bytes", "plain_bytes", "roundtrip_ok"]).to_pandas()
         metrics = {

@@ -109,3 +109,47 @@ class TestJobEntrypoint:
         assert ray.is_initialized()  # session untouched
         summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert summary["tiles"] > 0 and summary["roundtrip_failures"] == 0
+
+    def test_resume_skips_compute(self, ray_session, tmp_path, monkeypatch):
+        """A fully-finished output must not rebuild the pyramid at all; a
+        partial one must rebuild only the unfinished zooms."""
+        from cov_tiles_ray import job
+        from cov_tiles_ray.pipelines import tiling
+
+        out = str(tmp_path / "compute_skip")
+        job.run_job(0.001, out, zooms=(4,), with_cells=False)
+
+        calls = []
+        real = tiling.build_tile_pyramid
+
+        def spy(images, zooms=(4, 6, 8, 10), **kw):
+            calls.append(tuple(zooms))
+            return real(images, zooms=zooms, **kw)
+
+        monkeypatch.setattr(tiling, "build_tile_pyramid", spy)
+        s = job.run_job(0.001, out, zooms=(4, 6), with_cells=False)
+        assert calls == [(6,)]  # z=4 finished -> only z=6 recomputed
+        assert s["skipped_partitions"] == ["z=4"]
+        s2 = job.run_job(0.001, out, zooms=(4, 6), with_cells=False)
+        assert calls == [(6,)]  # nothing recomputed on a finished output
+        assert s2["skipped_partitions"] == ["z=4", "z=6"] and s2["tiles"] == 0
+
+    def test_mid_write_kill_leaves_no_duplicates(self, ray_session, tmp_path):
+        """Partial parquet files WITHOUT a lineage record (killed mid-write)
+        must be replaced, not appended to, on resume."""
+        import pyarrow.parquet as pq
+
+        from cov_tiles_ray import job
+
+        out = str(tmp_path / "killed_mid_write")
+        # simulate the partial debris of a killed write: a stray file in the
+        # partition dir, no lineage
+        os.makedirs(f"{out}/z=4", exist_ok=True)
+        pd.DataFrame({"tile_id": [1], "covt": [b"junk"]}).to_parquet(
+            f"{out}/z=4/partial-debris.parquet"
+        )
+        s = job.run_job(0.001, out, zooms=(4,), with_cells=False)
+        assert s["roundtrip_failures"] == 0
+        t = pq.read_table(f"{out}/z=4")
+        ids = t["tile_id"].to_pylist()
+        assert len(ids) == len(set(ids)) == s["tiles"]  # no debris, no dupes
