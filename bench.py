@@ -53,6 +53,12 @@ def _run_bench(headline_only: bool = False) -> dict:
     ray.data.read_parquet(images_path, columns=["image_id"]).count()
     pilot = tiling.read_images(sf, columns=tiling.LIGHT_COLUMNS).limit(20000)
     pilot_tiles = tiling.build_tiles(pilot, z=8, with_cells=True).materialize()
+    # warm the fragment side-channel too (actor boot + plain-task workers):
+    # forced refinement makes the tiny pilot exercise the channel + merge
+    # path, so the timed headline measures steady state, not a worker spawn
+    tiling.build_tile_pyramid(
+        pilot, zooms=(6, 8), hot_zooms=(6,), with_cells=True
+    ).materialize()
     if headline_only:
         # scaling legs: one UNTIMED full-size headline first — the first
         # full run in a fresh process is ~15% slower than steady state
