@@ -268,6 +268,8 @@ def main() -> None:
                     "aggregation": (
                         f"median of {len(valid_effs)} host-matched pairs"
                         f" (canary within 20%) of {n_pairs} adjacent pairs"
+                        if valid_effs
+                        else f"median of all {n_pairs} pairs (no pair was host-matched)"
                     ),
                     "median_all_pairs": round(_median(effs), 3),
                     "cpus_lo": lo_cpu,
