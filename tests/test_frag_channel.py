@@ -1,0 +1,79 @@
+"""FragmentChannel actor contract: retry idempotency, run isolation, and
+collect-pops-the-run (stages/frag_channel.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture()
+def channel(ray_session):
+    from cov_tiles_ray.stages.frag_channel import FragmentChannel
+
+    return FragmentChannel.remote()
+
+
+def test_add_is_idempotent_per_key(channel, ray_session):
+    import ray
+
+    run = ray.get(channel.begin_run.remote())
+    r1 = ray.put(b"blob-first")
+    r2 = ray.put(b"blob-retry")
+    ray.get(channel.add.remote(run, [(7, 3, r1)]))
+    ray.get(channel.add.remote(run, [(7, 3, r2)]))  # same (tile, src): retry
+    groups = ray.get(channel.collect.remote(run))
+    assert list(groups) == [7] and len(groups[7]) == 1
+    assert ray.get(groups[7][0]) == b"blob-retry"  # last registration wins
+
+
+def test_runs_are_isolated_and_popped(channel, ray_session):
+    import ray
+
+    ra = ray.get(channel.begin_run.remote())
+    rb = ray.get(channel.begin_run.remote())
+    assert ra != rb
+    ray.get(channel.add.remote(ra, [(1, 0, ray.put(b"a0")), (1, 1, ray.put(b"a1"))]))
+    ray.get(channel.add.remote(rb, [(1, 0, ray.put(b"b0"))]))
+    ga = ray.get(channel.collect.remote(ra))
+    assert [ray.get(r) for r in ga[1]] == [b"a0", b"a1"]  # src order
+    # run A is popped; run B untouched
+    assert ray.get(channel.collect.remote(ra)) == {}
+    gb = ray.get(channel.collect.remote(rb))
+    assert [ray.get(r) for r in gb[1]] == [b"b0"]
+
+
+def test_merge_task_casts_to_whole_side_schema(ray_session):
+    import ray
+
+    from cov_tiles_ray.stages.frag_channel import merge_fragment_tiles
+    from cov_tiles_ray.stages.tile_encode import RawFragmentMerger, fragment_ipc_bytes
+    from cov_tiles_ray.tile import EncodeOptions
+
+    n = 40
+    t = pa.table(
+        {
+            "fid": pa.array(np.arange(n, dtype=np.int64)),
+            "loc_x": pa.array(np.arange(n, dtype=np.int64) % 4096),
+            "loc_y": pa.array((np.arange(n, dtype=np.int64) * 7) % 4096),
+            "caption": pa.array([f"c {i % 5}" for i in range(n)]),
+            "fmt": pa.array(["ppm"] * n),
+            "phash": pa.array(np.arange(n, dtype=np.int64) * 11),
+        }
+    )
+    blobs = [fragment_ipc_bytes(t.slice(0, 20)), fragment_ipc_bytes(t.slice(20, 20))]
+    tid = (4 << 58) | (1 << 29) | 2
+    schema = pa.schema(
+        [
+            ("tile_id", pa.int64()), ("z", pa.int32()), ("x", pa.int32()),
+            ("y", pa.int32()), ("salt", pa.int64()), ("n_features", pa.int64()),
+            ("n_layers", pa.int32()), ("covt", pa.binary()),
+            ("covt_bytes", pa.int64()), ("plain_bytes", pa.int64()),
+            ("roundtrip_ok", pa.bool_()),
+        ]
+    )
+    merger = RawFragmentMerger(EncodeOptions(), 4096, with_cells=False)
+    refs = [ray.put(b) for b in blobs]
+    out = ray.get(merge_fragment_tiles.remote(merger, [tid], [refs], schema))
+    assert out.schema == schema
+    assert out.num_rows == 1 and out["n_features"][0].as_py() == n
+    assert out["roundtrip_ok"][0].as_py()
