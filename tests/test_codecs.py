@@ -391,3 +391,30 @@ class TestRleV1VecDecode:
         enc = C.encode_rle_v1(v, True)
         with pytest.raises(ValueError):
             C._decode_rle_v1_vec(enc[:-2], 600, True, 0)
+
+
+class TestRleV1VecDecodeHypothesis:
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=-(2**62), max_value=2**62),
+                st.integers(min_value=1, max_value=40),
+            ),
+            min_size=1,
+            max_size=30,
+        ),
+        st.booleans(),
+    )
+    def test_vec_roundtrip(self, segs, signed):
+        # build a >=512-value stream from small (value, repeat) segments so
+        # hypothesis can shrink; tiling preserves run/literal variety
+        base = np.concatenate([np.full(r, v, dtype=np.int64) for v, r in segs])
+        reps = -(-512 // len(base)) + 1
+        v = np.tile(base, reps)
+        if not signed:
+            v = np.abs(v)
+        assert len(v) >= 512
+        enc = C.encode_rle_v1(v, signed)
+        out, pos = C.decode_rle_v1(enc, len(v), signed, 0)  # routes to vec
+        assert np.array_equal(out, v) and pos == len(enc)
