@@ -129,3 +129,15 @@ class TestMergeStrategyEquivalence:
         diff = [t for t in a if a[t] != b[t]]
         assert not diff, f"{len(diff)} tiles differ between merge strategies"
         assert all(ok for _, ok in a.values())
+
+    def test_groupby_exchange_with_channel_merge(self, ray_session, monkeypatch):
+        """The kept-for-A/B sampled-groupby exchange must compose with the
+        channel merge (per-group part values keep the channel src key
+        unique) and match the bounds exchange byte-for-byte."""
+        kw = dict(zooms=(2, 4), hot_zooms=(2,), with_cells=True)
+        a = _tile_map(tiling.build_tile_pyramid(_read(4), **kw))
+        monkeypatch.setattr(tiling, "PYRAMID_EXCHANGE", "groupby")
+        b = _tile_map(tiling.build_tile_pyramid(_read(4), **kw))
+        assert a.keys() == b.keys()
+        diff = [t for t in a if a[t] != b[t]]
+        assert not diff, f"{len(diff)} tiles differ between exchanges"
