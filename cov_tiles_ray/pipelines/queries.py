@@ -145,20 +145,23 @@ def _sql_pricing_summary() -> str:
     """
 
 
-def q_revenue_by_nation(sf_dir: str):
-    """3-way broadcast join: orders ⋈ customer ⋈ nation, revenue per nation.
+class _CustomerNationJoiner:
+    """Actor-pool broadcast-join stage: the customer→nation-name lookup is
+    shipped ONCE via ``ray.put`` and fetched once per actor in ``__init__``
+    (the PipAssigner pattern, stages/assign.py) — never serialized into a
+    per-task closure, so the broadcast side scales past the sandbox sf
+    (VERDICT r2 #9: a closure-captured Series is re-shipped with every
+    task once customer exceeds ~1M rows)."""
 
-    customer+nation are small sides — broadcast as pandas lookups inside
-    map_batches (SURVEY.md §7: broadcast small sides, no shuffle join)."""
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    c2n = cust.set_index("c_custkey")["c_nationkey"]
-    n2name = nation.set_index("n_nationkey")["n_name"]
+    def __init__(self, lookup_ref):
+        import ray
 
-    def join(b: pa.Table) -> pa.Table:
+        # pandas Series indexed by c_custkey, values n_name
+        self.c2name = ray.get(lookup_ref)
+
+    def __call__(self, b: pa.Table) -> pa.Table:
         ck = b["o_custkey"].to_numpy(zero_copy_only=False)
-        nk = c2n.reindex(ck).to_numpy()
-        names = n2name.reindex(nk).to_numpy(dtype=object)
+        names = self.c2name.reindex(ck).to_numpy(dtype=object)
         price = b["o_totalprice"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
@@ -167,11 +170,36 @@ def q_revenue_by_nation(sf_dir: str):
             }
         )
 
+
+def q_revenue_by_nation(sf_dir: str):
+    """3-way broadcast join: orders ⋈ customer ⋈ nation, revenue per nation.
+
+    customer⋈nation is pre-joined driver-side (both small), then broadcast
+    via the object store to a fetch-once actor pool (SURVEY.md §7:
+    broadcast small sides, no shuffle join)."""
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    c2name = (
+        cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+        .set_index("c_custkey")["n_name"]
+    )
+    lookup_ref = ray.put(c2name)
+
     from ray.data.aggregate import Count, Sum
 
     return (
         _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(join, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            _CustomerNationJoiner,
+            fn_constructor_args=(lookup_ref,),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=2,
+            num_cpus=0.5,
+            batch_size=65536,
+        )
         .groupby("n_name")
         .aggregate(Sum("cents", alias_name="revenue_cents"), Count(alias_name="n_orders"))
     )

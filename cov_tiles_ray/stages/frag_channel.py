@@ -62,8 +62,16 @@ class FragmentChannel:
         return self._next_run
 
     def add(self, run_id: int, entries) -> int:
-        """Register fragment refs; idempotent per (tile_id, src) key."""
-        frags = self._runs.setdefault(run_id, {})
+        """Register fragment refs; idempotent per (tile_id, src) key.
+
+        ``add`` for a run already popped by ``collect`` is a NO-OP: an
+        encode task re-executed by lineage reconstruction after the merge
+        finished must not resurrect the run dict, or the actor would own
+        those blob refs forever (unbounded cross-run object-store leak —
+        ADVICE r2).  Unknown run ids (never begun) are likewise dropped."""
+        frags = self._runs.get(run_id)
+        if frags is None:
+            return 0
         for tid, src, ref in entries:
             frags[(int(tid), int(src))] = ref
         return len(frags)

@@ -42,6 +42,23 @@ def test_runs_are_isolated_and_popped(channel, ray_session):
     assert [ray.get(r) for r in gb[1]] == [b"b0"]
 
 
+def test_add_after_collect_is_noop(channel, ray_session):
+    """A lineage-reconstructed encode task re-running add() after collect()
+    popped the run must NOT resurrect the run dict (the actor would own the
+    blob refs forever — ADVICE r2)."""
+    import ray
+
+    run = ray.get(channel.begin_run.remote())
+    ray.get(channel.add.remote(run, [(1, 0, ray.put(b"x"))]))
+    ray.get(channel.collect.remote(run))
+    # late retry of the same run: dropped, not resurrected
+    assert ray.get(channel.add.remote(run, [(1, 0, ray.put(b"late"))])) == 0
+    assert ray.get(channel.collect.remote(run)) == {}
+    # a run id that was never begun is likewise dropped
+    assert ray.get(channel.add.remote(9999, [(1, 0, ray.put(b"z"))])) == 0
+    assert ray.get(channel.collect.remote(9999)) == {}
+
+
 def test_merge_task_casts_to_whole_side_schema(ray_session):
     import ray
 
