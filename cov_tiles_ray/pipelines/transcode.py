@@ -156,6 +156,14 @@ class DirTranscodeWriter:
     task writes only its own tiles (partitioned-sink pattern) and SKIPS
     tiles whose output already exists — a killed run resumes for free.
 
+    Resume safety: a tile is only skipped when its ``.meta`` sidecar
+    records the SAME layout and input-MVT sha256 as the current request —
+    a stale ``.covt`` from an earlier run with different options (e.g.
+    layout='covtr' vs 'ref') or changed input is re-transcoded instead of
+    silently passing (ADVICE r2).  The sidecar is written after the atomic
+    covt replace, so a kill between the two re-transcodes on resume (safe
+    direction).
+
     ``layout="ref"`` writes the reference's old-layout framing
     (sources/covt_ref_write — readable by the reference's own parsers);
     ``layout="covtr"`` writes the engine's COVT-R framing."""
@@ -167,7 +175,22 @@ class DirTranscodeWriter:
         self.layout = layout
         self.opts = opts or EncodeOptions()
 
+    def _meta_matches(self, meta_path: str, mvt_sha: str) -> bool:
+        import json
+        import os
+
+        if not os.path.exists(meta_path):
+            return False
+        try:
+            with open(meta_path) as f:
+                meta = json.load(f)
+        except (OSError, ValueError):
+            return False
+        return meta.get("layout") == self.layout and meta.get("mvt_sha256") == mvt_sha
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+        import json
         import os
 
         from ..sources.covt_ref import parse_ref_covt
@@ -187,7 +210,9 @@ class DirTranscodeWriter:
             out_path = os.path.join(self.out_dir, name)
             raw = batch["mvt"][i].as_py()
             mvt_b[i] = len(raw)
-            if os.path.exists(out_path):
+            mvt_sha = hashlib.sha256(raw).hexdigest()
+            meta_path = out_path + ".meta"
+            if os.path.exists(out_path) and self._meta_matches(meta_path, mvt_sha):
                 skipped[i] = True
                 ok[i] = True
                 covt_b[i] = os.path.getsize(out_path)
@@ -208,6 +233,10 @@ class DirTranscodeWriter:
                     with open(tmp, "wb") as f:
                         f.write(buf)
                     os.replace(tmp, out_path)  # atomic: no torn files on kill
+                    mtmp = meta_path + ".part"
+                    with open(mtmp, "w") as f:
+                        json.dump({"layout": self.layout, "mvt_sha256": mvt_sha}, f)
+                    os.replace(mtmp, meta_path)
                     covt_b[i] = len(buf)
             except Exception:
                 ok[i] = False

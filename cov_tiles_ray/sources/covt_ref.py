@@ -112,12 +112,16 @@ def _decode_fastpfor_ints(raw: bytes, num_values: int) -> np.ndarray:
     pos = 0
     # Short streams (< one 256-block): SOME golden generations write a zero
     # count word before the VariableByte payload, others omit it entirely.
-    # A minimal VB stream never starts with four zero bytes, so ints[0]==0
-    # unambiguously means the count word is present.
+    # ints[0]==0 *usually* means the count word is present, but it is NOT
+    # unambiguous: a count-word-less VB stream whose first value is a
+    # multiple of 2^28 also starts with four zero bytes (ADVICE r2) — so
+    # when the skip-count-word parse comes up short we retry from word 0.
+    skipped_ambiguous_zero_word = False
     if len(ints) and num_values < _FPF_BLOCK:
         fp_count = 0
         if int(ints[0]) == 0:
             pos = 1
+            skipped_ambiguous_zero_word = True
     else:
         fp_count = int(ints[0]) if len(ints) else 0
     # the encoder may have compressed more values than the stream's recorded
@@ -131,31 +135,42 @@ def _decode_fastpfor_ints(raw: bytes, num_values: int) -> np.ndarray:
             pos = _decode_fpf_page(ints, pos, out, got, thissize, raw)
             got += thissize
             remaining -= thissize
-    # VariableByte tail: bytes little-endian within each u32 word; a set
-    # high bit terminates a value (inverted continuation convention).  A few
-    # goldens store the VB bytes in natural order instead (ByteIntegerCODEC
-    # writer) — fall back when the word-reversed read comes up short.
     if got < num_values:
         need = num_values - got
-        tail = np.frombuffer(ints[pos:].astype("<u4").tobytes(), dtype=np.uint8)
-        vals = _variable_byte(tail, need)
-        if len(vals) < need:
-            natural = np.frombuffer(raw, dtype=np.uint8)[pos * 4 :]
-            alt = _variable_byte(natural, need)
+        vals = _decode_vb_tail(raw, ints, pos, need)
+        if len(vals) < need and skipped_ambiguous_zero_word:
+            # the leading zero word was actually the first four bytes of a
+            # count-word-less VB value (multiple of 2^28): reparse from 0
+            alt = _decode_vb_tail(raw, ints, 0, need)
             if len(alt) > len(vals):
                 vals = alt
-        if len(vals) < need:
-            # yet another generation: plain LEB128 varints (continuation
-            # high bit) under the FastPFOR label
-            natural = np.frombuffer(raw, dtype=np.uint8)[pos * 4 :]
-            if int((natural < 0x80).sum()) >= need:
-                leb, _ = C.decode_varint(natural, need, 0)
-                vals = leb.astype(U32)
         out[got : got + len(vals)] = vals
         got += len(vals)
     if got < num_values:
         raise ValueError(f"FastPFOR stream produced {got} of {num_values} values")
     return out[:num_values]
+
+
+def _decode_vb_tail(raw: bytes, ints: np.ndarray, pos: int, need: int) -> np.ndarray:
+    """VariableByte tail fallback ladder, best-effort from word ``pos``:
+    (1) bytes little-endian within each u32 word, set high bit TERMINATES a
+    value (inverted continuation — the JavaFastPFOR convention); (2) bytes
+    in natural order (ByteIntegerCODEC writer); (3) plain LEB128 varints
+    (continuation high bit) under the FastPFOR label.  Returns the longest
+    prefix any strategy produced (callers check length vs ``need``)."""
+    tail = np.frombuffer(ints[pos:].astype("<u4").tobytes(), dtype=np.uint8)
+    vals = _variable_byte(tail, need)
+    if len(vals) < need:
+        natural = np.frombuffer(raw, dtype=np.uint8)[pos * 4 :]
+        alt = _variable_byte(natural, need)
+        if len(alt) > len(vals):
+            vals = alt
+    if len(vals) < need:
+        natural = np.frombuffer(raw, dtype=np.uint8)[pos * 4 :]
+        if int((natural < 0x80).sum()) >= need:
+            leb, _ = C.decode_varint(natural, need, 0)
+            vals = leb.astype(U32)
+    return vals
 
 
 def _variable_byte(tb: np.ndarray, max_values: int) -> np.ndarray:

@@ -145,3 +145,32 @@ def test_fastpfor_stream_decode_known_values():
     rb = np.asarray(golden["landcover"].ring_offsets)
     assert len(ra) == len(rb) == 334
     assert (ra == rb).all()
+
+
+def test_fastpfor_ambiguous_leading_zero_word_fallback():
+    """A count-word-less stream can legitimately start with four zero bytes
+    (e.g. a LEB128-generation stream whose first four values are 0): the
+    skip-count-word parse comes up short and the decoder must retry from
+    word 0 instead of failing (ADVICE r2)."""
+    import numpy as np
+
+    from cov_tiles_ray.sources.covt_ref import _decode_fastpfor_ints
+
+    raw = bytes([0, 0, 0, 0, 5, 6, 7, 8])  # eight LEB128 varints
+    vals = _decode_fastpfor_ints(raw, 8)
+    assert vals.tolist() == [0, 0, 0, 0, 5, 6, 7, 8]
+
+
+def test_fastpfor_zero_count_word_still_parses():
+    """The engine's own writer always emits the count word; the normal
+    zero-count-word + inverted-continuation VB path must be unaffected by
+    the ambiguity fallback."""
+    import numpy as np
+
+    from cov_tiles_ray.sources.covt_ref import _decode_fastpfor_ints
+
+    # count word 0 (big-endian), then VB bytes little-endian within the
+    # next word: logical [0x85, 0x81, 0x82, 0x83] -> values 5,1,2,3
+    raw = bytes([0, 0, 0, 0]) + bytes([0x83, 0x82, 0x81, 0x85])
+    vals = _decode_fastpfor_ints(raw, 4)
+    assert vals.tolist() == [5, 1, 2, 3]

@@ -156,3 +156,29 @@ def test_transcode_dir_ref_layout_resumable(ray_session, tmp_path):
         assert len(got) == len(want) and all(a == b for a, b in zip(want, got))
     s2 = transcode_dir_to_covt(HERE_DIR, out, layout="ref")
     assert s2["skipped"] == n_in and s2["ok"] == n_in
+
+
+@needs_fixtures
+def test_transcode_dir_stale_output_retranscoded(ray_session, tmp_path):
+    """A pre-existing .covt whose sidecar records a DIFFERENT layout (or no
+    sidecar at all) must be re-transcoded, not silently skipped (ADVICE r2:
+    stale outputs from an earlier run with different options)."""
+    import glob as _glob
+
+    from cov_tiles_ray.pipelines.transcode import transcode_dir_to_covt
+
+    out = str(tmp_path / "covt")
+    s1 = transcode_dir_to_covt(HERE_DIR, out, layout="covtr")
+    n_in = len(_glob.glob(f"{HERE_DIR}/*.pbf"))
+    assert s1["ok"] == n_in and s1["skipped"] == 0
+    # same dir, different layout: nothing may be skipped
+    s2 = transcode_dir_to_covt(HERE_DIR, out, layout="ref")
+    assert s2["skipped"] == 0 and s2["ok"] == n_in
+    # now the sidecars record layout=ref -> a repeat run skips everything
+    s3 = transcode_dir_to_covt(HERE_DIR, out, layout="ref")
+    assert s3["skipped"] == n_in
+    # a covt without a sidecar (pre-sidecar run / kill between writes)
+    metas = _glob.glob(out + "/*.meta")
+    os.remove(metas[0])
+    s4 = transcode_dir_to_covt(HERE_DIR, out, layout="ref")
+    assert s4["skipped"] == n_in - 1 and s4["ok"] == n_in
