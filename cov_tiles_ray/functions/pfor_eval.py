@@ -31,6 +31,9 @@ Layouts (all little-endian, varints as in `codecs.encode_varint`):
 * Parquet delta   — the DELTA_BINARY_PACKED shape: varint n, varint zigzag
   first value, then per 128-block: varint zigzag min-delta, 1 byte width,
   packed (delta - min_delta) values.
+* ORC RLE v2      — the ORCv1-spec grammar (SHORT_REPEAT / DIRECT /
+  PATCHED_BASE / DELTA sub-encodings, 2-bit headers, MSB-first packing);
+  see the section comment below.
 """
 
 from __future__ import annotations
@@ -343,3 +346,329 @@ def _unpack_lsb64(buf: np.ndarray, n: int, width: int) -> np.ndarray:
     bits = bits.reshape(n, width).astype(U64)
     shifts = np.arange(width, dtype=U64)
     return (bits << shifts[None, :]).sum(axis=1, dtype=U64)
+
+
+# --- ORC RLE v2 (clean-room, per the published ORC specification) ----------
+#
+# The reference's eval harness sizes corpora under ORC's
+# RunLengthIntegerWriterV2(signed=true) (EncodingUtils.java:292-303,
+# IntegerCompressionEvaluation.java).  This is a clean-room implementation of
+# the ORCv1-spec RLE v2 grammar — SHORT_REPEAT / DIRECT / PATCHED_BASE /
+# DELTA sub-encodings, MSB-first bit packing, 2-bit headers — with a
+# writer-side mode chooser that mirrors the published heuristics (90th/100th
+# percentile width gap for patching, monotonic runs as delta).  It preserves
+# the codec's ROLE and cost model; it is not guaranteed byte-identical to the
+# Java ORC writer's output.
+
+_ORC_MAX_RUN = 512
+_ORC_FBS = tuple(range(1, 25)) + (26, 28, 30, 32, 40, 48, 56, 64)
+
+
+def _orc_closest_fb(w: int) -> int:
+    """Smallest allowed fixed-bit width >= w (w >= 1)."""
+    for f in _ORC_FBS:
+        if f >= w:
+            return f
+    return 64
+
+
+def _orc_wcode(w: int) -> int:
+    return _ORC_FBS.index(w)
+
+
+def _pack_msb64(values: np.ndarray, width: int) -> bytes:
+    """MSB-first bit-pack of uint64 values at ``width`` bits (ORC layout)."""
+    if width == 0 or len(values) == 0:
+        return b""
+    v = values.astype(U64, copy=False)
+    shifts = np.arange(width - 1, -1, -1, dtype=U64)
+    bits = ((v[:, None] >> shifts[None, :]) & U64(1)).astype(np.uint8).reshape(-1)
+    return np.packbits(bits, bitorder="big").tobytes()
+
+
+def _unpack_msb64(buf: np.ndarray, n: int, width: int) -> np.ndarray:
+    if width == 0:
+        return np.zeros(n, dtype=U64)
+    bits = np.unpackbits(buf, count=n * width, bitorder="big")
+    bits = bits.reshape(n, width).astype(U64)
+    shifts = np.arange(width - 1, -1, -1, dtype=U64)
+    return (bits << shifts[None, :]).sum(axis=1, dtype=U64)
+
+
+def _orc_zigzag(v: np.ndarray) -> np.ndarray:
+    x = np.asarray(v, dtype=np.int64)
+    return ((x.astype(U64) << U64(1)) ^ (x >> np.int64(63)).astype(U64))
+
+
+def _orc_unzigzag(u: np.ndarray) -> np.ndarray:
+    u = np.asarray(u, dtype=U64)
+    return ((u >> U64(1)).astype(np.int64)) ^ -(u & U64(1)).astype(np.int64)
+
+
+def _orc_vulong(x: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = x & 0x7F
+        x >>= 7
+        if x:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _orc_vslong(x: int) -> bytes:
+    return _orc_vulong(((x << 1) ^ (x >> 63)) & ((1 << 64) - 1))
+
+
+def _orc_read_vulong(b8: np.ndarray, pos: int) -> tuple[int, int]:
+    v = 0
+    sh = 0
+    while True:
+        byte = int(b8[pos])
+        pos += 1
+        v |= (byte & 0x7F) << sh
+        if not byte & 0x80:
+            return v, pos
+        sh += 7
+
+
+def _orc_read_vslong(b8: np.ndarray, pos: int) -> tuple[int, int]:
+    u, pos = _orc_read_vulong(b8, pos)
+    return (u >> 1) ^ -(u & 1), pos
+
+
+def _orc_emit_short_repeat(val: int, count: int, signed: bool) -> bytes:
+    u = int(_orc_zigzag(np.array([val]))[0]) if signed else val
+    nb = max(1, (u.bit_length() + 7) // 8)
+    return bytes([(0 << 6) | ((nb - 1) << 3) | (count - 3)]) + u.to_bytes(nb, "big")
+
+
+def _orc_emit_fixed_delta(base: int, delta: int, count: int, signed: bool) -> bytes:
+    head = bytes([(3 << 6) | (0 << 1) | ((count - 1) >> 8), (count - 1) & 0xFF])
+    b = _orc_vslong(base) if signed else _orc_vulong(base)
+    return head + b + _orc_vslong(delta)
+
+
+def _orc_emit_delta(lits: np.ndarray, signed: bool) -> bytes:
+    d = np.diff(lits)
+    n = len(lits)
+    w = max(2, _orc_closest_fb(max(1, int(_bit_lengths64(np.abs(d[1:]).astype(U64)).max())))) if n > 2 else 2
+    head = bytes([(3 << 6) | (_orc_wcode(w) << 1) | ((n - 1) >> 8), (n - 1) & 0xFF])
+    base = int(lits[0])
+    b = _orc_vslong(base) if signed else _orc_vulong(base)
+    out = head + b + _orc_vslong(int(d[0]))
+    if n > 2:
+        out += _pack_msb64(np.abs(d[1:]).astype(U64), w)
+    return out
+
+
+def _orc_emit_direct(lits: np.ndarray, signed: bool) -> bytes:
+    u = _orc_zigzag(lits) if signed else lits.astype(U64)
+    w = _orc_closest_fb(max(1, int(_bit_lengths64(u).max())))
+    n = len(lits)
+    head = bytes([(1 << 6) | (_orc_wcode(w) << 1) | ((n - 1) >> 8), (n - 1) & 0xFF])
+    return head + _pack_msb64(u, w)
+
+
+def _orc_emit_patched_base(lits: np.ndarray, signed: bool) -> bytes | None:
+    """PATCHED_BASE attempt; returns None when the chunk doesn't qualify
+    (the caller falls back to DIRECT)."""
+    base = int(lits.min())
+    span = int(lits.max()) - base
+    if span < 0 or span >= (1 << 63):  # range overflow guard
+        return None
+    reduced = (lits - base).astype(U64)
+    rw = _bit_lengths64(reduced)
+    w100 = int(rw.max())
+    w90 = int(np.percentile(rw, 90))
+    w = _orc_closest_fb(max(1, w90))
+    if w >= _orc_closest_fb(max(1, w100)):
+        return None  # no width gap worth patching
+    patch_idx = np.flatnonzero(rw > w)
+    pll = len(patch_idx)
+    if pll == 0 or pll > 31:
+        return None
+    gaps = np.diff(np.concatenate([[0], patch_idx]))
+    if int(gaps.max()) > 255:
+        return None
+    high = (reduced[patch_idx] >> U64(w)).astype(U64)
+    pw = _orc_closest_fb(max(1, int(_bit_lengths64(high).max())))
+    gw = max(1, int(gaps.max()).bit_length())
+    if gw > 8 or gw + pw > 64:
+        return None
+    n = len(lits)
+    neg = base < 0
+    bmag = -base if neg else base
+    bw = max(1, (bmag.bit_length() + 1 + 7) // 8)  # +1 sign bit
+    if bw > 8:
+        return None
+    braw = bmag | (1 << (bw * 8 - 1)) if neg else bmag
+    head = bytes(
+        [
+            (2 << 6) | (_orc_wcode(w) << 1) | ((n - 1) >> 8),
+            (n - 1) & 0xFF,
+            ((bw - 1) << 5) | _orc_wcode(pw),
+            ((gw - 1) << 5) | pll,
+        ]
+    )
+    data = _pack_msb64(reduced & U64((1 << w) - 1), w)
+    entries = (gaps.astype(U64) << U64(pw)) | high
+    ew = _orc_closest_fb(gw + pw)
+    return head + braw.to_bytes(bw, "big") + data + _pack_msb64(entries, ew)
+
+
+def _orc_flush_literals(lits: np.ndarray, signed: bool, parts: list) -> None:
+    n = len(lits)
+    if n == 0:
+        return
+    if n >= 3:
+        d = np.diff(lits)
+        if (d == d[0]).all():
+            parts.append(_orc_emit_fixed_delta(int(lits[0]), int(d[0]), n, signed))
+            return
+        if (d >= 0).all() or ((d <= 0).all() and d[0] < 0):
+            # monotonic: DELTA variable (decoder applies |deltas| with the
+            # sign of the first delta — require d[0]<0 for decreasing runs)
+            parts.append(_orc_emit_delta(lits, signed))
+            return
+    pb = _orc_emit_patched_base(lits, signed) if n >= 5 else None
+    parts.append(pb if pb is not None else _orc_emit_direct(lits, signed))
+
+
+def encode_orc_rle_v2(values: np.ndarray, signed: bool = True) -> bytes:
+    """ORC RLE v2 encode of an int64-range array (original values — the
+    reference feeds its writer un-preprocessed ints with signed=true)."""
+    v = np.ascontiguousarray(values, dtype=np.int64)
+    n = len(v)
+    if n == 0:
+        return b""
+    # run-length segmentation of equal-value runs
+    change = np.flatnonzero(np.diff(v) != 0)
+    starts = np.concatenate([[0], change + 1])
+    lengths = np.diff(np.concatenate([starts, [n]]))
+    parts: list[bytes] = []
+    pend_start, pend_len = 0, 0  # pending literal region
+
+    def flush():
+        nonlocal pend_len
+        s = pend_start
+        while pend_len > 0:
+            take = min(_ORC_MAX_RUN, pend_len)
+            _orc_flush_literals(v[s : s + take], signed, parts)
+            s += take
+            pend_len -= take
+
+    for s, ln in zip(starts, lengths):
+        ln = int(ln)
+        if ln >= 3:
+            flush()
+            pend_start = s + ln
+            val = int(v[s])
+            while ln > 0:
+                if ln <= 10:
+                    if ln >= 3:
+                        parts.append(_orc_emit_short_repeat(val, ln, signed))
+                    else:  # 1-2 leftover values after a 512 chunk
+                        _orc_flush_literals(v[s : s + ln], signed, parts)
+                    break
+                take = min(_ORC_MAX_RUN, ln)
+                if ln - take in (1, 2):  # avoid an awkward tiny tail
+                    take = ln - 3
+                parts.append(_orc_emit_fixed_delta(val, 0, take, signed))
+                s += take
+                ln -= take
+        else:
+            if pend_len == 0:
+                pend_start = s
+            pend_len += ln
+    flush()
+    return b"".join(parts)
+
+
+def decode_orc_rle_v2(buf, num_values: int, offset: int = 0, signed: bool = True):
+    """Decode ``num_values`` ints from an ORC RLE v2 stream -> (int64 array,
+    end offset)."""
+    b8 = _as_u8(buf)
+    out = np.empty(num_values, dtype=np.int64)
+    got = 0
+    pos = offset
+    while got < num_values:
+        h = int(b8[pos])
+        enc = h >> 6
+        if enc == 0:  # SHORT_REPEAT
+            nb = ((h >> 3) & 0x7) + 1
+            cnt = (h & 0x7) + 3
+            u = int.from_bytes(bytes(b8[pos + 1 : pos + 1 + nb]), "big")
+            pos += 1 + nb
+            val = int(_orc_unzigzag(np.array([u], dtype=U64))[0]) if signed else u
+            out[got : got + cnt] = val
+            got += cnt
+        elif enc == 1:  # DIRECT
+            w = _ORC_FBS[(h >> 1) & 0x1F]
+            cnt = (((h & 1) << 8) | int(b8[pos + 1])) + 1
+            pos += 2
+            nbytes = (cnt * w + 7) // 8
+            u = _unpack_msb64(np.ascontiguousarray(b8[pos : pos + nbytes]), cnt, w)
+            pos += nbytes
+            out[got : got + cnt] = _orc_unzigzag(u) if signed else u.astype(np.int64)
+            got += cnt
+        elif enc == 2:  # PATCHED_BASE
+            w = _ORC_FBS[(h >> 1) & 0x1F]
+            cnt = (((h & 1) << 8) | int(b8[pos + 1])) + 1
+            b2, b3 = int(b8[pos + 2]), int(b8[pos + 3])
+            bw = (b2 >> 5) + 1
+            pw = _ORC_FBS[b2 & 0x1F]
+            gw = (b3 >> 5) + 1
+            pll = b3 & 0x1F
+            pos += 4
+            braw = int.from_bytes(bytes(b8[pos : pos + bw]), "big")
+            pos += bw
+            sign_mask = 1 << (bw * 8 - 1)
+            base = -(braw & (sign_mask - 1)) if braw & sign_mask else braw
+            nbytes = (cnt * w + 7) // 8
+            data = _unpack_msb64(np.ascontiguousarray(b8[pos : pos + nbytes]), cnt, w)
+            pos += nbytes
+            ew = _orc_closest_fb(gw + pw)
+            ebytes = (pll * ew + 7) // 8
+            entries = _unpack_msb64(np.ascontiguousarray(b8[pos : pos + ebytes]), pll, ew)
+            pos += ebytes
+            idx = 0
+            for e in entries:
+                gap = int(e >> U64(pw))
+                patch = int(e & U64((1 << pw) - 1))
+                idx += gap
+                if patch:
+                    data[idx] |= U64(patch) << U64(w)
+            out[got : got + cnt] = data.astype(np.int64) + base
+            got += cnt
+        else:  # DELTA
+            wc = (h >> 1) & 0x1F
+            cnt = (((h & 1) << 8) | int(b8[pos + 1])) + 1
+            pos += 2
+            if signed:
+                base, pos = _orc_read_vslong(b8, pos)
+            else:
+                base, pos = _orc_read_vulong(b8, pos)
+            dbase, pos = _orc_read_vslong(b8, pos)
+            vals = np.empty(cnt, dtype=np.int64)
+            vals[0] = base
+            if wc == 0:  # fixed delta
+                if cnt > 1:
+                    vals[1:] = base + dbase * np.arange(1, cnt, dtype=np.int64)
+            else:
+                w = _ORC_FBS[wc]
+                if cnt > 1:
+                    vals[1] = base + dbase
+                if cnt > 2:
+                    nbytes = ((cnt - 2) * w + 7) // 8
+                    d = _unpack_msb64(
+                        np.ascontiguousarray(b8[pos : pos + nbytes]), cnt - 2, w
+                    ).astype(np.int64)
+                    pos += nbytes
+                    sgn = -1 if dbase < 0 else 1
+                    np.cumsum(sgn * d, out=vals[2:])
+                    vals[2:] += vals[1]
+            out[got : got + cnt] = vals
+            got += cnt
+    return out, pos

@@ -615,6 +615,10 @@ def q_codec_eval(sf_dir: str):
             "optpfd_delta_zigzag": lambda v: PE.encode_optpfd(_zzd(v)),
             "parquet_rle_hybrid": lambda v: PE.encode_parquet_hybrid(_zzd(v)),
             "parquet_delta": PE.encode_parquet_delta,
+            # ORIGINAL values, signed — mirrors the reference feeding
+            # RunLengthIntegerWriterV2(signed=true) un-preprocessed ints
+            # (EncodingUtils.java:292-303)
+            "orc_rle_v2": lambda v: PE.encode_orc_rle_v2(v, signed=True),
         }
         names, cods, sizes, raws = [], [], [], []
         for cname, arr in corp.items():
