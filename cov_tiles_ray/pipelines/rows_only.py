@@ -667,6 +667,64 @@ def q_zoom_stats(sf_dir: str):
     return df
 
 
+def q_stream_stats(sf_dir: str):
+    """Per-stream size analytics: one row per (zoom, layer, column,
+    stream_type, encoding) with byte/value totals over the tile pyramid
+    (reference role: MvtEvaluation.java's offline per-layer/per-stream
+    size breakdown, 1306 LoC — here a metadata-only framing walk inside
+    map_batches + one groupby; VERDICT r2 #7)."""
+    from ..model.format import StreamEncoding, StreamType
+    from ..tile.decode import scan_tile_streams
+    from . import tiling
+
+    images = tiling.read_images(sf_dir, columns=tiling.LIGHT_COLUMNS)
+    tiles = tiling.build_tile_pyramid(images, zooms=(4, 6, 8), with_cells=True)
+    st_names = {int(v): v.name for v in StreamType}
+    se_names = {int(v): v.name for v in StreamEncoding}
+
+    def scan(b: pa.Table) -> pa.Table:
+        zs = b["z"].to_numpy(zero_copy_only=False)
+        z_out, layers, cols, st, se, nv, bl = [], [], [], [], [], [], []
+        for i in range(b.num_rows):
+            for lname, cname, stype, senc, nvals, blen in scan_tile_streams(
+                b["covt"][i].as_py()
+            ):
+                z_out.append(int(zs[i]))
+                layers.append(lname)
+                cols.append(cname)
+                st.append(st_names[stype])
+                se.append(se_names[senc])
+                nv.append(nvals)
+                bl.append(blen)
+        return pa.table(
+            {
+                "z": pa.array(np.array(z_out, dtype=np.int32)),
+                "layer": pa.array(layers, pa.string()),
+                "column": pa.array(cols, pa.string()),
+                "stream_type": pa.array(st, pa.string()),
+                "encoding": pa.array(se, pa.string()),
+                "n_values": pa.array(np.array(nv, dtype=np.int64)),
+                "stream_bytes": pa.array(np.array(bl, dtype=np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        tiles.select_columns(["z", "covt"])
+        .map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["z", "layer", "column", "stream_type", "encoding"])
+        .aggregate(
+            Count(alias_name="n_streams"),
+            Sum("n_values", alias_name="n_values"),
+            Sum("stream_bytes", alias_name="stream_bytes"),
+        )
+        .to_pandas()
+        .sort_values(["z", "layer", "column", "stream_type", "encoding"])
+        .reset_index(drop=True)
+    )
+
+
 def q_image_thumbnails(sf_dir: str):
     """Multimodal actor-pool stage over the binary image column: decode ->
     bilinear resize -> feature extract -> png thumbnail, 8k-row sample of
@@ -1002,6 +1060,7 @@ ROWS_ONLY_QUERIES = {
     "mvt_transcode": q_mvt_transcode,
     "codec_eval": q_codec_eval,
     "zoom_stats": q_zoom_stats,
+    "stream_stats": q_stream_stats,
     "image_thumbnails": q_image_thumbnails,
     "covt_feature_scan": q_covt_feature_scan,
 }

@@ -208,6 +208,57 @@ def _gather_dictionary(data: dict, n_dict: int) -> list[str]:
     return out
 
 
+def scan_tile_streams(buf, ids=None) -> list[tuple]:
+    """Metadata-only framing walk: one row per stream WITHOUT decoding any
+    payload (pos skips byteLength) — the cheap scan behind the per-stream
+    size analytics query (reference role: MvtEvaluation.java's offline
+    per-layer/per-stream breakdown, VERDICT r2 #7).
+
+    Returns ``(layer, column, stream_type:int, stream_encoding:int,
+    num_values:int, byte_length:int)`` tuples; id/geometry columns are
+    labeled ``"<id>"`` / ``"<geometry>"``."""
+    b = _as_frame_bytes(buf)
+    _version, pos = C.read_varint_py(b, 0)
+    num_layers, pos = C.read_varint_py(b, pos)
+    rows: list[tuple] = []
+    for _ in range(num_layers):
+        header = b[pos]
+        pos += 1
+        optimized = bool(header & 1)
+        if optimized:
+            if ids is None:
+                raise ValueError("optimized metadata requires the TileJSON sidecar")
+            lid, pos = C.read_varint_py(b, pos)
+            name = ids.layer_names[lid]
+        else:
+            name, pos = C.decode_string(b, pos)
+        _extent, pos = C.read_varint_py(b, pos)
+        _nf, pos = C.read_varint_py(b, pos)
+        num_columns, pos = C.read_varint_py(b, pos)
+        # pass 1: all column/stream descriptors (same two-pass layout as
+        # decode_layer — payloads follow ALL descriptors)
+        payload_bytes = 0
+        for _ in range(num_columns):
+            cid, pos = C.read_varint_py(b, pos)
+            if cid == 0:
+                col_name = "<id>"
+            elif cid == 1:
+                col_name = "<geometry>"
+            elif optimized:
+                col_name = ids.column_name(lid, cid)
+            else:
+                col_name, pos = C.decode_string(b, pos)
+            pos += 1  # dataType|columnType descriptor byte
+            ns, pos = C.read_varint_py(b, pos)
+            metas, pos = _read_streams(b, pos, ns)
+            for stype, senc, nvals, blen in metas:
+                rows.append((name, col_name, stype, senc, nvals, blen))
+                payload_bytes += blen
+        # pass 2 equivalent: skip the payload region wholesale
+        pos += payload_bytes
+    return rows
+
+
 def decode_tile(buf, ids=None) -> list[LayerData]:
     b = _as_frame_bytes(buf)
     version, pos = C.read_varint_py(b, 0)

@@ -29,3 +29,45 @@ def test_zoom_stats_formula(ray_session, tmp_path):
     assert z6["mean_reduction_pct"] < 0  # covt larger than baseline -> negative
     back = pd.read_csv(out)
     assert list(back["z"]) == [4, 6]
+
+
+class TestStreamScan:
+    """Metadata-only per-stream framing walk (tile/decode.scan_tile_streams)
+    behind the stream_stats analytics query (VERDICT r2 #7)."""
+
+    def test_scan_accounts_for_every_stream(self):
+        import numpy as np
+
+        from cov_tiles_ray.model.format import StreamType
+        from cov_tiles_ray.tile import encode_tile
+        from cov_tiles_ray.tile.decode import scan_tile_streams
+        from tests.test_tile_roundtrip import make_point_layer
+
+        rng = np.random.default_rng(5)
+        layer = make_point_layer(rng, n=300)
+        buf = encode_tile([layer])
+        rows = scan_tile_streams(buf)
+        assert rows
+        # every row names the layer; id/geometry columns labeled
+        assert {r[0] for r in rows} == {"poi"}
+        cols = {r[1] for r in rows}
+        assert {"<id>", "<geometry>", "class", "rank", "open", "score"} <= cols
+        # stream byte totals account for (almost) the whole tile: only the
+        # fixed framing (headers + descriptors) is outside stream payloads
+        payload = sum(r[5] for r in rows)
+        assert 0 < len(buf) - payload < 0.2 * len(buf) + 64
+        # the geometry column carries a VERTEX_BUFFER stream
+        st = {r[2] for r in rows if r[1] == "<geometry>"}
+        assert int(StreamType.VERTEX_BUFFER) in st
+
+    def test_stream_stats_query(self, ray_session):
+        from cov_tiles_ray.pipelines.rows_only import q_stream_stats
+
+        df = q_stream_stats("/root/testdata/sf0.001")
+        assert len(df) > 3
+        assert set(df.columns) == {
+            "z", "layer", "column", "stream_type", "encoding",
+            "n_streams", "n_values", "stream_bytes",
+        }
+        assert (df["stream_bytes"] >= 0).all() and (df["n_streams"] > 0).all()
+        assert (df.groupby(["z", "layer", "column", "stream_type", "encoding"]).size() == 1).all()
