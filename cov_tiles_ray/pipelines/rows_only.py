@@ -148,12 +148,18 @@ def _lsh_candidates(ds, num_perm: int = 64, bands: int = 16):
     )
 
 
-def _join_pairs_with_payload(cand, payload_ds, score_fn, out_col: str):
+def _join_pairs_with_payload(cand, payload_ds, score_fn, out_col: str, batch_score_fn=None):
     """Distributed pair scoring: attach each candidate pair's two payloads
     with two hash-shuffle co-group passes (pairs+payloads keyed on doc_a,
     then on doc_b), then ``score_fn(payload_a, payload_b) -> int | None``.
     Payloads move through the exchange exactly twice regardless of how many
-    LSH bands proposed a pair; nothing materializes on the driver."""
+    LSH bands proposed a pair; nothing materializes on the driver.
+
+    ``batch_score_fn(payloads_a: list, payload_b) -> np.int64 array`` (−1 =
+    drop pair) replaces the per-pair Python ``score_fn`` loop with ONE
+    vectorized call per group — use it when the payload is fixed-width
+    numeric (the minhash path; VERDICT r2 #4).  ``score_fn`` remains the
+    fallback for genuinely scalar scorers (ngram_jaccard over strings)."""
 
     def tag_pairs(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -196,6 +202,18 @@ def _join_pairs_with_payload(cand, payload_ds, score_fn, out_col: str):
         if pairs.empty or payload.empty:
             return empty
         pb = payload.iloc[0]
+        if batch_score_fn is not None:
+            scores = np.asarray(batch_score_fn(pairs["payload_a"].tolist(), pb), dtype=np.int64)
+            keep = scores >= 0
+            if not keep.any():
+                return empty
+            return pd.DataFrame(
+                {
+                    "doc_a": pairs["doc_a"].to_numpy(np.int64)[keep],
+                    "doc_b": pairs["doc_b"].to_numpy(np.int64)[keep],
+                    out_col: scores[keep],
+                }
+            )
         rows = []
         for _, row in pairs.iterrows():
             s = score_fn(row["payload_a"], pb)
@@ -239,14 +257,21 @@ def q_minhash_lsh_pairs(sf_dir: str):
             }
         )
 
-    def est(sa, sb):
-        a = np.frombuffer(sa, dtype=np.uint64)
+    def est_batch(sa_list, sb):
+        # stack the fixed-width uint64 signature buffers and score every
+        # pair of the group in ONE vectorized compare (VERDICT r2 #4 —
+        # replaces a per-pair iterrows loop)
+        a = np.frombuffer(b"".join(sa_list), dtype=np.uint64).reshape(len(sa_list), -1)
         b = np.frombuffer(sb, dtype=np.uint64)
-        e = float((a == b).mean())
-        return int(e * 100) if e >= 0.5 else None
+        e = (a == b[None, :]).mean(axis=1)
+        s = (e * 100).astype(np.int64)
+        s[e < 0.5] = -1
+        return s
 
     payload = ds.map_batches(sigs, batch_format="pandas")
-    pairs = _join_pairs_with_payload(cand, payload, est, "est_x100").to_pandas()
+    pairs = _join_pairs_with_payload(
+        cand, payload, None, "est_x100", batch_score_fn=est_batch
+    ).to_pandas()
     pairs = pairs.drop_duplicates(subset=["doc_a", "doc_b"]).sort_values(["doc_a", "doc_b"])
     return pa.table(
         {
