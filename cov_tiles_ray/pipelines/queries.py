@@ -1264,6 +1264,94 @@ def _sql_embedding_neardup() -> str:
     """
 
 
+def _sql_minhash_lsh_pairs() -> str:
+    """SQL mirror of rows_only.q_minhash_lsh_pairs (VERDICT r2 #6).
+
+    Every stage of the LSH pipeline is deterministic uint64 math, recomputed
+    here with the HUGEINT wrap technique proven for simhash/fingerprints:
+    FNV-1a token hashes -> k=5 shingle polynomial (wrapping u64) -> distinct
+    shingles -> 64 minhash perms ((h*a + b) mod 2^61-1, wrapping mult —
+    seeded params inlined as literals like the ann_lsh planes) -> 16-band
+    FNV band keys (xor/mult wrap, band salt, >>1) -> bucket cap 512 by
+    lowest doc_id -> distinct a<b pairs -> signature-agreement estimate
+    (eq*100)//64, kept at eq >= 32 (est >= 0.5)."""
+    from ..functions.dedup import _minhash_params
+
+    a, b = _minhash_params(64)
+    perm_rows = ",\n        ".join(
+        f"({p}, CAST('{int(a[p])}' AS HUGEINT), CAST('{int(b[p])}' AS HUGEINT))"
+        for p in range(64)
+    )
+    m = 1099511628211  # FNV prime, also the shingle/band polynomial mult
+    cps = _CPS.format(col="t")
+    fnv_tok = (
+        f"list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), {cps}),"
+        f" (acc, cb) -> (xor(acc, cb) * {m}) % {_U64})"
+    )
+    # 5-token shingle polynomial, wrapping u64 at each mult/add like numpy
+    sh = "hs[i]"
+    for j in range(1, 5):
+        sh = f"(({sh} * {m}) % {_U64} + hs[i+{j}]) % {_U64}"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), s -> s <> '') AS ts
+      FROM documents
+    ), th AS (
+      SELECT doc_id, list_transform(ts, t -> {fnv_tok}) AS hs FROM toks
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) = 0 THEN []::HUGEINT[]
+                  WHEN len(hs) < 5 THEN [hs[1]]
+                  ELSE list_transform(range(1, len(hs) - 3), i -> {sh})
+             END AS shs
+      FROM th
+    ), shd AS (
+      SELECT DISTINCT doc_id, unnest(shs) AS s FROM sh
+    ), perms AS (
+      SELECT * FROM (VALUES
+        {perm_rows}
+      ) AS t(p, a, b)
+    ), sig AS (
+      SELECT doc_id, p,
+             MIN(((s * a) % {_U64} + b) % {_U64} % CAST('2305843009213693951' AS HUGEINT)) AS s
+      FROM shd CROSS JOIN perms GROUP BY doc_id, p
+    ), sigf AS (
+      -- shingle-less docs keep the uint64-max fill value in every slot
+      SELECT d.doc_id, pr.p,
+             coalesce(s.s, CAST('18446744073709551615' AS HUGEINT)) AS s
+      FROM documents d CROSS JOIN perms pr
+      LEFT JOIN sig s ON s.doc_id = d.doc_id AND s.p = pr.p
+    ), bandsig AS (
+      SELECT doc_id, p // 4 AS band, list(s ORDER BY p) AS ss
+      FROM sigf GROUP BY doc_id, p // 4
+    ), keys AS (
+      SELECT doc_id, band,
+             xor(list_reduce(list_prepend(CAST(1469598103934665603 AS HUGEINT), ss),
+                             (acc, v) -> (xor(acc, v) * {m}) % {_U64}),
+                 (band * CAST('11400714819323198485' AS HUGEINT)) % {_U64}) // 2 AS key
+      FROM bandsig
+    ), members AS (
+      SELECT * FROM (
+        SELECT doc_id, band, key,
+               row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn
+        FROM keys)
+      WHERE rn <= 512
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM members a JOIN members b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ), est AS (
+      SELECT c.doc_a, c.doc_b, count(*) FILTER (WHERE sa.s = sb.s) AS eq
+      FROM cand c
+      JOIN sigf sa ON sa.doc_id = c.doc_a
+      JOIN sigf sb ON sb.doc_id = c.doc_b AND sb.p = sa.p
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b, CAST((eq * 100) // 64 AS BIGINT) AS est_x100
+    FROM est WHERE eq >= 32
+    """
+
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -1307,6 +1395,7 @@ def _register_promoted() -> None:
             "langid_detect": (_ro.q_langid_detect, _sql_langid_detect()),
             "ann_lsh_buckets": (_ro.q_ann_lsh_buckets, _sql_ann_lsh_buckets()),
             "embedding_neardup": (_ro.q_embedding_neardup, _sql_embedding_neardup()),
+            "minhash_lsh_pairs": (_ro.q_minhash_lsh_pairs, _sql_minhash_lsh_pairs()),
         }
     )
 

@@ -1075,7 +1075,9 @@ ROWS_ONLY_QUERIES = {
     "covt_tiles": q_covt_tiles,
     "covt_compression": q_covt_compression,
     "validate_images": q_validate_images,
-    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    # minhash_lsh_pairs moved to the SQL-oracle registry (round-3 promotion:
+    # the whole LSH pipeline is deterministic uint64 math, mirrored in
+    # DuckDB with the HUGEINT wrap technique).
     "polygonize_tiles": q_polygonize_tiles,
     "ann_ivf_top5": q_ann_ivf_top5,
     "neardup_verified": q_neardup_verified,
