@@ -31,6 +31,19 @@ import numpy as np
 
 FORMAT_VERSION = 1
 
+# First-varint marker of a CHUNKED tile frame (flag-gated scale variant,
+# VERDICT r2 #1): ``varint CHUNKED_TILE_MARKER, varint n_chunks,
+# varint len(chunk_i)..., chunk_0 bytes, chunk_1 bytes, ...`` where every
+# chunk is a standard tile buffer holding a fid-ordered row range of the
+# tile (whole-tile derived layers ride in chunk 0 only).  The decoder
+# concatenates per-layer values, so a chunked tile decodes to LayerData
+# identical to the unchunked encode of the same rows; only the BYTES
+# differ (per-chunk dictionaries/stream selection).  Never written unless
+# the chunked merge is enabled — default output stays byte-identical to
+# the reference-parity encode.  127 can never collide with a version byte:
+# layer headers pack version<<1 into one byte, capping FORMAT_VERSION at 63.
+CHUNKED_TILE_MARKER = 127
+
 
 class StreamType(IntEnum):
     PRESENT = 0

@@ -367,6 +367,7 @@ class PyramidPartEncoder:
             t = t.drop_columns(["part"])
         whole_tables: list[pa.Table] = []
         frag_tid: list[int] = []
+        frag_rows: list[int] = []
         frag_blobs: list[bytes] = []
         for z in self.zooms:
             tz = assign_tiles(t, z=z, extent=self.extent)
@@ -393,6 +394,7 @@ class PyramidPartEncoder:
             payload = fr.drop_columns(["tile_id"])
             for s, e in zip(starts, ends):
                 frag_tid.append(int(tid[s]))
+                frag_rows.append(int(e - s))
                 frag_blobs.append(fragment_ipc_bytes(payload.slice(s, e - s)))
         wt = pa.concat_tables(whole_tables) if whole_tables else None
         if wt is not None and wt.num_rows:
@@ -427,8 +429,8 @@ class PyramidPartEncoder:
             # The blocking ack makes task completion imply registration —
             # the pipeline's materialize is then a valid collect barrier.
             entries = [
-                (tid, src, ray.put(blob, _owner=self.channel))
-                for tid, blob in zip(frag_tid, frag_blobs)
+                (tid, src, ray.put(blob, _owner=self.channel), nr)
+                for tid, blob, nr in zip(frag_tid, frag_blobs, frag_rows)
             ]
             ray.get(self.channel.add.remote(self.run_id, entries))
         elif frag_tid:
@@ -576,30 +578,55 @@ def build_tile_pyramid(
         groups = ray.get(channel.collect.remote(run_id))
         if not groups:
             return tiles
-        # one merge task per fragmented tile up to a dispatch cap, then
-        # LPT-balanced by fragment count (the contiguous array_split it
-        # replaces stacked adjacent z4 mega-tiles — 2.65M of sf0.2's 4.8M
-        # rows live in fragmented tiles, and one 242k-row tile merges in
-        # ~1.35 s, so bin balance sets the critical path here)
-        tids = sorted(groups)
-        n_tasks = max(1, min(256, len(tids)))
-        bins: list[list[int]] = [[] for _ in range(n_tasks)]
-        loads = np.zeros(n_tasks, dtype=np.int64)
-        for t_id in sorted(tids, key=lambda t: (-len(groups[t]), t)):
-            b = int(np.argmin(loads))
-            bins[b].append(t_id)
-            loads[b] += len(groups[t_id])
-        from ..stages.frag_channel import merge_fragment_tiles
+        from ..stages.frag_channel import (
+            assemble_chunked_tile,
+            encode_tile_chunk,
+            merge_fragment_tiles,
+        )
 
         schema = tiles.schema()
         pa_schema = getattr(schema, "base_schema", schema)
-        refs = [
-            merge_fragment_tiles.remote(
-                merger, span, [groups[t] for t in span], pa_schema
-            )
-            for span in bins
-            if span
-        ]
+        # Chunked mega-tile route (flag-gated, VERDICT r2 #1): a fragmented
+        # tile above CHUNK_MERGE_ROWS fans its encode across per-chunk Ray
+        # tasks — THE Amdahl term at sf0.2 was ONE serial 242k-row z4
+        # encode (~1.4-3.3 s on a 128 s-CPU job).  Disabled under with_mvt
+        # (a whole-tile MVT baseline needs the serial encode).
+        chunk_rows = CHUNK_MERGE_ROWS if (CHUNK_MERGE_ROWS > 0 and not with_mvt) else 0
+        chunked = (
+            {t for t, (_refs, rows) in groups.items() if rows > chunk_rows}
+            if chunk_rows
+            else set()
+        )
+        refs = []
+        for t_id in sorted(chunked):
+            t_refs, t_rows = groups[t_id]
+            n_chunks = -(-t_rows // chunk_rows)
+            cparts = [
+                encode_tile_chunk.remote(merger, t_id, t_refs, ci, n_chunks, chunk_rows)
+                for ci in range(n_chunks)
+            ]
+            refs.append(assemble_chunked_tile.remote(merger, t_id, pa_schema, *cparts))
+        # one merge task per remaining fragmented tile up to a dispatch cap,
+        # LPT-balanced by ROW count (the contiguous array_split this
+        # replaces stacked adjacent z4 mega-tiles — 2.65M of sf0.2's 4.8M
+        # rows live in fragmented tiles, so bin balance sets the critical
+        # path when chunking is off)
+        tids = [t for t in sorted(groups) if t not in chunked]
+        if tids:
+            n_tasks = max(1, min(256, len(tids)))
+            bins: list[list[int]] = [[] for _ in range(n_tasks)]
+            loads = np.zeros(n_tasks, dtype=np.int64)
+            for t_id in sorted(tids, key=lambda t: (-groups[t][1], t)):
+                b = int(np.argmin(loads))
+                bins[b].append(t_id)
+                loads[b] += groups[t_id][1]
+            refs += [
+                merge_fragment_tiles.remote(
+                    merger, span, [groups[t][0] for t in span], pa_schema
+                )
+                for span in bins
+                if span
+            ]
         # block until the merge tasks finish (fetch_local=False keeps the
         # tables in the object store): after this the run's fragment blobs
         # (already popped from the cached actor by collect) can be GC'd.
@@ -692,6 +719,19 @@ PYRAMID_EXCHANGE = "bounds"
 # repartition -> bounded sort -> map), kept for A/B and as the reference
 # semantics.  Both produce byte-identical tiles (tests/test_determinism.py).
 PYRAMID_MERGE = "channel"
+
+# Chunked mega-tile merge (flag-gated, VERDICT r2 #1): when > 0, a
+# fragmented tile with more rows than this encodes as CHUNK_MERGE_ROWS-row
+# fid-ordered chunks in PARALLEL Ray tasks, framed as a chunked tile
+# (model/format.CHUNKED_TILE_MARKER).  The chunked frame decodes to
+# LayerData identical to the unchunked encode (whole-tile cells layer in
+# chunk 0; chunk boundaries are a pure function of the global fid order),
+# and the bytes are deterministic under any cluster/fragmenting shape —
+# but they DIFFER from the unchunked encode (per-chunk dictionaries), so
+# the default is OFF (0): reference-parity bytes unless explicitly enabled
+# via GRAFT_CHUNK_ROWS.  This bounds the sf0.2 scaling Amdahl term (one
+# serial 242k-row z4 encode).
+CHUNK_MERGE_ROWS = int(os.environ.get("GRAFT_CHUNK_ROWS", "0"))
 
 _FRAG_CHANNEL = None
 

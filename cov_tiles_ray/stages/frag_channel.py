@@ -53,7 +53,7 @@ class FragmentChannel:
     session — bounded and disclosed."""
 
     def __init__(self):
-        self._runs: dict[int, dict[tuple[int, int], "ray.ObjectRef"]] = {}
+        self._runs: dict[int, dict[tuple[int, int], tuple["ray.ObjectRef", int]]] = {}
         self._next_run = 0
 
     def begin_run(self) -> int:
@@ -62,7 +62,10 @@ class FragmentChannel:
         return self._next_run
 
     def add(self, run_id: int, entries) -> int:
-        """Register fragment refs; idempotent per (tile_id, src) key.
+        """Register ``(tile_id, src, ref, n_rows)`` entries; idempotent per
+        (tile_id, src) key.  The row count rides along so the merge
+        scheduler can LPT-balance by actual load and route mega-tiles to
+        the chunked encode without fetching any blob.
 
         ``add`` for a run already popped by ``collect`` is a NO-OP: an
         encode task re-executed by lineage reconstruction after the merge
@@ -72,18 +75,22 @@ class FragmentChannel:
         frags = self._runs.get(run_id)
         if frags is None:
             return 0
-        for tid, src, ref in entries:
-            frags[(int(tid), int(src))] = ref
+        for tid, src, ref, n_rows in entries:
+            frags[(int(tid), int(src))] = (ref, int(n_rows))
         return len(frags)
 
     def collect(self, run_id: int) -> dict:
-        """tile_id -> [refs ordered by src partition] (deterministic; the
-        merger re-sorts rows by fid anyway, so blob order is cosmetic).
-        Pops the run: the actor drops its refs so the blobs can be GC'd
-        once the merge tasks finish with them."""
-        groups: dict[int, list] = {}
-        for (tid, _src), ref in sorted(self._runs.pop(run_id, {}).items(), key=lambda kv: kv[0]):
-            groups.setdefault(tid, []).append(ref)
+        """tile_id -> (refs ordered by src partition, total rows)
+        (deterministic; the merger re-sorts rows by fid anyway, so blob
+        order is cosmetic).  Pops the run: the actor drops its refs so the
+        blobs can be GC'd once the merge tasks finish with them."""
+        groups: dict[int, tuple[list, int]] = {}
+        for (tid, _src), (ref, nr) in sorted(
+            self._runs.pop(run_id, {}).items(), key=lambda kv: kv[0]
+        ):
+            refs, rows = groups.get(tid, ([], 0))
+            refs.append(ref)
+            groups[tid] = (refs, rows + nr)
         return groups
 
 
@@ -100,5 +107,85 @@ def merge_fragment_tiles(merger, tids, ref_lists, schema: pa.Schema) -> pa.Table
         blobs = ray.get(list(refs))
         rows.append(merger._merge_one(int(tid), blobs))
     cols = TileEncoder.rows_to_columns(rows)
+    t = pa.table({k: pa.array(np.asarray(v)) for k, v in cols.items()})
+    return t.select(schema.names).cast(schema)
+
+
+@ray.remote
+def encode_tile_chunk(merger, tid: int, refs, ci: int, n_chunks: int, chunk_rows: int):
+    """Encode ONE fid-ordered chunk of a fragmented mega-tile (flag-gated
+    chunked merge, VERDICT r2 #1).  Every chunk task assembles the tile's
+    full fid-sorted row table (cheap vectorized concat+sort, ~2% of a
+    chunk's encode cost) and slices its own [ci*chunk_rows, ...) range —
+    chunk boundaries depend only on the global fid order and chunk_rows,
+    so the output is deterministic under any fragmenting/cluster shape.
+    Whole-tile derived layers (the cells occupancy grid) ride in chunk 0,
+    built from ALL rows, so the chunked tile decodes to exactly the same
+    LayerData as an unchunked encode.
+
+    Returns ``(ci, buf, n_features, plain_bytes, ok)``."""
+    from ..tile import encode_tile
+    from ..tile.batch_verify import verify_tiles
+    from .tile_encode import (
+        VERIFY_FULL_MOD,
+        assemble_fragment_table,
+        cells_layer_from_points,
+        plain_columnar_bytes,
+        table_to_layer,
+        verify_tile_buf,
+    )
+
+    blobs = ray.get(list(refs))
+    t = assemble_fragment_table(blobs)
+    s = ci * chunk_rows
+    sub = t.slice(s, min(chunk_rows, t.num_rows - s))
+    layer = table_to_layer(sub, merger.enc.extent)
+    layers = [layer]
+    if merger.enc.with_cells and ci == 0:
+        vb = np.empty(2 * t.num_rows, dtype=np.int64)
+        vb[0::2] = t["loc_x"].to_numpy(zero_copy_only=False)
+        vb[1::2] = t["loc_y"].to_numpy(zero_copy_only=False)
+        layers.append(cells_layer_from_points(vb, merger.enc.extent))
+    buf = encode_tile(layers, merger.enc.opts)
+    # same verify policy as every other encode site: full LayerData
+    # equality on the deterministic sample, batched structural decode else
+    if tid % VERIFY_FULL_MOD == 0:
+        ok = verify_tile_buf(buf, layer.num_features, expect_layers=layers, n_layers=len(layers))
+    else:
+        ok = bool(verify_tiles([buf], [layer.num_features], [len(layers)])[0])
+    plain = sum(plain_columnar_bytes(ly) for ly in layers)
+    return ci, buf, int(layer.num_features), int(plain), bool(ok)
+
+
+@ray.remote
+def assemble_chunked_tile(merger, tid: int, schema: pa.Schema, *chunks) -> pa.Table:
+    """Frame a mega-tile's chunk buffers into ONE chunked-tile output row
+    (``chunks`` are the resolved encode_tile_chunk results).  Pure
+    concatenation + framing — no encode work on this critical path."""
+    from ..functions import codecs as C
+    from ..model.format import CHUNKED_TILE_MARKER
+    from .tile_encode import TileEncoder
+
+    chunks = sorted(chunks)  # by chunk index
+    bufs = [c[1] for c in chunks]
+    head = C.encode_varint_scalar(CHUNKED_TILE_MARKER) + C.encode_varint_scalar(len(bufs))
+    for b in bufs:
+        head += C.encode_varint_scalar(len(b))
+    frame = head + b"".join(bufs)
+    n_layers = 2 if merger.enc.with_cells else 1  # layer count of the DECODED tile
+    row = {
+        "tile_id": int(tid),
+        "z": int(tid) >> 58,
+        "x": (int(tid) >> 29) & ((1 << 29) - 1),
+        "y": int(tid) & ((1 << 29) - 1),
+        "salt": 0,
+        "n_features": sum(c[2] for c in chunks),
+        "n_layers": n_layers,
+        "covt": frame,
+        "covt_bytes": len(frame),
+        "plain_bytes": sum(c[3] for c in chunks),
+        "roundtrip_ok": all(c[4] for c in chunks),
+    }
+    cols = TileEncoder.rows_to_columns([row])
     t = pa.table({k: pa.array(np.asarray(v)) for k, v in cols.items()})
     return t.select(schema.names).cast(schema)

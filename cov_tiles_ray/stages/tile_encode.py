@@ -526,6 +526,19 @@ def fragment_ipc_bytes(sub: pa.Table) -> bytes:
     return sink.getvalue().to_pybytes()
 
 
+def assemble_fragment_table(blobs) -> pa.Table:
+    """IPC fragment blobs of ONE tile -> one fid-sorted Arrow table (the
+    canonical row order every whole-tile encode uses)."""
+    tables = [pa.ipc.open_stream(pa.py_buffer(bytes(b))).read_all() for b in blobs]
+    t = pa.concat_tables(tables).combine_chunks()
+    for name in ("caption", "fmt"):
+        i = t.schema.get_field_index(name)
+        if pa.types.is_dictionary(t[name].type):
+            t = t.set_column(i, name, t[name].cast(pa.string()))
+    order = np.argsort(t["fid"].to_numpy(zero_copy_only=False), kind="stable")
+    return t.take(pa.array(order)).combine_chunks()
+
+
 class RawFragmentMerger:
     """map_groups kernel for the pyramid's fragment path: one group = ALL
     raw (never-encoded) fragments of ONE tile, as IPC blobs.  Deserialize,
@@ -544,14 +557,7 @@ class RawFragmentMerger:
         self.enc.with_mvt_baseline = with_mvt
 
     def _merge_one(self, tid: int, blobs) -> dict:
-        tables = [pa.ipc.open_stream(pa.py_buffer(b)).read_all() for b in blobs]
-        t = pa.concat_tables(tables).combine_chunks()
-        for name in ("caption", "fmt"):
-            i = t.schema.get_field_index(name)
-            if pa.types.is_dictionary(t[name].type):
-                t = t.set_column(i, name, t[name].cast(pa.string()))
-        order = np.argsort(t["fid"].to_numpy(zero_copy_only=False), kind="stable")
-        t = t.take(pa.array(order)).combine_chunks()
+        t = assemble_fragment_table(blobs)
         row = self.enc.encode_one_table(t, tid, 0)
         # same verify policy as the whole-tile path: basic decode check on
         # every tile; full_ok carries the deterministic full-equality sample.

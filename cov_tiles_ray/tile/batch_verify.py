@@ -40,7 +40,13 @@ import numpy as np
 
 from ..functions import codecs as C
 from ..functions import fastpfor as F
-from ..model.format import ColumnDataType, ColumnType, StreamEncoding, StreamType
+from ..model.format import (
+    CHUNKED_TILE_MARKER,
+    ColumnDataType,
+    ColumnType,
+    StreamEncoding,
+    StreamType,
+)
 
 I64 = np.int64
 U64 = np.uint64
@@ -239,6 +245,11 @@ class _BatchVerifier:
         """Raises _Bad / _Unsupported; returning means structurally ok so far
         (pending deferred checks)."""
         version, pos = C.read_varint_py(b, 0)
+        if version == CHUNKED_TILE_MARKER:
+            # chunked tile frame: the scalar decoder owns concat semantics
+            # (per-chunk payloads are verified by their own encode tasks in
+            # the pipeline; this path only runs from tests/tools)
+            raise _Unsupported
         num_layers, pos = C.read_varint_py(b, pos)
         if num_layers != nl:
             raise _Bad

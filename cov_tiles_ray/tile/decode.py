@@ -15,6 +15,7 @@ import numpy as np
 from ..functions import codecs as C
 from ..functions import sfc
 from ..model.format import (
+    CHUNKED_TILE_MARKER,
     ColumnDataType,
     ColumnType,
     LayerData,
@@ -219,6 +220,11 @@ def scan_tile_streams(buf, ids=None) -> list[tuple]:
     labeled ``"<id>"`` / ``"<geometry>"``."""
     b = _as_frame_bytes(buf)
     _version, pos = C.read_varint_py(b, 0)
+    if _version == CHUNKED_TILE_MARKER:
+        rows: list[tuple] = []
+        for chunk in _read_chunk_frame(b):
+            rows.extend(scan_tile_streams(chunk, ids))
+        return rows
     num_layers, pos = C.read_varint_py(b, pos)
     rows: list[tuple] = []
     for _ in range(num_layers):
@@ -259,9 +265,82 @@ def scan_tile_streams(buf, ids=None) -> list[tuple]:
     return rows
 
 
+def _concat_layer_parts(parts: list[LayerData]) -> LayerData:
+    """Concatenate decoded row-range parts of ONE layer in chunk order
+    (chunks are fid-ordered slices, so plain concatenation restores the
+    canonical order — no sort)."""
+    if len(parts) == 1:
+        return parts[0]
+
+    def cat_opt(attr):
+        vals = [getattr(p, attr) for p in parts]
+        if all(v is None for v in vals):
+            return None
+        arrs = [np.asarray(v) for v in vals if v is not None and len(v)]
+        if not arrs:
+            return np.asarray(next(v for v in vals if v is not None))
+        return np.concatenate(arrs)
+
+    props: dict[str, PropertyColumn] = {}
+    for name, c0 in parts[0].properties.items():
+        present = np.concatenate(
+            [np.asarray(p.properties[name].present, dtype=bool) for p in parts]
+        )
+        values = np.concatenate(
+            [np.asarray(p.properties[name].values) for p in parts]
+        )
+        props[name] = PropertyColumn(c0.data_type, present, values)
+    ids = (
+        None
+        if any(p.ids is None for p in parts)
+        else np.concatenate([np.asarray(p.ids) for p in parts])
+    )
+    return LayerData(
+        name=parts[0].name,
+        extent=parts[0].extent,
+        geometry_types=np.concatenate([p.geometry_types for p in parts]),
+        vertex_buffer=np.concatenate([np.asarray(p.vertex_buffer) for p in parts]),
+        geometry_offsets=cat_opt("geometry_offsets"),
+        part_offsets=cat_opt("part_offsets"),
+        ring_offsets=cat_opt("ring_offsets"),
+        ids=ids,
+        properties=props,
+    )
+
+
+def _read_chunk_frame(b: bytes) -> list[bytes]:
+    """Split a chunked tile frame into its chunk buffers."""
+    _marker, pos = C.read_varint_py(b, 0)
+    n_chunks, pos = C.read_varint_py(b, pos)
+    lens = []
+    for _ in range(n_chunks):
+        ln, pos = C.read_varint_py(b, pos)
+        lens.append(ln)
+    out = []
+    for ln in lens:
+        out.append(b[pos : pos + ln])
+        pos += ln
+    if pos != len(b):
+        raise ValueError("chunked tile frame length mismatch")
+    return out
+
+
 def decode_tile(buf, ids=None) -> list[LayerData]:
     b = _as_frame_bytes(buf)
     version, pos = C.read_varint_py(b, 0)
+    if version == CHUNKED_TILE_MARKER:
+        # chunked frame (model/format.py CHUNKED_TILE_MARKER): decode each
+        # chunk tile and concatenate per-layer values by name in first-seen
+        # order — the result is identical LayerData to the unchunked encode
+        by_name: dict[str, list[LayerData]] = {}
+        order: list[str] = []
+        for chunk in _read_chunk_frame(b):
+            for ly in decode_tile(chunk, ids):
+                if ly.name not in by_name:
+                    order.append(ly.name)
+                    by_name[ly.name] = []
+                by_name[ly.name].append(ly)
+        return [_concat_layer_parts(by_name[n]) for n in order]
     num_layers, pos = C.read_varint_py(b, pos)
     layers = []
     for _ in range(num_layers):

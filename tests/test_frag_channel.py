@@ -19,11 +19,12 @@ def test_add_is_idempotent_per_key(channel, ray_session):
     run = ray.get(channel.begin_run.remote())
     r1 = ray.put(b"blob-first")
     r2 = ray.put(b"blob-retry")
-    ray.get(channel.add.remote(run, [(7, 3, r1)]))
-    ray.get(channel.add.remote(run, [(7, 3, r2)]))  # same (tile, src): retry
+    ray.get(channel.add.remote(run, [(7, 3, r1, 10)]))
+    ray.get(channel.add.remote(run, [(7, 3, r2, 10)]))  # same (tile, src): retry
     groups = ray.get(channel.collect.remote(run))
-    assert list(groups) == [7] and len(groups[7]) == 1
-    assert ray.get(groups[7][0]) == b"blob-retry"  # last registration wins
+    refs, rows = groups[7]
+    assert list(groups) == [7] and len(refs) == 1 and rows == 10
+    assert ray.get(refs[0]) == b"blob-retry"  # last registration wins
 
 
 def test_runs_are_isolated_and_popped(channel, ray_session):
@@ -32,14 +33,15 @@ def test_runs_are_isolated_and_popped(channel, ray_session):
     ra = ray.get(channel.begin_run.remote())
     rb = ray.get(channel.begin_run.remote())
     assert ra != rb
-    ray.get(channel.add.remote(ra, [(1, 0, ray.put(b"a0")), (1, 1, ray.put(b"a1"))]))
-    ray.get(channel.add.remote(rb, [(1, 0, ray.put(b"b0"))]))
+    ray.get(channel.add.remote(ra, [(1, 0, ray.put(b"a0"), 3), (1, 1, ray.put(b"a1"), 4)]))
+    ray.get(channel.add.remote(rb, [(1, 0, ray.put(b"b0"), 5)]))
     ga = ray.get(channel.collect.remote(ra))
-    assert [ray.get(r) for r in ga[1]] == [b"a0", b"a1"]  # src order
+    assert [ray.get(r) for r in ga[1][0]] == [b"a0", b"a1"]  # src order
+    assert ga[1][1] == 7  # row counts summed
     # run A is popped; run B untouched
     assert ray.get(channel.collect.remote(ra)) == {}
     gb = ray.get(channel.collect.remote(rb))
-    assert [ray.get(r) for r in gb[1]] == [b"b0"]
+    assert [ray.get(r) for r in gb[1][0]] == [b"b0"] and gb[1][1] == 5
 
 
 def test_add_after_collect_is_noop(channel, ray_session):
@@ -49,13 +51,13 @@ def test_add_after_collect_is_noop(channel, ray_session):
     import ray
 
     run = ray.get(channel.begin_run.remote())
-    ray.get(channel.add.remote(run, [(1, 0, ray.put(b"x"))]))
+    ray.get(channel.add.remote(run, [(1, 0, ray.put(b"x"), 1)]))
     ray.get(channel.collect.remote(run))
     # late retry of the same run: dropped, not resurrected
-    assert ray.get(channel.add.remote(run, [(1, 0, ray.put(b"late"))])) == 0
+    assert ray.get(channel.add.remote(run, [(1, 0, ray.put(b"late"), 1)])) == 0
     assert ray.get(channel.collect.remote(run)) == {}
     # a run id that was never begun is likewise dropped
-    assert ray.get(channel.add.remote(9999, [(1, 0, ray.put(b"z"))])) == 0
+    assert ray.get(channel.add.remote(9999, [(1, 0, ray.put(b"z"), 1)])) == 0
     assert ray.get(channel.collect.remote(9999)) == {}
 
 
