@@ -578,11 +578,7 @@ def build_tile_pyramid(
         groups = ray.get(channel.collect.remote(run_id))
         if not groups:
             return tiles
-        from ..stages.frag_channel import (
-            assemble_chunked_tile,
-            encode_tile_chunk,
-            merge_fragment_tiles,
-        )
+        from ..stages.frag_channel import merge_fragment_tiles, schedule_chunked_tile
 
         schema = tiles.schema()
         pa_schema = getattr(schema, "base_schema", schema)
@@ -600,12 +596,9 @@ def build_tile_pyramid(
         refs = []
         for t_id in sorted(chunked):
             t_refs, t_rows = groups[t_id]
-            n_chunks = -(-t_rows // chunk_rows)
-            cparts = [
-                encode_tile_chunk.remote(merger, t_id, t_refs, ci, n_chunks, chunk_rows)
-                for ci in range(n_chunks)
-            ]
-            refs.append(assemble_chunked_tile.remote(merger, t_id, pa_schema, *cparts))
+            refs.append(
+                schedule_chunked_tile(merger, t_id, t_refs, t_rows, chunk_rows, pa_schema)
+            )
         # one merge task per remaining fragmented tile up to a dispatch cap,
         # LPT-balanced by ROW count (the contiguous array_split this
         # replaces stacked adjacent z4 mega-tiles — 2.65M of sf0.2's 4.8M

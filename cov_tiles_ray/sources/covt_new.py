@@ -1,0 +1,805 @@
+"""Reference NEW-layout COVT reader + writer (VERDICT r2 #2).
+
+The reference's *current* source of truth writes a framing with no file
+header, bit-packed column/stream descriptors, implicit stream-list
+termination and an optional TileJSON-id name resolution
+("optimizeMetadata"):
+
+* writer: ``CovtConverter.convertMvtTile2`` (CovtConverter.java:203-298),
+  metadata serializers ``convertOptimizedLayerMetadata`` /
+  ``convertLayerMetadata`` (:300-483);
+* reader: ``CovtParser.decodeCovt`` (CovtParser.java:53-133), metadata
+  walk ``decodeLayerMetadata`` (:574-652), stream-list termination rules
+  (:638-648).
+
+No goldens exist for this layout in the reference snapshot (all checked-in
+``.covt`` fixtures use the old layout), so this module is validated by
+(a) self round-trip over the reference's real decoded MVT fixtures and
+(b) a framing-walk test proving the metadata cursor lands exactly on each
+layer boundary (tests/test_covt_new.py).
+
+Layout (clean-room, from the cited code):
+
+* NO file header — layers are concatenated; the parser loops while
+  ``pos < len(buf)``.
+* LayerHeader: 1 byte ``version<<1 | optimizeMetadata``; then the layer
+  name as a length-prefixed string (plain mode) or a varint layer id into
+  the TileJSON ``vector_layers`` list (optimized mode); then varints
+  ``extent, numFeatures, numColumns``.
+* ColumnMetadata: the geometry column (id 1) ALWAYS uses a varint column
+  id (``CovtParser.java:604`` — ``optimizeMetadata || i == 0``); property
+  columns use varint ids (optimized) or length-prefixed names (plain);
+  then 1 byte ``required<<7 | dataType<<3 | columnType``.
+* StreamMetadata: 1 byte ``streamType<<4 | streamEncoding``, varints
+  ``numValues, byteLength`` — with IMPLICIT termination: a GEOMETRY
+  column's stream list ends after VERTEX_BUFFER, a PLAIN column's after
+  DATA, anything else after DICTIONARY (CovtParser.java:638-648).
+* PRESENT streams of property columns are OMITTED from the metadata
+  (``addOptimizedNamedColumnMetadata`` skips them) but ARE in the payload;
+  the parser reads them as self-terminating byte-RLE of ceil(nf/8) bytes.
+* BOOLEAN columns are DENSIFIED: absent rows become ``false`` and only a
+  boolean-RLE data stream is written (CovtConverter.java:1060-1075) — a
+  lossy quirk of the reference this module reproduces.
+* Column order: geometry, then property columns grouped BY TYPE —
+  booleans, longs, floats, string dictionaries (CovtConverter.java:
+  348-357); payload order equals metadata order.
+* Ids: the new-layout writer does not support an id column
+  (CovtConverter.java:209-214 throws) — round trips DROP feature ids.
+
+Documented divergences (both strictly fix reference defects):
+* the reference's ICE-with-FastPFOR branch labels the vertex dictionary
+  FAST_PFOR_DELTA_ZIG_ZAG even when its internal min-pick chose varints
+  (``encodeVertexDictionary``'s TODO at CovtConverter.java:921-937); this
+  writer labels whichever encoding it actually emitted;
+* Morton-code vertex dictionaries are only emitted when the SFC generator
+  IS Morton (``geometry_encoding="ice_morton"``): the reference would
+  store Hilbert ids under ICE_MORTON_CODE whose decode assumes Morton
+  bit-interleaving (CovtConverter.java:676-681 + DecodingUtils.java:
+  394-409 disagree);
+* DOUBLE property columns (which the reference rejects,
+  CovtConverter.java:537-539) are supported as PLAIN float64 LE — same
+  extension the engine's COVT-R format carries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..functions import codecs as C
+from ..functions import sfc
+from ..model.format import (
+    ColumnDataType,
+    ColumnType,
+    GeometryType,
+    LayerData,
+    PropertyColumn,
+    StreamEncoding,
+    StreamType,
+)
+from .covt_ref import _decode_fastpfor_ints, decode_fastpfor_delta_zigzag
+from .covt_ref_write import encode_fastpfor_ref
+
+I64 = np.int64
+U64 = np.uint64
+U32 = np.uint32
+
+FILE_VERSION = 1  # CovtConverter.java:87
+
+_LONG_DTS = (
+    ColumnDataType.INT_32,
+    ColumnDataType.UINT_32,
+    ColumnDataType.INT_64,
+    ColumnDataType.UINT_64,
+)
+
+
+# --------------------------------------------------------------------------
+# shared low-level encoders (exact transforms of the cited EncodingUtils)
+# --------------------------------------------------------------------------
+
+
+def _varint(out: bytearray, v: int) -> None:
+    out += C.encode_varint_scalar(int(v))
+
+
+def _string(out: bytearray, s: str) -> None:
+    raw = s.encode("utf-8")
+    _varint(out, len(raw))
+    out += raw
+
+
+def _coord_delta_zz(vb: np.ndarray) -> np.ndarray:
+    """encodeZigZagDeltaCoordinates (EncodingUtils.java:190-211): per-axis
+    delta chains, interleaved, zigzag."""
+    v = np.ascontiguousarray(vb, dtype=I64)
+    d = np.empty_like(v)
+    d[0::2] = np.diff(v[0::2], prepend=I64(0))
+    d[1::2] = np.diff(v[1::2], prepend=I64(0))
+    return ((d << 1) ^ (d >> 63)).view(U64)
+
+
+def _fpf(vals_u: np.ndarray) -> bytes | None:
+    """FastPFOR128 of already-transformed uint values (None if >u32/empty)."""
+    if len(vals_u) == 0 or int(vals_u.max()) >= (1 << 32):
+        return None
+    return encode_fastpfor_ref(np.asarray(vals_u, dtype=U64).astype(U32))
+
+
+def _delta_zz(vals: np.ndarray) -> np.ndarray:
+    v = np.ascontiguousarray(vals, dtype=I64)
+    d = np.diff(v, prepend=I64(0))
+    return ((d << 1) ^ (d >> 63)).view(U64)
+
+
+def _bool_rle(mask: np.ndarray) -> bytes:
+    """encodeBooleans (EncodingUtils.java:213-230): LSB-first bitset bytes
+    padded to ceil(n/8), then ORC byte-RLE."""
+    packed = np.packbits(np.ascontiguousarray(mask, dtype=bool), bitorder="little")
+    return C.encode_byte_rle(packed)
+
+
+# --------------------------------------------------------------------------
+# writer
+# --------------------------------------------------------------------------
+
+
+class _Stream:
+    __slots__ = ("stype", "enc", "nvals", "buf", "in_metadata")
+
+    def __init__(self, stype, enc, nvals, buf, in_metadata=True):
+        self.stype, self.enc, self.nvals, self.buf = stype, enc, int(nvals), buf
+        self.in_metadata = in_metadata
+
+
+def _topology_streams(layer: LayerData, allow_fpf: bool) -> list[_Stream]:
+    """convertTopologyStreams + addOffsets (CovtConverter.java:872-920):
+    geometry_types byte-RLE; each offsets stream min(ORC-RLE,
+    FastPFOR-delta-zigzag) with FastPFOR preferred on ties (``<=``)."""
+    gt = np.ascontiguousarray(layer.geometry_types, dtype=np.uint8)
+    out = [
+        _Stream(StreamType.GEOMETRY_TYPES, StreamEncoding.BYTE_RLE, len(gt), C.encode_byte_rle(gt))
+    ]
+    for stype, offs in (
+        (StreamType.GEOMETRY_OFFSETS, layer.geometry_offsets),
+        (StreamType.PART_OFFSETS, layer.part_offsets),
+        (StreamType.RING_OFFSETS, layer.ring_offsets),
+    ):
+        if offs is None or len(offs) == 0:
+            continue
+        o = np.asarray(offs, dtype=I64)
+        rle = C.encode_rle_v1(o, signed=False)
+        fpf = _fpf(_delta_zz(o)) if allow_fpf else None
+        if fpf is not None and len(fpf) <= len(rle):
+            out.append(_Stream(stype, StreamEncoding.FAST_PFOR_DELTA_ZIG_ZAG, len(o), fpf))
+        else:
+            out.append(_Stream(stype, StreamEncoding.RLE, len(o), rle))
+    return out
+
+
+def _plain_geometry(layer: LayerData, allow_fpf_topo: bool, allow_fpf_vb: bool):
+    """convertUnorderedGeometryColumn (CovtConverter.java:571-669)."""
+    streams = _topology_streams(layer, allow_fpf_topo)
+    vb = np.asarray(layer.vertex_buffer, dtype=I64)
+    zz = _coord_delta_zz(vb)
+    varint = C.encode_varint(zz)
+    fpf = _fpf(zz) if allow_fpf_vb else None
+    if fpf is not None and len(fpf) <= len(varint):
+        streams.append(
+            _Stream(StreamType.VERTEX_BUFFER, StreamEncoding.FAST_PFOR_DELTA_ZIG_ZAG, len(vb), fpf)
+        )
+    else:
+        streams.append(
+            _Stream(StreamType.VERTEX_BUFFER, StreamEncoding.VARINT_DELTA_ZIG_ZAG, len(vb), varint)
+        )
+    return ColumnType.PLAIN, streams
+
+
+def _ice_geometry(layer: LayerData, morton: bool, allow_fpf_topo: bool, allow_fpf_vb: bool):
+    """convertIceCodedGeometryColumn + encodeVertexBuffer
+    (CovtConverter.java:671-856); returns None when the extent/coords are
+    outside the SFC domain (the reference throws; we fall back plain)."""
+    if layer.extent not in (4096, 8192):
+        return None
+    num_bits = 13 if layer.extent == 4096 else 14
+    vb = np.asarray(layer.vertex_buffer, dtype=I64)
+    if len(vb) == 0:
+        return None
+    x, y = vb[0::2], vb[1::2]
+    half = 1 << (num_bits - 1)
+    if x.min() < -half or x.max() >= half or y.min() < -half or y.max() >= half:
+        return None
+    keys = (
+        sfc.morton_encode_signed(x, y, num_bits)
+        if morton
+        else sfc.hilbert_encode_signed(x, y, num_bits)
+    ).astype(I64)
+    dict_keys, inverse = np.unique(keys, return_inverse=True)
+
+    streams = _topology_streams(layer, allow_fpf_topo)
+
+    # VERTEX_OFFSETS: varint-delta-zigzag vs FastPFOR(delta,zigzag), strict
+    # ``<`` prefers varint (CovtConverter.java:807-815)
+    off_var = C.encode_varint_delta_zigzag(inverse.astype(I64))
+    off_fpf = _fpf(_delta_zz(inverse.astype(I64))) if allow_fpf_vb else None
+    if off_fpf is not None and not (len(off_var) < len(off_fpf)):
+        off_enc, off_buf = StreamEncoding.FAST_PFOR_DELTA_ZIG_ZAG, off_fpf
+    else:
+        off_enc, off_buf = StreamEncoding.VARINT_DELTA_ZIG_ZAG, off_var
+
+    # vertex dictionary candidates
+    if morton:
+        dx, dy = sfc.morton_decode_signed(dict_keys.view(U64), num_bits)
+    else:
+        dx, dy = sfc.hilbert_decode_signed(dict_keys, num_bits)
+    dict_vb = np.empty(2 * len(dict_keys), dtype=I64)
+    dict_vb[0::2], dict_vb[1::2] = dx, dy
+    zz = _coord_delta_zz(dict_vb)
+    cands: list[tuple[ColumnType, StreamEncoding, bytes]] = [
+        (ColumnType.ICE, StreamEncoding.VARINT_DELTA_ZIG_ZAG, C.encode_varint(zz))
+    ]
+    if allow_fpf_vb:
+        f = _fpf(zz)
+        if f is not None:
+            cands.append((ColumnType.ICE, StreamEncoding.FAST_PFOR_DELTA_ZIG_ZAG, f))
+    if morton:
+        # dictionary as delta'd sorted morton codes (no zigzag — sorted
+        # ascending; CovtConverter.java:939-948)
+        deltas = np.diff(dict_keys, prepend=I64(0)).view(U64)
+        cands.append(
+            (
+                ColumnType.ICE_MORTON_CODE,
+                StreamEncoding.VARINT_DELTA_ZIG_ZAG,
+                C.encode_varint(deltas),
+            )
+        )
+        if allow_fpf_vb:
+            f = _fpf(deltas)
+            if f is not None:
+                cands.append((ColumnType.ICE_MORTON_CODE, StreamEncoding.FAST_PFOR_DELTA_ZIG_ZAG, f))
+    # reference 4-way pick: each candidate wins only if STRICTLY smaller
+    # than every other, else the fallback cascades to the LAST candidate
+    # (CovtConverter.java:820-856) — i.e. ties go to the later candidate
+    best = cands[0]
+    for c in cands[1:]:
+        if len(c[2]) <= len(best[2]):
+            best = c
+    ct, enc, buf = best
+    streams.append(_Stream(StreamType.VERTEX_OFFSETS, off_enc, len(inverse), off_buf))
+    streams.append(_Stream(StreamType.VERTEX_BUFFER, enc, len(dict_keys), buf))
+    return ct, streams
+
+
+def _geometry_column(layer, geometry_encoding, allow_fpf_topo, allow_fpf_vb):
+    plain_ct, plain_streams = _plain_geometry(layer, allow_fpf_topo, allow_fpf_vb)
+    if geometry_encoding == "plain":
+        return plain_ct, plain_streams
+    ice = _ice_geometry(
+        layer, geometry_encoding == "ice_morton", allow_fpf_topo, allow_fpf_vb
+    )
+    if ice is None:
+        return plain_ct, plain_streams
+    # strict <: ICE wins only when smaller (CovtConverter.java:235-236)
+    ice_ct, ice_streams = ice
+    if sum(len(s.buf) for s in ice_streams) < sum(len(s.buf) for s in plain_streams):
+        return ice_ct, ice_streams
+    return plain_ct, plain_streams
+
+
+def _long_data_stream(vals: np.ndarray) -> _Stream:
+    """The reference's long-property candidate rules (CovtConverter.java:
+    1077-1111): RLE iff strictly smallest, then delta-varint-zigzag iff
+    strictly smallest, else varint-zigzag."""
+    v = np.asarray(vals, dtype=I64)
+    rle = C.encode_rle_v1(v, signed=True)
+    var = C.encode_varint_zigzag(v)
+    dlt = C.encode_varint_delta_zigzag(v)
+    if len(rle) < len(var) and len(rle) < len(dlt):
+        return _Stream(StreamType.DATA, StreamEncoding.RLE, len(v), rle)
+    if len(dlt) < len(rle) and len(dlt) < len(var):
+        return _Stream(StreamType.DATA, StreamEncoding.VARINT_DELTA_ZIG_ZAG, len(v), dlt)
+    return _Stream(StreamType.DATA, StreamEncoding.VARINT_ZIG_ZAG, len(v), var)
+
+
+def _property_column(name: str, col: PropertyColumn, nf: int):
+    """-> (name, data_type, column_type, [streams]) with the reference's
+    payload shapes (CovtConverter.java:1026-1170)."""
+    dt = ColumnDataType(int(col.data_type))
+    present = np.ascontiguousarray(col.present, dtype=bool)
+    if dt == ColumnDataType.BOOLEAN:
+        dense = np.zeros(nf, dtype=bool)
+        dense[present] = np.asarray(col.values, dtype=bool)
+        buf = _bool_rle(dense)
+        # numValues mirrors the writer quirk: the SPARSE data count
+        return (
+            name,
+            dt,
+            ColumnType.PLAIN,
+            [_Stream(StreamType.DATA, StreamEncoding.BOOLEAN_RLE, int(present.sum()), buf)],
+        )
+    streams = [
+        _Stream(
+            StreamType.PRESENT,
+            StreamEncoding.BOOLEAN_RLE,
+            nf,
+            _bool_rle(present),
+            in_metadata=False,  # PRESENT omitted from metadata (the quirk)
+        )
+    ]
+    if dt in _LONG_DTS:
+        streams.append(_long_data_stream(np.asarray(col.values, dtype=I64)))
+        return name, ColumnDataType.INT_64, ColumnType.PLAIN, streams
+    if dt == ColumnDataType.FLOAT:
+        dense = np.asarray(col.values, dtype=np.float32)
+        streams.append(
+            _Stream(StreamType.DATA, StreamEncoding.PLAIN, len(dense), C.encode_floats_le(dense))
+        )
+        return name, dt, ColumnType.PLAIN, streams
+    if dt == ColumnDataType.DOUBLE:  # documented extension
+        dense = np.asarray(col.values, dtype=np.float64)
+        streams.append(
+            _Stream(StreamType.DATA, StreamEncoding.PLAIN, len(dense), C.encode_doubles_le(dense))
+        )
+        return name, dt, ColumnType.PLAIN, streams
+    if dt == ColumnDataType.STRING:
+        vals = np.asarray(col.values, dtype=object)
+        seen: dict[str, int] = {}
+        idx = np.empty(len(vals), dtype=I64)
+        for i, s in enumerate(vals):
+            j = seen.get(s)
+            if j is None:
+                j = len(seen)
+                seen[s] = j
+            idx[i] = j
+        raws = [s.encode("utf-8") for s in seen]
+        lengths = np.array([len(r) for r in raws], dtype=I64)
+        streams.append(
+            _Stream(StreamType.DATA, StreamEncoding.RLE, len(idx), C.encode_rle_v1(idx, signed=False))
+        )
+        streams.append(
+            _Stream(
+                StreamType.LENGTH,
+                StreamEncoding.RLE,
+                len(raws),
+                C.encode_rle_v1(lengths, signed=False),
+            )
+        )
+        streams.append(
+            _Stream(StreamType.DICTIONARY, StreamEncoding.PLAIN, len(raws), b"".join(raws))
+        )
+        return name, dt, ColumnType.DICTIONARY, streams
+    raise ValueError(f"property data type {dt} not supported by the new layout")
+
+
+def encode_new_layer(
+    layer: LayerData,
+    out: bytearray,
+    layer_id: int | None = None,
+    geometry_encoding: str = "ice",
+    allow_fastpfor_topology: bool = True,
+    allow_fastpfor_vertex: bool = True,
+) -> dict:
+    """Append one new-layout layer; returns its TileJSON vector_layer
+    entry.  ``layer_id`` set => optimized metadata."""
+    nf = layer.num_features
+    geo_ct, geo_streams = _geometry_column(
+        layer, geometry_encoding, allow_fastpfor_topology, allow_fastpfor_vertex
+    )
+    # property columns grouped by type: booleans, longs, floats, strings
+    # (CovtConverter.java:348-357); first-appearance order within a group
+    groups: dict[str, list] = {"bool": [], "long": [], "float": [], "string": []}
+    for name, col in layer.properties.items():
+        dt = ColumnDataType(int(col.data_type))
+        if dt == ColumnDataType.BOOLEAN:
+            key = "bool"
+        elif dt in _LONG_DTS:
+            key = "long"
+        elif dt in (ColumnDataType.FLOAT, ColumnDataType.DOUBLE):
+            key = "float"
+        elif dt == ColumnDataType.STRING:
+            key = "string"
+        else:
+            raise ValueError(f"unsupported property type {dt}")
+        groups[key].append(_property_column(name, col, nf))
+    prop_cols = groups["bool"] + groups["long"] + groups["float"] + groups["string"]
+
+    optimized = layer_id is not None
+    out.append((FILE_VERSION << 1) | int(optimized))
+    if optimized:
+        _varint(out, layer_id)
+    else:
+        _string(out, layer.name)
+    _varint(out, layer.extent)
+    _varint(out, nf)
+    _varint(out, 1 + len(prop_cols))
+
+    payload = bytearray()
+    # geometry column: ALWAYS a varint column id (CovtParser.java:604)
+    _varint(out, 1)
+    out.append((int(ColumnDataType.GEOMETRY) << 3) | int(geo_ct))
+    for s in geo_streams:
+        out.append((int(s.stype) << 4) | int(s.enc))
+        _varint(out, s.nvals)
+        _varint(out, len(s.buf))
+        payload += s.buf
+    next_id = 2
+    for name, dt, ct, streams in prop_cols:
+        if optimized:
+            _varint(out, next_id)
+            next_id += 1
+        else:
+            _string(out, name)
+        out.append((int(dt) << 3) | int(ct))
+        for s in streams:
+            payload += s.buf
+            if not s.in_metadata:
+                continue
+            out.append((int(s.stype) << 4) | int(s.enc))
+            _varint(out, s.nvals)
+            _varint(out, len(s.buf))
+    out += payload
+    return {"id": layer.name, "fields": {name: "String" for name, _, _, _ in prop_cols}}
+
+
+def encode_new_tile(
+    layers: list[LayerData],
+    optimize_metadata: bool = False,
+    geometry_encoding: str = "ice",
+    allow_fastpfor_topology: bool = True,
+    allow_fastpfor_vertex: bool = True,
+) -> tuple[bytes, dict]:
+    """layers -> (new-layout tile bytes, TileJSON sidecar dict)."""
+    out = bytearray()
+    vector_layers = []
+    for i, layer in enumerate(layers):
+        vector_layers.append(
+            encode_new_layer(
+                layer,
+                out,
+                layer_id=i if optimize_metadata else None,
+                geometry_encoding=geometry_encoding,
+                allow_fastpfor_topology=allow_fastpfor_topology,
+                allow_fastpfor_vertex=allow_fastpfor_vertex,
+            )
+        )
+    return bytes(out), {"vector_layers": vector_layers}
+
+
+# --------------------------------------------------------------------------
+# reader
+# --------------------------------------------------------------------------
+
+
+def roundtrip_equal(want: list[LayerData], got: list[LayerData]) -> bool:
+    """Full-equality check modulo the layout's DOCUMENTED lossiness: ids
+    are dropped by the writer, boolean columns densify (absent -> False,
+    all-present), FLOAT compares at float32 precision."""
+    if len(want) != len(got):
+        return False
+    for w, g in zip(want, got):
+        if g.name != w.name or g.num_features != w.num_features or g.ids is not None:
+            return False
+        if not (np.asarray(g.geometry_types) == np.asarray(w.geometry_types)).all():
+            return False
+        if not (
+            np.asarray(g.vertex_buffer, I64) == np.asarray(w.vertex_buffer, I64)
+        ).all():
+            return False
+        for off in ("geometry_offsets", "part_offsets", "ring_offsets"):
+            xw, xg = getattr(w, off), getattr(g, off)
+            if xw is None or len(xw) == 0:
+                if not (xg is None or len(xg) == 0):
+                    return False
+            elif xg is None or not (np.asarray(xg) == np.asarray(xw)).all():
+                return False
+        if set(g.properties) != set(w.properties):
+            return False
+        for nm, col in w.properties.items():
+            gc = g.properties[nm]
+            dt = int(col.data_type)
+            if dt == int(ColumnDataType.BOOLEAN):
+                dense = np.zeros(w.num_features, dtype=bool)
+                dense[np.asarray(col.present, bool)] = np.asarray(col.values, bool)
+                if not (np.asarray(gc.values) == dense).all():
+                    return False
+                continue
+            if not (np.asarray(gc.present, bool) == np.asarray(col.present, bool)).all():
+                return False
+            gv, wv = np.asarray(gc.values), np.asarray(col.values)
+            if len(gv) != len(wv):
+                return False
+            if dt == int(ColumnDataType.FLOAT):
+                if not np.allclose(gv.astype(np.float32), wv.astype(np.float32)):
+                    return False
+            elif dt == int(ColumnDataType.DOUBLE):
+                if not np.allclose(gv, wv):
+                    return False
+            elif len(gv) and not (gv == wv).all():
+                return False
+    return True
+
+
+def walk_new_metadata(buf: bytes, tilejson: dict | None = None) -> list[dict]:
+    """Framing walk WITHOUT payload decode: per layer, the header fields,
+    column/stream descriptors, and the exact byte offsets of the metadata
+    end and the layer end (for the boundary test)."""
+    b = buf
+    pos = 0
+    layers = []
+    while pos < len(b):
+        header = b[pos]
+        pos += 1
+        version = header >> 1
+        optimized = bool(header & 1)
+        if optimized:
+            lid, pos = C.read_varint_py(b, pos)
+            vl = (tilejson or {}).get("vector_layers", [])[lid]
+            name, fields = vl["id"], list(vl["fields"])
+        else:
+            name, pos = C.decode_string(b, pos)
+            fields = None
+        extent, pos = C.read_varint_py(b, pos)
+        nf, pos = C.read_varint_py(b, pos)
+        ncols, pos = C.read_varint_py(b, pos)
+        columns = []
+        payload_len = 0
+        for i in range(ncols):
+            if optimized or i == 0:
+                cid, pos = C.read_varint_py(b, pos)
+                if cid == 0:
+                    cname = "id"
+                elif cid == 1:
+                    cname = "geometry"
+                else:
+                    cname = fields[cid - 2]
+            else:
+                cname, pos = C.decode_string(b, pos)
+            desc = b[pos]
+            pos += 1
+            dt = (desc >> 3) & 0xF
+            ct = desc & 0x7
+            streams = []
+            while True:
+                sdesc = b[pos]
+                pos += 1
+                stype, senc = sdesc >> 4, sdesc & 0xF
+                nvals, pos = C.read_varint_py(b, pos)
+                blen, pos = C.read_varint_py(b, pos)
+                streams.append((stype, senc, nvals, blen))
+                payload_len += blen
+                # implicit termination (CovtParser.java:638-648)
+                if dt == int(ColumnDataType.GEOMETRY) and stype == int(StreamType.VERTEX_BUFFER):
+                    break
+                if stype == int(StreamType.DATA) and ct == int(ColumnType.PLAIN):
+                    break
+                if stype == int(StreamType.DICTIONARY):
+                    break
+            columns.append({"name": cname, "data_type": dt, "column_type": ct, "streams": streams})
+        meta_end = pos
+        # payload: metadata byteLengths PLUS the un-recorded PRESENT streams
+        # (one per non-boolean property column) — the walk can't know their
+        # encoded size without decoding, so layer_end is resolved by the
+        # full parser; report the metadata span exactly.
+        layers.append(
+            {
+                "name": name,
+                "version": version,
+                "optimized": optimized,
+                "extent": extent,
+                "num_features": nf,
+                "columns": columns,
+                "meta_end": meta_end,
+                "recorded_payload": payload_len,
+            }
+        )
+        # advance past the payload by decoding present streams' extents
+        pos = _skip_payload(b, meta_end, nf, columns)
+        layers[-1]["layer_end"] = pos
+    return layers
+
+
+def _skip_payload(b: bytes, pos: int, nf: int, columns: list[dict]) -> int:
+    """Advance the cursor over a layer's payload: recorded byteLengths plus
+    the self-terminating PRESENT byte-RLE of each non-boolean property
+    column (mirrors the parser's read order)."""
+    n_present_bytes = -(-nf // 8)
+    for col in columns:
+        dt = col["data_type"]
+        if dt not in (int(ColumnDataType.GEOMETRY),) and col["name"] not in ("id",):
+            if dt != int(ColumnDataType.BOOLEAN):
+                _vals, pos = C.decode_byte_rle(b, n_present_bytes, pos)
+        for _stype, _senc, _nvals, blen in col["streams"]:
+            pos += blen
+    return pos
+
+
+def _decode_coord_stream(b: bytes, pos: int, nvals: int, blen: int, enc: int) -> np.ndarray:
+    """Inverse of _coord_delta_zz for varint / FastPFOR payloads ->
+    interleaved absolute coords (int64)."""
+    raw = b[pos : pos + blen]
+    if enc == int(StreamEncoding.VARINT_DELTA_ZIG_ZAG):
+        zz, _ = C.decode_varint(raw, nvals, 0)
+    elif enc == int(StreamEncoding.FAST_PFOR_DELTA_ZIG_ZAG):
+        zz = _decode_fastpfor_ints(raw, nvals).astype(U64)
+    else:
+        raise ValueError(f"coord stream encoding {enc} not supported")
+    d = (zz.astype(U64) >> U64(1)).astype(I64) ^ -(zz.astype(U64) & U64(1)).astype(I64)
+    out = np.empty(nvals, dtype=I64)
+    out[0::2] = np.cumsum(d[0::2])
+    out[1::2] = np.cumsum(d[1::2])
+    return out
+
+
+def _decode_int_stream(b: bytes, pos: int, nvals: int, blen: int, enc: int, signed: bool) -> np.ndarray:
+    raw = b[pos : pos + blen]
+    if enc == int(StreamEncoding.RLE):
+        vals, _ = C.decode_rle_v1(raw, nvals, signed=signed, offset=0)
+        return vals.astype(I64)
+    if enc == int(StreamEncoding.VARINT_ZIG_ZAG):
+        vals, _ = C.decode_varint_zigzag(raw, nvals, 0)
+        return vals.astype(I64)
+    if enc == int(StreamEncoding.VARINT_DELTA_ZIG_ZAG):
+        vals, _ = C.decode_varint_delta_zigzag(raw, nvals, 0)
+        return vals.astype(I64)
+    if enc == int(StreamEncoding.FAST_PFOR_DELTA_ZIG_ZAG):
+        return decode_fastpfor_delta_zigzag(raw, nvals).astype(I64)
+    raise ValueError(f"int stream encoding {enc} not supported")
+
+
+def parse_new_covt(buf: bytes, tilejson: dict | None = None) -> list[LayerData]:
+    """New-layout tile bytes -> LayerData list (ids are absent by design —
+    the layout's writer drops them)."""
+    b = bytes(buf)
+    pos = 0
+    layers: list[LayerData] = []
+    while pos < len(b):
+        header = b[pos]
+        pos += 1
+        optimized = bool(header & 1)
+        if optimized:
+            if tilejson is None:
+                raise ValueError("optimized metadata requires the TileJSON sidecar")
+            lid, pos = C.read_varint_py(b, pos)
+            vl = tilejson["vector_layers"][lid]
+            name, fields = vl["id"], list(vl["fields"])
+        else:
+            name, pos = C.decode_string(b, pos)
+            fields = None
+        extent, pos = C.read_varint_py(b, pos)
+        nf, pos = C.read_varint_py(b, pos)
+        ncols, pos = C.read_varint_py(b, pos)
+        columns = []
+        for i in range(ncols):
+            if optimized or i == 0:
+                cid, pos = C.read_varint_py(b, pos)
+                cname = "id" if cid == 0 else "geometry" if cid == 1 else fields[cid - 2]
+            else:
+                cname, pos = C.decode_string(b, pos)
+            desc = b[pos]
+            pos += 1
+            dt = (desc >> 3) & 0xF
+            ct = desc & 0x7
+            streams = {}
+            while True:
+                sdesc = b[pos]
+                pos += 1
+                stype, senc = sdesc >> 4, sdesc & 0xF
+                nvals, pos = C.read_varint_py(b, pos)
+                blen, pos = C.read_varint_py(b, pos)
+                streams[stype] = (senc, nvals, blen)
+                if dt == int(ColumnDataType.GEOMETRY) and stype == int(StreamType.VERTEX_BUFFER):
+                    break
+                if stype == int(StreamType.DATA) and ct == int(ColumnType.PLAIN):
+                    break
+                if stype == int(StreamType.DICTIONARY):
+                    break
+            columns.append((cname, dt, ct, streams))
+
+        layer = LayerData(
+            name=name,
+            extent=extent,
+            geometry_types=np.empty(0, dtype=np.uint8),
+            vertex_buffer=np.empty(0, dtype=np.int32),
+        )
+        n_present_bytes = -(-nf // 8)
+        for cname, dt, ct, streams in columns:
+            if cname == "id":
+                senc, nvals, blen = streams[int(StreamType.DATA)]
+                layer.ids = (
+                    _decode_int_stream(b, pos, nvals, blen, senc, signed=False)
+                    .astype(U64)
+                )
+                pos += blen
+                continue
+            if dt == int(ColumnDataType.GEOMETRY):
+                pos = _decode_geometry_column(b, pos, layer, ct, streams, extent)
+                continue
+            # property column: un-recorded PRESENT stream first (the parser
+            # reads a self-terminating byte-RLE of ceil(nf/8) bytes)
+            if dt == int(ColumnDataType.BOOLEAN):
+                senc, nvals, blen = streams[int(StreamType.DATA)]
+                packed, _ = C.decode_byte_rle(b[pos : pos + blen], n_present_bytes, 0)
+                pos += blen
+                dense = np.unpackbits(packed.astype(np.uint8), bitorder="little")[:nf].astype(bool)
+                layer.properties[cname] = PropertyColumn(
+                    ColumnDataType.BOOLEAN, np.ones(nf, dtype=bool), dense
+                )
+                continue
+            packed, pos = C.decode_byte_rle(b, n_present_bytes, pos)
+            present = np.unpackbits(packed.astype(np.uint8), bitorder="little")[:nf].astype(bool)
+            senc, nvals, blen = streams[int(StreamType.DATA)]
+            if dt == int(ColumnDataType.FLOAT):
+                vals, _ = C.decode_floats_le(b, nvals, pos)
+                pos += blen
+                layer.properties[cname] = PropertyColumn(ColumnDataType.FLOAT, present, vals)
+            elif dt == int(ColumnDataType.DOUBLE):
+                vals, _ = C.decode_doubles_le(b, nvals, pos)
+                pos += blen
+                layer.properties[cname] = PropertyColumn(ColumnDataType.DOUBLE, present, vals)
+            elif dt == int(ColumnDataType.STRING):
+                idx = _decode_int_stream(b, pos, nvals, blen, senc, signed=False)
+                pos += blen
+                lenc, lnvals, lblen = streams[int(StreamType.LENGTH)]
+                lengths = _decode_int_stream(b, pos, lnvals, lblen, lenc, signed=False)
+                pos += lblen
+                denc, dnvals, dblen = streams[int(StreamType.DICTIONARY)]
+                concat = b[pos : pos + dblen]
+                pos += dblen
+                words = []
+                p = 0
+                for ln in lengths.tolist():
+                    words.append(concat[p : p + ln].decode("utf-8"))
+                    p += ln
+                arr = np.array(words, dtype=object)
+                vals = arr[idx] if len(idx) else np.empty(0, dtype=object)
+                layer.properties[cname] = PropertyColumn(ColumnDataType.STRING, present, vals)
+            else:  # INT_64 family
+                vals = _decode_int_stream(b, pos, nvals, blen, senc, signed=True)
+                pos += blen
+                layer.properties[cname] = PropertyColumn(ColumnDataType.INT_64, present, vals)
+        layers.append(layer)
+    return layers
+
+
+def _decode_geometry_column(b: bytes, pos: int, layer: LayerData, ct: int, streams: dict, extent: int) -> int:
+    num_bits = int(extent).bit_length()  # 4096 -> 13 (CovtParser.java:77)
+    senc, nvals, blen = streams[int(StreamType.GEOMETRY_TYPES)]
+    gt, _ = C.decode_byte_rle(b[pos : pos + blen], nvals, 0)
+    layer.geometry_types = gt.astype(np.uint8)
+    pos += blen
+    for stype, attr in (
+        (StreamType.GEOMETRY_OFFSETS, "geometry_offsets"),
+        (StreamType.PART_OFFSETS, "part_offsets"),
+        (StreamType.RING_OFFSETS, "ring_offsets"),
+    ):
+        if int(stype) in streams:
+            senc, nvals, blen = streams[int(stype)]
+            setattr(layer, attr, _decode_int_stream(b, pos, nvals, blen, senc, signed=False))
+            pos += blen
+    if ct == int(ColumnType.PLAIN):
+        senc, nvals, blen = streams[int(StreamType.VERTEX_BUFFER)]
+        layer.vertex_buffer = _decode_coord_stream(b, pos, nvals, blen, senc).astype(np.int32)
+        return pos + blen
+    # ICE / ICE_MORTON: offsets then dictionary
+    senc, nvals, blen = streams[int(StreamType.VERTEX_OFFSETS)]
+    offsets = _decode_int_stream(b, pos, nvals, blen, senc, signed=True)
+    pos += blen
+    senc, dnvals, dblen = streams[int(StreamType.VERTEX_BUFFER)]
+    if ct == int(ColumnType.ICE):
+        dict_vb = _decode_coord_stream(b, pos, 2 * dnvals, dblen, senc)
+        dx, dy = dict_vb[0::2], dict_vb[1::2]
+    elif ct == int(ColumnType.ICE_MORTON_CODE):
+        raw = b[pos : pos + dblen]
+        if senc == int(StreamEncoding.VARINT_DELTA_ZIG_ZAG):
+            deltas, _ = C.decode_varint(raw, dnvals, 0)
+        else:
+            deltas = _decode_fastpfor_ints(raw, dnvals).astype(U64)
+        codes = np.cumsum(deltas.astype(I64))
+        dx, dy = sfc.morton_decode_signed(codes.view(U64), num_bits)
+    else:
+        raise ValueError(f"geometry column type {ct} not supported")
+    pos += dblen
+    vb = np.empty(2 * len(offsets), dtype=np.int32)
+    vb[0::2] = dx[offsets]
+    vb[1::2] = dy[offsets]
+    layer.vertex_buffer = vb
+    return pos

@@ -112,40 +112,51 @@ def merge_fragment_tiles(merger, tids, ref_lists, schema: pa.Schema) -> pa.Table
 
 
 @ray.remote
-def encode_tile_chunk(merger, tid: int, refs, ci: int, n_chunks: int, chunk_rows: int):
-    """Encode ONE fid-ordered chunk of a fragmented mega-tile (flag-gated
-    chunked merge, VERDICT r2 #1).  Every chunk task assembles the tile's
-    full fid-sorted row table (cheap vectorized concat+sort, ~2% of a
-    chunk's encode cost) and slices its own [ci*chunk_rows, ...) range —
-    chunk boundaries depend only on the global fid order and chunk_rows,
-    so the output is deterministic under any fragmenting/cluster shape.
-    Whole-tile derived layers (the cells occupancy grid) ride in chunk 0,
-    built from ALL rows, so the chunked tile decodes to exactly the same
-    LayerData as an unchunked encode.
+def split_tile_chunks(tid: int, refs, n_chunks: int, chunk_rows: int):
+    """Assemble a fragmented mega-tile's fid-sorted row table ONCE and
+    split it into encode-chunk inputs (flag-gated chunked merge, VERDICT
+    r2 #1).  Called with ``options(num_returns=n_chunks + 1)``: returns
+    one Arrow table per chunk plus the FULL tile's interleaved coords
+    (chunk 0's whole-tile cells layer input).  Chunk boundaries depend
+    only on the global fid order and chunk_rows, so the downstream bytes
+    are deterministic under any fragmenting/cluster shape."""
+    from .tile_encode import assemble_fragment_table
+
+    blobs = ray.get(list(refs))
+    t = assemble_fragment_table(blobs)
+    outs = []
+    for ci in range(n_chunks):
+        s = ci * chunk_rows
+        outs.append(t.slice(s, min(chunk_rows, t.num_rows - s)).combine_chunks())
+    vb = np.empty(2 * t.num_rows, dtype=np.int64)
+    vb[0::2] = t["loc_x"].to_numpy(zero_copy_only=False)
+    vb[1::2] = t["loc_y"].to_numpy(zero_copy_only=False)
+    return (*outs, vb)
+
+
+@ray.remote
+def encode_tile_chunk(merger, tid: int, ci: int, sub, full_vb):
+    """Encode ONE fid-ordered chunk (an Arrow table from
+    ``split_tile_chunks``).  Whole-tile derived layers (the cells
+    occupancy grid) ride in chunk 0, built from ALL rows (``full_vb``),
+    so the chunked tile decodes to exactly the same LayerData as an
+    unchunked encode.
 
     Returns ``(ci, buf, n_features, plain_bytes, ok)``."""
     from ..tile import encode_tile
     from ..tile.batch_verify import verify_tiles
     from .tile_encode import (
         VERIFY_FULL_MOD,
-        assemble_fragment_table,
         cells_layer_from_points,
         plain_columnar_bytes,
         table_to_layer,
         verify_tile_buf,
     )
 
-    blobs = ray.get(list(refs))
-    t = assemble_fragment_table(blobs)
-    s = ci * chunk_rows
-    sub = t.slice(s, min(chunk_rows, t.num_rows - s))
     layer = table_to_layer(sub, merger.enc.extent)
     layers = [layer]
-    if merger.enc.with_cells and ci == 0:
-        vb = np.empty(2 * t.num_rows, dtype=np.int64)
-        vb[0::2] = t["loc_x"].to_numpy(zero_copy_only=False)
-        vb[1::2] = t["loc_y"].to_numpy(zero_copy_only=False)
-        layers.append(cells_layer_from_points(vb, merger.enc.extent))
+    if merger.enc.with_cells and full_vb is not None:
+        layers.append(cells_layer_from_points(full_vb, merger.enc.extent))
     buf = encode_tile(layers, merger.enc.opts)
     # same verify policy as every other encode site: full LayerData
     # equality on the deterministic sample, batched structural decode else
@@ -155,6 +166,21 @@ def encode_tile_chunk(merger, tid: int, refs, ci: int, n_chunks: int, chunk_rows
         ok = bool(verify_tiles([buf], [layer.num_features], [len(layers)])[0])
     plain = sum(plain_columnar_bytes(ly) for ly in layers)
     return ci, buf, int(layer.num_features), int(plain), bool(ok)
+
+
+def schedule_chunked_tile(merger, tid: int, refs, n_rows: int, chunk_rows: int, schema):
+    """Fan one mega-tile across a split task + per-chunk encode tasks +
+    one assemble task; returns the final 1-row-table ref."""
+    n_chunks = -(-n_rows // chunk_rows)
+    parts = split_tile_chunks.options(num_returns=n_chunks + 1).remote(
+        tid, refs, n_chunks, chunk_rows
+    )
+    chunk_refs, vb_ref = parts[:-1], parts[-1]
+    cparts = [
+        encode_tile_chunk.remote(merger, tid, ci, sub, vb_ref if ci == 0 else None)
+        for ci, sub in enumerate(chunk_refs)
+    ]
+    return assemble_chunked_tile.remote(merger, tid, schema, *cparts)
 
 
 @ray.remote

@@ -119,10 +119,7 @@ class TestChunkedFrameKernels:
         """Encode one synthetic tile both ways via the real remote tasks."""
         import ray
 
-        from cov_tiles_ray.stages.frag_channel import (
-            assemble_chunked_tile,
-            encode_tile_chunk,
-        )
+        from cov_tiles_ray.stages.frag_channel import schedule_chunked_tile
         from cov_tiles_ray.stages.tile_encode import (
             RawFragmentMerger,
             fragment_ipc_bytes,
@@ -160,11 +157,8 @@ class TestChunkedFrameKernels:
                 ("roundtrip_ok", pa.bool_()),
             ]
         )
-        cparts = [
-            encode_tile_chunk.remote(merger, tid, refs, ci, n_chunks, chunk_rows)
-            for ci in range(n_chunks)
-        ]
-        out = ray.get(assemble_chunked_tile.remote(merger, tid, schema, *cparts))
+        assert n_chunks >= 2
+        out = ray.get(schedule_chunked_tile(merger, tid, refs, n, chunk_rows, schema))
         whole = merger._merge_one(tid, blobs)
         return out, whole, n
 
