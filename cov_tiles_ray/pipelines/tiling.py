@@ -500,6 +500,16 @@ def build_tile_pyramid(
     containing ``zooms[0]`` force-refines the base level so the fragment
     merge runs even on tiny corpora."""
 
+    import time as _time
+
+    _t0 = _time.perf_counter()
+    _mark = (
+        (lambda label: print(
+            f"[pyramid +{_time.perf_counter() - _t0:7.2f}s] {label}", file=__import__("sys").stderr, flush=True
+        ))
+        if os.environ.get("GRAFT_TIMING") == "1"
+        else (lambda label: None)
+    )
     zooms = tuple(sorted(zooms))
     z_base = zooms[0]
     # kick off the (cached) channel actor boot BEFORE planning so the
@@ -507,6 +517,7 @@ def build_tile_pyramid(
     channel = _get_frag_channel() if PYRAMID_MERGE == "channel" else None
     n_rows = _estimate_rows(images)
     refined, part_bounds = _plan_pyramid(images, n_rows, z_base, zooms[-1], hot_zooms)
+    _mark("plan done")
     max_depth = (zooms[-1] + 2) - z_base
 
     def assign_base(b: pa.Table) -> pa.Table:
@@ -575,7 +586,9 @@ def build_tile_pyramid(
         import ray
 
         tiles = tiles.materialize()
+        _mark("encode wave materialized")
         groups = ray.get(channel.collect.remote(run_id))
+        _mark(f"collect done ({len(groups)} fragmented tiles)")
         if not groups:
             return tiles
         from ..stages.frag_channel import merge_fragment_tiles, schedule_chunked_tile
@@ -620,10 +633,12 @@ def build_tile_pyramid(
                 for span in bins
                 if span
             ]
+        _mark(f"merge tasks dispatched ({len(chunked)} chunked, {len(tids)} binned)")
         # block until the merge tasks finish (fetch_local=False keeps the
         # tables in the object store): after this the run's fragment blobs
         # (already popped from the cached actor by collect) can be GC'd.
         ray.wait(refs, num_returns=len(refs), fetch_local=False)
+        _mark("merge wave complete")
         return tiles.union(rd.from_arrow_refs(refs))
     # Pure-Dataset merge path (kept for A/B): materialized ONCE so the
     # whole/fragment branches don't re-execute the exchange; the
