@@ -145,38 +145,17 @@ def _sql_pricing_summary() -> str:
     """
 
 
-class _CustomerNationJoiner:
-    """Actor-pool broadcast-join stage: the customer→nation-name lookup is
-    shipped ONCE via ``ray.put`` and fetched once per actor in ``__init__``
-    (the PipAssigner pattern, stages/assign.py) — never serialized into a
-    per-task closure, so the broadcast side scales past the sandbox sf
-    (VERDICT r2 #9: a closure-captured Series is re-shipped with every
-    task once customer exceeds ~1M rows)."""
-
-    def __init__(self, lookup_ref):
-        import ray
-
-        # pandas Series indexed by c_custkey, values n_name
-        self.c2name = ray.get(lookup_ref)
-
-    def __call__(self, b: pa.Table) -> pa.Table:
-        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
-        names = self.c2name.reindex(ck).to_numpy(dtype=object)
-        price = b["o_totalprice"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "n_name": pa.array(names, pa.string()),
-                "cents": pa.array(np.floor(price * 100.0).astype(np.int64)),
-            }
-        )
-
-
 def q_revenue_by_nation(sf_dir: str):
     """3-way broadcast join: orders ⋈ customer ⋈ nation, revenue per nation.
 
-    customer⋈nation is pre-joined driver-side (both small), then broadcast
-    via the object store to a fetch-once actor pool (SURVEY.md §7:
-    broadcast small sides, no shuffle join)."""
+    customer⋈nation is pre-joined driver-side (both small) and broadcast
+    via ``ray.put``: tasks capture only the OBJECT REF (bytes of a ref,
+    not the Series — VERDICT r2 #9: a closure-captured DataFrame is
+    re-shipped with every task once customer exceeds ~1M rows) and
+    ``ray.get`` inside the kernel resolves from the worker-local plasma
+    store after the first fetch per node.  Plain tasks, not an actor
+    pool: at query scale an actor pool pays ~2 s of worker boot per
+    invocation for the same fetch-once semantics (measured in bench)."""
     import ray
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
@@ -187,19 +166,25 @@ def q_revenue_by_nation(sf_dir: str):
     )
     lookup_ref = ray.put(c2name)
 
+    def join(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        lookup = _ray.get(lookup_ref)  # plasma-local after first fetch
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        names = lookup.reindex(ck).to_numpy(dtype=object)
+        price = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_name": pa.array(names, pa.string()),
+                "cents": pa.array(np.floor(price * 100.0).astype(np.int64)),
+            }
+        )
+
     from ray.data.aggregate import Count, Sum
 
     return (
         _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(
-            _CustomerNationJoiner,
-            fn_constructor_args=(lookup_ref,),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            concurrency=2,
-            num_cpus=0.5,
-            batch_size=65536,
-        )
+        .map_batches(join, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("n_name")
         .aggregate(Sum("cents", alias_name="revenue_cents"), Count(alias_name="n_orders"))
     )
