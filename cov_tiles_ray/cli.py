@@ -38,14 +38,14 @@ def main_transcode_dir(argv: list[str]) -> int:
     ``.covt`` tiles out (resumable — existing outputs are skipped).
 
         python -m cov_tiles_ray.cli transcode-dir --in-dir test/fixtures/omt/mvt \\
-            --out-dir /tmp/covt [--layout ref|covtr] [--num-cpus N]
+            --out-dir /tmp/covt [--layout ref|new|covtr] [--num-cpus N]
     """
     import json
 
     ap = argparse.ArgumentParser(description=main_transcode_dir.__doc__)
     ap.add_argument("--in-dir", required=True)
     ap.add_argument("--out-dir", required=True)
-    ap.add_argument("--layout", choices=("ref", "covtr"), default="ref")
+    ap.add_argument("--layout", choices=("ref", "new", "covtr"), default="ref")
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
 

@@ -166,10 +166,14 @@ class DirTranscodeWriter:
 
     ``layout="ref"`` writes the reference's old-layout framing
     (sources/covt_ref_write — readable by the reference's own parsers);
-    ``layout="covtr"`` writes the engine's COVT-R framing."""
+    ``layout="new"`` writes the reference's CURRENT framing
+    (sources/covt_new — CovtConverter.convertMvtTile2's layout; plain
+    metadata so each file is self-contained, ids dropped per that
+    layout's design); ``layout="covtr"`` writes the engine's COVT-R
+    framing."""
 
     def __init__(self, out_dir: str, layout: str = "ref", opts: EncodeOptions | None = None):
-        if layout not in ("ref", "covtr"):
+        if layout not in ("ref", "covtr", "new"):
             raise ValueError(f"unknown layout {layout!r}")
         self.out_dir = out_dir
         self.layout = layout
@@ -222,12 +226,24 @@ class DirTranscodeWriter:
                 if self.layout == "ref":
                     buf = encode_ref_tile(layers)
                     back = parse_ref_covt(buf)
+                    ok[i] = len(back) == len(layers) and all(
+                        a == b for a, b in zip(back, layers)
+                    )
+                elif self.layout == "new":
+                    from ..sources.covt_new import (
+                        encode_new_tile,
+                        parse_new_covt,
+                        roundtrip_equal,
+                    )
+
+                    buf, _tj = encode_new_tile(layers, optimize_metadata=False)
+                    ok[i] = roundtrip_equal(layers, parse_new_covt(buf))
                 else:
                     buf = encode_tile(layers, self.opts)
                     back = decode_tile(buf)
-                ok[i] = len(back) == len(layers) and all(
-                    a == b for a, b in zip(back, layers)
-                )
+                    ok[i] = len(back) == len(layers) and all(
+                        a == b for a, b in zip(back, layers)
+                    )
                 if ok[i]:
                     tmp = out_path + ".part"
                     with open(tmp, "wb") as f:

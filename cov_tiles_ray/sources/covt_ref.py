@@ -503,17 +503,35 @@ def _detect_layout(b: np.ndarray) -> str:
                 return label
         except Exception:
             continue
+    # the reference's CURRENT (new) layout: no file header, layers start
+    # with a version<<1|opt byte — the framing walk landing exactly at EOF
+    # is the same unambiguous consistency check (plain-metadata files only;
+    # optimized metadata needs the TileJSON sidecar, use parse_new_covt)
+    try:
+        from .covt_new import walk_new_metadata
+
+        walk = walk_new_metadata(bytes(b))
+        if walk and walk[-1]["layer_end"] == len(b):
+            return "new"
+    except Exception:
+        pass
     raise ValueError("not a recognized reference .covt layout")
 
 
 def parse_ref_covt(buf: bytes) -> list[LayerData]:
     """Decode a reference-layout .covt golden into the engine's LayerData.
 
-    Handles both golden generations: layout A (extent + per-stream encoding
-    bytes, test/fixtures/omt et al.) and layout B (TS covtDecoder format,
-    parser/js/data + a few older fixtures)."""
+    Handles all three reference generations: layout A (extent + per-stream
+    encoding bytes, test/fixtures/omt et al.), layout B (TS covtDecoder
+    format, parser/js/data + a few older fixtures), and the CURRENT new
+    layout (CovtParser.decodeCovt framing; plain metadata — optimized
+    files need ``covt_new.parse_new_covt`` with the TileJSON sidecar)."""
     b = np.frombuffer(buf, dtype=np.uint8)
     layout = _detect_layout(b)
+    if layout == "new":
+        from .covt_new import parse_new_covt
+
+        return parse_new_covt(bytes(buf))
     parse = _parse_metadata_a if layout == "a" else _parse_metadata_b
     p = 0
     _version, p = _read_varint(b, p)
