@@ -26,6 +26,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..functions import image as img_f
+from ..functions import spatial as S
 from ..sources import synth
 from ..stages.assign import (
     assign_hex,
@@ -721,6 +722,11 @@ def exchange_ranges(n_rows: int) -> int:
 # sampling, load-balanced reduce ranges); "groupby" = Ray's sampled sort.
 PYRAMID_EXCHANGE = "bounds"
 
+# Per-tile cost relative to per-row cost in the exchange boundary weights
+# (measured ~190 µs/tile vs ~22 µs/row in the encode kernel — see the
+# cost-weighting note in _plan_pyramid).
+TILE_COST_WEIGHT = 8.0
+
 # Fragment-merge strategy: "channel" routes fragments through the
 # side-channel actor (stages/frag_channel.py — one merge-task round after
 # the barrier); "sort" is the pure-Dataset alternative (filter ->
@@ -856,17 +862,43 @@ def _plan_pyramid(
             z_base=z_base, cap=PYRAMID_GROUP_ROWS, max_depth=max_depth,
             force_levels=force,
         )
-    # load-weighted boundaries over the part key space
+    # COST-weighted boundaries over the part key space.  Per-range encode
+    # cost is NOT proportional to rows: it is ~22 µs/row + ~190 µs/tile
+    # (measured, corr(us/row, tiles/row) = 0.97 at sf0.1), so ranges full
+    # of tiny sparse tiles run ~3x slower per row and row-weighted
+    # boundaries leave a 2.8x straggler task at 16 CPUs.  Each sampled row
+    # therefore weighs 1 + TILE_COST_WEIGHT if it opens a NEW
+    # (part, z_max tile) pair in the sample — the finest zoom dominates
+    # tile count, and in the sparse regions that form tails the sampled
+    # distinct-pair count is an unbiased stand-in for tiles-per-row
+    # (dense regions overweight slightly, which only narrows already-cheap
+    # ranges).  Deterministic: pure function of the same plan sample.
     cell = terminal_cells(lon, lat, refined, z_base, max_depth)
-    part = np.sort((synth._splitmix64(cell) % np.uint64(N_PART)).astype(np.int64))
+    part_u = (synth._splitmix64(cell) % np.uint64(N_PART)).astype(np.int64)
     nb = exchange_ranges(n_rows)
-    if len(part) == 0:
+    if len(part_u) == 0:
         step = max(1, N_PART // nb)
         return refined, list(range(step, N_PART, step))
-    targets = (np.arange(1, nb) * len(part)) // nb
+    tx, ty = S.lonlat_to_tile(lon, lat, z_max)
+    pair = (part_u.astype(np.uint64) << np.uint64(2 * z_max + 1)) | (
+        tx.astype(np.uint64) << np.uint64(z_max)
+    ) | ty.astype(np.uint64)
+    order = np.argsort(part_u, kind="stable")
+    part = part_u[order]
+    pair = pair[order]
+    # a row opens a new pair iff it is the FIRST occurrence of its
+    # (part, tile) key among the part-sorted rows
+    _uniq, first = np.unique(pair, return_index=True)
+    opens = np.zeros(len(pair), dtype=bool)
+    opens[first] = True
+    w = 1.0 + TILE_COST_WEIGHT * opens
+    cw = np.cumsum(w)
+    targets = (np.arange(1, nb) * cw[-1]) / nb
+    idx = np.searchsorted(cw, targets)
+    idx = np.minimum(idx, len(part) - 1)
     # boundary ABOVE the part at each load quantile: a part value never
     # splits across ranges, heavy parts just own a wider load share
-    bounds = np.unique(part[targets] + 1).tolist()
+    bounds = np.unique(part[idx] + 1).tolist()
     return refined, bounds
 
 
