@@ -1249,17 +1249,17 @@ def _sql_embedding_neardup() -> str:
     """
 
 
-def _sql_minhash_lsh_pairs() -> str:
-    """SQL mirror of rows_only.q_minhash_lsh_pairs (VERDICT r2 #6).
+def _sql_lsh_cand_cte() -> str:
+    """Shared DuckDB CTE chain mirroring rows_only._lsh_candidates: the
+    deterministic uint64 LSH pipeline recomputed with the HUGEINT wrap
+    technique proven for simhash/fingerprints.
 
-    Every stage of the LSH pipeline is deterministic uint64 math, recomputed
-    here with the HUGEINT wrap technique proven for simhash/fingerprints:
     FNV-1a token hashes -> k=5 shingle polynomial (wrapping u64) -> distinct
-    shingles -> 64 minhash perms ((h*a + b) mod 2^61-1, wrapping mult —
-    seeded params inlined as literals like the ann_lsh planes) -> 16-band
-    FNV band keys (xor/mult wrap, band salt, >>1) -> bucket cap 512 by
-    lowest doc_id -> distinct a<b pairs -> signature-agreement estimate
-    (eq*100)//64, kept at eq >= 32 (est >= 0.5)."""
+    shingles (``shd``) -> 64 minhash perms ((h*a + b) mod 2^61-1, wrapping
+    mult — seeded params inlined as literals like the ann_lsh planes) ->
+    16-band FNV band keys (xor/mult wrap, band salt, >>1) -> bucket cap 512
+    by lowest doc_id -> distinct a<b candidate pairs (``cand``).  Used by
+    both _sql_minhash_lsh_pairs and _sql_neardup_verified."""
     from ..functions.dedup import _minhash_params
 
     a, b = _minhash_params(64)
@@ -1277,8 +1277,7 @@ def _sql_minhash_lsh_pairs() -> str:
     sh = "hs[i]"
     for j in range(1, 5):
         sh = f"(({sh} * {m}) % {_U64} + hs[i+{j}]) % {_U64}"
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
       SELECT doc_id, list_filter(string_split(lower(text), ' '), s -> s <> '') AS ts
       FROM documents
     ), th AS (
@@ -1325,7 +1324,15 @@ def _sql_minhash_lsh_pairs() -> str:
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM members a JOIN members b
         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-    ), est AS (
+    )"""
+
+
+def _sql_minhash_lsh_pairs() -> str:
+    """SQL mirror of rows_only.q_minhash_lsh_pairs (VERDICT r2 #6): the
+    shared LSH candidate chain, then the signature-agreement estimate
+    (eq*100)//64, kept at eq >= 32 (est >= 0.5)."""
+    return f"""
+    WITH {_sql_lsh_cand_cte()}, est AS (
       SELECT c.doc_a, c.doc_b, count(*) FILTER (WHERE sa.s = sb.s) AS eq
       FROM cand c
       JOIN sigf sa ON sa.doc_id = c.doc_a
@@ -1334,6 +1341,40 @@ def _sql_minhash_lsh_pairs() -> str:
     )
     SELECT doc_a, doc_b, CAST((eq * 100) // 64 AS BIGINT) AS est_x100
     FROM est WHERE eq >= 32
+    """
+
+
+def _sql_neardup_verified() -> str:
+    """SQL mirror of rows_only.q_neardup_verified (round-3 promotion): the
+    shared LSH candidate chain, then EXACT word-5-shingle Jaccard per
+    candidate pair over the very ``shd`` shingle sets the signatures were
+    built from (dedup.ngram_jaccard recomputes shingle_hashes, which ``shd``
+    mirrors exactly).  Scoring replicates the float semantics of
+    ``int(jx * 100) if jx >= 0.5`` bit-for-bit: IEEE double divide then
+    trunc; a pair of shingle-less docs is jaccard 1.0 by definition."""
+    return f"""
+    WITH {_sql_lsh_cand_cte()}, cnt AS (
+      SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cand c
+      JOIN shd sa ON sa.doc_id = c.doc_a
+      JOIN shd sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+      GROUP BY c.doc_a, c.doc_b
+    ), jac AS (
+      SELECT c.doc_a, c.doc_b, coalesce(i.i, 0) AS i,
+             coalesce(ca.n, 0) + coalesce(cb.n, 0) - coalesce(i.i, 0) AS u
+      FROM cand c
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      LEFT JOIN cnt ca ON ca.doc_id = c.doc_a
+      LEFT JOIN cnt cb ON cb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(trunc(CASE WHEN u = 0 THEN 100.0
+                           ELSE CAST(i AS DOUBLE) / u * 100.0 END) AS BIGINT)
+             AS jac_x100
+    FROM jac
+    WHERE CASE WHEN u = 0 THEN 1.0 ELSE CAST(i AS DOUBLE) / u END >= 0.5
     """
 
 
@@ -1381,6 +1422,7 @@ def _register_promoted() -> None:
             "ann_lsh_buckets": (_ro.q_ann_lsh_buckets, _sql_ann_lsh_buckets()),
             "embedding_neardup": (_ro.q_embedding_neardup, _sql_embedding_neardup()),
             "minhash_lsh_pairs": (_ro.q_minhash_lsh_pairs, _sql_minhash_lsh_pairs()),
+            "neardup_verified": (_ro.q_neardup_verified, _sql_neardup_verified()),
         }
     )
 

@@ -1150,7 +1150,8 @@ ROWS_ONLY_QUERIES = {
     # DuckDB with the HUGEINT wrap technique).
     "polygonize_tiles": q_polygonize_tiles,
     "ann_ivf_top5": q_ann_ivf_top5,
-    "neardup_verified": q_neardup_verified,
+    # neardup_verified moved to the SQL-oracle registry (round-3 promotion:
+    # exact shingle-set Jaccard over the same shd CTE the LSH mirror uses).
     # ann_lsh_buckets / embedding_neardup moved to the SQL-oracle registry
     # (round-2 promotion: DuckDB list_dot_product / list_cosine_similarity
     # over DOUBLE[] reproduce the float64 kernels exactly).
