@@ -1249,6 +1249,60 @@ def _sql_embedding_neardup() -> str:
     """
 
 
+def _sql_embedding_neardup_lsh() -> str:
+    """SQL mirror of rows_only.q_embedding_neardup_lsh: the 8x6-bit seeded
+    hyperplanes inlined as DOUBLE[] literals (the ann_lsh technique — sign
+    agreement proven there), bucket membership capped at 512 by lowest
+    vec_id, distinct a<b candidates per (table, bucket), exact cosine in
+    DOUBLE on candidates only, floor(s*1000) quantization."""
+    from ..functions import ann as ann_f
+    from .rows_only import MAX_LSH_BUCKET, NEARDUP_LSH_BITS, NEARDUP_LSH_TABLES
+
+    sels = []
+    for t in range(NEARDUP_LSH_TABLES):
+        planes = ann_f.hyperplane_lsh_params(64, num_bits=NEARDUP_LSH_BITS, seed=11 + t).astype(
+            np.float64
+        )
+        terms = []
+        for j, p in enumerate(planes):
+            lit = "[" + ",".join("%.17g" % v for v in p) + "]::DOUBLE[]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) > 0"
+                f" THEN {1 << j} ELSE 0 END)"
+            )
+        sels.append("(" + "\n         + ".join(terms) + f") AS b{t}")
+    sel = ",\n      ".join(sels)
+    case = " ".join(f"WHEN {t} THEN b{t}" for t in range(NEARDUP_LSH_TABLES))
+    tbls = ",".join(f"({t})" for t in range(NEARDUP_LSH_TABLES))
+    return f"""
+    WITH bk AS (
+      SELECT vec_id,
+      {sel}
+      FROM embeddings
+    ), m AS (
+      SELECT vec_id, t.tbl, CASE t.tbl {case} END AS bucket
+      FROM bk CROSS JOIN (VALUES {tbls}) AS t(tbl)
+    ), mem AS (
+      SELECT * FROM (
+        SELECT vec_id, tbl, bucket,
+               row_number() OVER (PARTITION BY tbl, bucket ORDER BY vec_id) AS rn
+        FROM m)
+      WHERE rn <= {MAX_LSH_BUCKET}
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM mem a JOIN mem b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ), p AS (
+      SELECT c.vec_a, c.vec_b,
+             list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS s
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.vec_a
+      JOIN embeddings eb ON eb.vec_id = c.vec_b)
+    SELECT vec_a, vec_b, CAST(floor(s * 1000.0) AS BIGINT) AS sim_x1000
+    FROM p WHERE s >= 0.4
+    """
+
+
 def _sql_lsh_cand_cte() -> str:
     """Shared DuckDB CTE chain mirroring rows_only._lsh_candidates: the
     deterministic uint64 LSH pipeline recomputed with the HUGEINT wrap
@@ -1423,6 +1477,10 @@ def _register_promoted() -> None:
             "embedding_neardup": (_ro.q_embedding_neardup, _sql_embedding_neardup()),
             "minhash_lsh_pairs": (_ro.q_minhash_lsh_pairs, _sql_minhash_lsh_pairs()),
             "neardup_verified": (_ro.q_neardup_verified, _sql_neardup_verified()),
+            "embedding_neardup_lsh": (
+                _ro.q_embedding_neardup_lsh,
+                _sql_embedding_neardup_lsh(),
+            ),
         }
     )
 

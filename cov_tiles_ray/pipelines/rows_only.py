@@ -578,6 +578,104 @@ def q_embedding_neardup(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+NEARDUP_LSH_TABLES = 8  # hash tables (OR-amplification across tables)
+NEARDUP_LSH_BITS = 6  # hyperplane bits per table (AND within a table)
+
+
+def q_embedding_neardup_lsh(sf_dir: str):
+    """Embedding near-dup via multi-table hyperplane LSH — the sub-quadratic
+    scale path that q_embedding_neardup's exact block-pair join documents.
+
+    8 tables x 6-bit sign buckets (seeds 11+t) generate candidates with a
+    groupby per (table, bucket) — only vec ids ride the bucket shuffle —
+    then exact float64 cosine verifies candidates only, payloads attached
+    with the same two hash-shuffle co-group passes the minhash verify uses.
+    At cos >= 0.4 a single 6-bit table collides ~6% of true pairs; 8 tables
+    lift recall to ~40% while candidate volume stays ~10% of all-pairs
+    (bucket cap MAX_LSH_BUCKET bounds a degenerate hub bucket).  Output is
+    deterministic: the same seeded planes are inlined as DOUBLE[] literals
+    in the SQL oracle, which replays bucketing + cap + exact cosine."""
+    from ..functions import ann as ann_f
+
+    DIM = 64  # testdata embedding dim (TESTDATA.md); the oracle inlines
+    # DIM-length plane literals, so both sides pin it
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    planes = [
+        ann_f.hyperplane_lsh_params(DIM, num_bits=NEARDUP_LSH_BITS, seed=11 + t)
+        for t in range(NEARDUP_LSH_TABLES)
+    ]
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        ids = df["vec_id"].to_numpy(np.int64)
+        outs = []
+        for t in range(NEARDUP_LSH_TABLES):
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "tbl": np.full(len(ids), t, dtype=np.int64),
+                        "bucket": ann_f.hyperplane_bucket(vecs, planes[t]),
+                        "doc_id": ids,
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["doc_id"].to_numpy())[:MAX_LSH_BUCKET]
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(np.int64)
+        ai, bi = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[ai], "doc_b": ids[bi]})
+
+    cand = (
+        ds.map_batches(bucket, batch_format="pandas")
+        .groupby(["tbl", "bucket"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+
+    def payloads(df: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        # bytes payloads (see q_minhash_lsh_pairs: object column survives
+        # the union; TensorArray rejects mixed None/ndarray)
+        return pd.DataFrame(
+            {
+                "doc_id": df["vec_id"].to_numpy(np.int64),
+                "payload": [v.tobytes() for v in vecs],
+            }
+        )
+
+    def cos_batch(pa_list, pb):
+        A = np.frombuffer(b"".join(pa_list), dtype=np.float64).reshape(len(pa_list), -1)
+        vb = np.frombuffer(pb, dtype=np.float64)
+        # float64 normalize-then-dot, exactly q_embedding_neardup's formula
+        # (the floor(s*1000) boundaries sit >= 3e-3 from every corpus value)
+        na = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+        nb = vb / max(float(np.linalg.norm(vb)), 1e-12)
+        sims = na @ nb
+        out = np.floor(sims * 1000.0).astype(np.int64)
+        out[sims < 0.4] = -1
+        return out
+
+    pairs = _join_pairs_with_payload(
+        cand,
+        ds.map_batches(payloads, batch_format="pandas"),
+        None,
+        "sim_x1000",
+        batch_score_fn=cos_batch,
+    ).to_pandas()
+    pairs = pairs.drop_duplicates(subset=["doc_a", "doc_b"]).sort_values(["doc_a", "doc_b"])
+    return pa.table(
+        {
+            "vec_a": pa.array(pairs.doc_a.to_numpy(np.int64)),
+            "vec_b": pa.array(pairs.doc_b.to_numpy(np.int64)),
+            "sim_x1000": pa.array(pairs.sim_x1000.to_numpy(np.int64)),
+        }
+    )
+
+
 def q_doc_fingerprints(sf_dir: str):
     """Rolling-hash document fingerprints + BPE-ish token counts."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])

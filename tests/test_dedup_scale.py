@@ -98,6 +98,20 @@ def test_embedding_neardup_matches_bruteforce(ray_session):
     pd.testing.assert_frame_equal(got, exp)
 
 
+def test_embedding_neardup_lsh_subset_and_recall(ray_session):
+    """The LSH scale path returns a SUBSET of the exact all-pairs result
+    (identical sims on shared pairs) with non-trivial recall: 8 tables of
+    6 bits collide ~40% of cos>=0.4 pairs in expectation."""
+    from cov_tiles_ray.pipelines.rows_only import q_embedding_neardup, q_embedding_neardup_lsh
+
+    exact = q_embedding_neardup(SF).to_pandas().astype(np.int64)
+    lsh = q_embedding_neardup_lsh(SF).to_pandas().astype(np.int64)
+    key = lambda df: set(map(tuple, df[["vec_a", "vec_b", "sim_x1000"]].to_numpy()))
+    assert key(lsh) <= key(exact)
+    assert len(exact) > 0
+    assert len(lsh) / len(exact) >= 0.2  # measured 0.46 at sf0.01
+
+
 def test_no_driver_materialization():
     """The three rewritten pipelines must not call .to_pandas() on a full
     input Dataset mid-pipeline (only on the final small pair result)."""
