@@ -1102,11 +1102,13 @@ def _sql_doc_fingerprints() -> str:
     """
 
 
-def _sql_simhash_docs() -> str:
-    # mirrors functions/dedup.py simhash over fnv1a_hashes token hashes
+def _sql_simhash_fp_cte() -> str:
+    """Shared CTE chain mirroring functions/dedup.simhash over fnv1a token
+    hashes, ending at ``fpa(doc_id, f)`` — the u64 fingerprint as HUGEINT
+    for EVERY document (token-less docs get 0, like the numpy kernel).
+    Used by _sql_simhash_docs and _sql_simhash_neardup."""
     cps = _CPS.format(col="tok")
-    return f"""
-    WITH tok AS (
+    return f"""tok AS (
       SELECT doc_id,
              unnest(list_filter(string_split(lower(text), ' '), s -> s <> '')) AS tok
       FROM documents
@@ -1124,11 +1126,47 @@ def _sql_simhash_docs() -> str:
       SELECT doc_id,
              SUM(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << b ELSE CAST(0 AS HUGEINT) END) AS f
       FROM votes GROUP BY doc_id
+    ), fpa AS (
+      SELECT d.doc_id, coalesce(f, CAST(0 AS HUGEINT)) AS f
+      FROM documents d LEFT JOIN fp USING (doc_id)
+    )"""
+
+
+def _sql_simhash_docs() -> str:
+    return f"""
+    WITH {_sql_simhash_fp_cte()}
+    SELECT doc_id,
+           CAST(CASE WHEN f >= {_S63} THEN f - {_U64} ELSE f END AS BIGINT) AS simhash
+    FROM fpa
+    """
+
+
+def _sql_simhash_neardup() -> str:
+    """SQL mirror of rows_only.q_simhash_neardup: 4x16-bit bands of the
+    shared fingerprint, bucket cap by lowest doc_id, distinct a<b
+    candidates, exact 64-bit hamming via bit_count(xor) <= 3."""
+    from .rows_only import MAX_LSH_BUCKET, SIMHASH_BANDS, SIMHASH_HAMMING_MAX
+
+    return f"""
+    WITH {_sql_simhash_fp_cte()}, m AS (
+      SELECT doc_id, bands.band AS band,
+             (f // (CAST(1 AS HUGEINT) << (16 * bands.band))) % 65536 AS key,
+             f
+      FROM fpa CROSS JOIN (SELECT unnest(range({SIMHASH_BANDS})) AS band) bands
+    ), mem AS (
+      SELECT * FROM (
+        SELECT doc_id, band, key, f,
+               row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn
+        FROM m)
+      WHERE rn <= {MAX_LSH_BUCKET}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.f AS fa, b.f AS fb
+      FROM mem a JOIN mem b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
     )
-    SELECT d.doc_id,
-           CAST(CASE WHEN coalesce(f, 0) >= {_S63} THEN f - {_U64}
-                     ELSE coalesce(f, 0) END AS BIGINT) AS simhash
-    FROM documents d LEFT JOIN fp USING (doc_id)
+    SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(fa, fb)) <= {SIMHASH_HAMMING_MAX}
     """
 
 
@@ -1481,6 +1519,7 @@ def _register_promoted() -> None:
                 _ro.q_embedding_neardup_lsh,
                 _sql_embedding_neardup_lsh(),
             ),
+            "simhash_neardup": (_ro.q_simhash_neardup, _sql_simhash_neardup()),
         }
     )
 

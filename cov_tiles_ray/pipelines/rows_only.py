@@ -581,6 +581,71 @@ def q_embedding_neardup(sf_dir: str):
 NEARDUP_LSH_TABLES = 8  # hash tables (OR-amplification across tables)
 NEARDUP_LSH_BITS = 6  # hyperplane bits per table (AND within a table)
 
+SIMHASH_BANDS = 4  # 16-bit bands of the 64-bit fingerprint
+SIMHASH_HAMMING_MAX = 3  # <= bands-1 differing bits -> one band matches exactly
+
+
+def q_simhash_neardup(sf_dir: str):
+    """SimHash near-duplicate pairs (Manku/Jain/Sarma construction): the
+    64-bit fingerprint splits into 4 exact 16-bit band keys; two docs
+    within hamming <= 3 differ in at most 3 bands, so BY PIGEONHOLE they
+    share at least one band key — banded candidate generation has perfect
+    recall at this threshold (modulo the MAX_LSH_BUCKET hub-bucket cap).
+    The 8-byte fingerprint rides the band shuffle (unlike minhash's 512-byte
+    signature there is nothing to save by a payload join), and the exact
+    hamming verify runs inside each bucket group — vectorized popcount."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        fp = dedup_f.simhash(df["text"])  # uint64
+        n = len(df)
+        band = np.tile(np.arange(SIMHASH_BANDS, dtype=np.int64), n)
+        fps = np.repeat(fp, SIMHASH_BANDS)
+        key = ((fps >> (band.astype(np.uint64) * np.uint64(16))) & np.uint64(0xFFFF)).astype(
+            np.int64
+        )
+        return pd.DataFrame(
+            {
+                "band": band,
+                "key": key,
+                "doc_id": np.repeat(df["doc_id"].to_numpy(np.int64), SIMHASH_BANDS),
+                "fp": fps.view(np.int64),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        sub = g.sort_values("doc_id").head(MAX_LSH_BUCKET)
+        empty = pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(np.int64)
+        if len(sub) < 2:
+            return empty
+        ids = sub["doc_id"].to_numpy(np.int64)
+        fps = sub["fp"].to_numpy(np.int64).view(np.uint64)
+        ai, bi = np.triu_indices(len(ids), k=1)
+        hd = dedup_f.hamming_distance64(fps[ai], fps[bi])
+        keep = hd <= SIMHASH_HAMMING_MAX
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {"doc_a": ids[ai][keep], "doc_b": ids[bi][keep], "hamming": hd[keep]}
+        )
+
+    pairs = (
+        ds.map_batches(sketch, batch_format="pandas")
+        .groupby(["band", "key"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .to_pandas()
+    )
+    pairs = pairs.sort_values(["doc_a", "doc_b"])
+    return pa.table(
+        {
+            "doc_a": pa.array(pairs.doc_a.to_numpy(np.int64)),
+            "doc_b": pa.array(pairs.doc_b.to_numpy(np.int64)),
+            "hamming": pa.array(pairs.hamming.to_numpy(np.int64)),
+        }
+    )
+
 
 def q_embedding_neardup_lsh(sf_dir: str):
     """Embedding near-dup via multi-table hyperplane LSH — the sub-quadratic

@@ -112,6 +112,28 @@ def test_embedding_neardup_lsh_subset_and_recall(ray_session):
     assert len(lsh) / len(exact) >= 0.2  # measured 0.46 at sf0.01
 
 
+def test_simhash_neardup_matches_bruteforce(ray_session, docs):
+    """4x16-bit banding at hamming <= 3 has PERFECT recall by pigeonhole
+    (no bucket reaches the cap at this sf): the banded result must EQUAL
+    the all-pairs bruteforce."""
+    from cov_tiles_ray.functions import dedup as dedup_f
+    from cov_tiles_ray.pipelines.rows_only import SIMHASH_HAMMING_MAX, q_simhash_neardup
+
+    got = q_simhash_neardup(SF).to_pandas().astype(np.int64).reset_index(drop=True)
+    fp = dedup_f.simhash(docs["text"])
+    ids = docs["doc_id"].to_numpy(np.int64)
+    ai, bi = np.triu_indices(len(ids), k=1)
+    hd = dedup_f.hamming_distance64(fp[ai], fp[bi])
+    keep = hd <= SIMHASH_HAMMING_MAX
+    exp = (
+        pd.DataFrame({"doc_a": ids[ai][keep], "doc_b": ids[bi][keep], "hamming": hd[keep]})
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+        .astype(np.int64)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
 def test_no_driver_materialization():
     """The three rewritten pipelines must not call .to_pandas() on a full
     input Dataset mid-pipeline (only on the final small pair result)."""
