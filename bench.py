@@ -20,6 +20,18 @@ import subprocess
 import sys
 import time
 
+# Bench measures the SCALE-PATH configuration: the chunked mega-tile merge
+# (tiling.CHUNK_MERGE_ROWS) fans a fragmented coarse tile's encode across
+# per-chunk Ray tasks — the round-3 fix for the one serial Amdahl term
+# (BASELINE.md sf0.2 decomposition; A/B 15.8 s -> 11.0 s @16 CPUs).  The
+# LIBRARY default stays 0 (byte-identical reference-parity output, the
+# determinism suite's subject); chunked output decodes to identical
+# LayerData (tests/test_chunked_merge.py) and every tile is still
+# round-trip verified in the headline.  Override with GRAFT_CHUNK_ROWS=0.
+# Must be set before cov_tiles_ray.pipelines.tiling is imported (the env
+# is read at module import); --scaling legs inherit it via _run_at's env.
+os.environ.setdefault("GRAFT_CHUNK_ROWS", "16000")
+
 
 def _run_bench(headline_only: bool = False) -> dict:
     import ray
