@@ -1341,6 +1341,93 @@ def _sql_embedding_neardup_lsh() -> str:
     """
 
 
+def q_vocab_topk(sf_dir: str):
+    """Vocabulary build: top-100 corpus tokens (lowercased, split on the
+    space character like the dedup tokenizer) by frequency, deterministic
+    (count desc, token asc) tie-break.
+
+    Scale shape: a per-batch value_counts COMBINER inside map_batches keeps
+    the groupby exchange at distinct-tokens-per-batch (not one row per
+    token occurrence); after the global sum, each block emits its local
+    top-100 so the driver sees only blocks x 100 candidate rows — the
+    aggregated vocab table itself never lands on the driver."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].astype(str).str.lower().str.split(" ").explode()
+        toks = toks[toks.notna() & (toks != "")]
+        vc = toks.value_counts()
+        return pd.DataFrame({"tok": vc.index.astype(str), "n": vc.to_numpy(np.int64)})
+
+    counts = ds.map_batches(partial, batch_format="pandas").groupby("tok").aggregate(Sum("n"))
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["sum(n)", "tok"], ascending=[False, True]).head(100)
+
+    top = counts.map_batches(block_topk, batch_format="pandas").to_pandas()
+    top = top.sort_values(["sum(n)", "tok"], ascending=[False, True]).head(100)
+    return pa.table(
+        {
+            "tok": pa.array(top["tok"].astype(str)),
+            "n": pa.array(top["sum(n)"].to_numpy(np.int64)),
+        }
+    )
+
+
+def _sql_vocab_topk() -> str:
+    return """
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(lower(text), ' '), s -> s <> '')) AS tok
+      FROM documents
+    )
+    SELECT tok, CAST(count(*) AS BIGINT) AS n
+    FROM toks GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 100
+    """
+
+
+# per-language training-mix keep rates (x1000) for the deterministic sampler
+_SAMPLE_RATE_X1000 = {"en": 500, "zh": 250, "es": 250, "de": 100, "fr": 100}
+_FIB64 = 11400714819323198485  # 2^64 / golden ratio (Fibonacci hashing)
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-stratum (language) Bernoulli sample: keep a doc
+    iff (doc_id * FIB64 mod 2^64) < rate(lang)/1000 * 2^64.
+
+    A pure column-pruned map — no shuffle, no RNG state, reproducible
+    under any partitioning, block structure, retry or cluster size (the
+    property a 100-TB training-mix sampling stage needs; seeded per-worker
+    RNGs are NOT retry-stable)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    unit = (2**64) // 1000  # rate_x1000 * unit < 2^64, fits uint64
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["doc_id"].to_numpy(np.int64).astype(np.uint64) * np.uint64(_FIB64)
+        thr = (
+            df["lang"].map(_SAMPLE_RATE_X1000).fillna(0).to_numpy(np.uint64)
+            * np.uint64(unit)
+        )
+        return df.loc[h < thr, ["doc_id", "lang"]]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def _sql_stratified_sample() -> str:
+    rates = " ".join(
+        f"WHEN '{lang}' THEN {r}" for lang, r in _SAMPLE_RATE_X1000.items()
+    )
+    unit = (2**64) // 1000
+    return f"""
+    SELECT doc_id, lang FROM documents
+    WHERE (CAST(doc_id AS HUGEINT) * {_FIB64}) % {_U64}
+          < CAST(CASE lang {rates} ELSE 0 END AS HUGEINT) * {unit}
+    """
+
+
 def _sql_lsh_cand_cte() -> str:
     """Shared DuckDB CTE chain mirroring rows_only._lsh_candidates: the
     deterministic uint64 LSH pipeline recomputed with the HUGEINT wrap
@@ -1470,6 +1557,47 @@ def _sql_neardup_verified() -> str:
     """
 
 
+def _sql_neardup_clusters() -> str:
+    """SQL mirror of rows_only.q_neardup_clusters: the shared LSH candidate
+    chain + the exact-Jaccard verify (same CTEs as _sql_neardup_verified),
+    then connected components via a recursive transitive-closure CTE —
+    cluster_id = min doc id reachable in the verified-pair graph, keep = 1
+    iff the doc IS its cluster id (the canonical survivor)."""
+    return f"""
+    WITH RECURSIVE {_sql_lsh_cand_cte()}, cnt AS (
+      SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cand c
+      JOIN shd sa ON sa.doc_id = c.doc_a
+      JOIN shd sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+      GROUP BY c.doc_a, c.doc_b
+    ), jac AS (
+      SELECT c.doc_a, c.doc_b, coalesce(i.i, 0) AS i,
+             coalesce(ca.n, 0) + coalesce(cb.n, 0) - coalesce(i.i, 0) AS u
+      FROM cand c
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      LEFT JOIN cnt ca ON ca.doc_id = c.doc_a
+      LEFT JOIN cnt cb ON cb.doc_id = c.doc_b
+    ), ver AS (
+      SELECT doc_a, doc_b FROM jac
+      WHERE CASE WHEN u = 0 THEN 1.0 ELSE CAST(i AS DOUBLE) / u END >= 0.5
+    ), edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM ver
+      UNION
+      SELECT doc_b, doc_a FROM ver
+    ), reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS doc_id,
+           least(u, min(v)) AS cluster_id,
+           CAST(u = least(u, min(v)) AS BIGINT) AS keep
+    FROM reach GROUP BY u ORDER BY doc_id
+    """
+
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -1493,6 +1621,8 @@ SQL_QUERIES: dict[str, tuple] = {
     "token_counts": (q_token_counts, _sql_token_counts()),
     "doc_stats": (q_doc_stats, _sql_doc_stats()),
     "lang_counts": (q_lang_counts, _sql_lang_counts()),
+    "vocab_topk": (q_vocab_topk, _sql_vocab_topk()),
+    "stratified_sample": (q_stratified_sample, _sql_stratified_sample()),
     "ann_cosine_top5": (q_ann_cosine_top5, _sql_ann_cosine_top5()),
     "embedding_label_stats": (q_embedding_label_centroid_norms, _sql_embedding_label()),
 }
@@ -1520,6 +1650,7 @@ def _register_promoted() -> None:
                 _sql_embedding_neardup_lsh(),
             ),
             "simhash_neardup": (_ro.q_simhash_neardup, _sql_simhash_neardup()),
+            "neardup_clusters": (_ro.q_neardup_clusters, _sql_neardup_clusters()),
         }
     )
 

@@ -466,8 +466,11 @@ MAX_LSH_BUCKET = 512  # cap in-bucket pairing (a boilerplate-text bucket at
 # lexicographically-first ids, deterministically.
 
 
-def q_neardup_verified(sf_dir: str):
-    """LSH candidates verified with EXACT n-gram Jaccard >= 0.5.
+def _verified_pairs(sf_dir: str) -> rd.Dataset:
+    """Verified near-dup pairs as a DATASET (doc_a, doc_b, jac_x100): the
+    distributed LSH-candidate + exact-Jaccard-verify stage shared by
+    q_neardup_verified and q_neardup_clusters.  May contain duplicate
+    pairs (multi-band collisions); consumers dedup or reduce idempotently.
 
     Fully distributed: band-bucket groupby emits candidate (doc_a, doc_b)
     id pairs (bucket size capped at MAX_LSH_BUCKET); candidate texts are
@@ -487,13 +490,124 @@ def q_neardup_verified(sf_dir: str):
         return int(jx * 100) if jx >= 0.5 else None
 
     payload = ds.map_batches(texts, batch_format="pandas")
-    pairs = _join_pairs_with_payload(cand, payload, jac, "jac_x100").to_pandas()
+    return _join_pairs_with_payload(cand, payload, jac, "jac_x100")
+
+
+def q_neardup_verified(sf_dir: str):
+    """LSH candidates verified with EXACT n-gram Jaccard >= 0.5 (see
+    _verified_pairs for the distributed pipeline shape)."""
+    pairs = _verified_pairs(sf_dir).to_pandas()
     pairs = pairs.drop_duplicates(subset=["doc_a", "doc_b"]).sort_values(["doc_a", "doc_b"])
     return pa.table(
         {
             "doc_a": pa.array(pairs.doc_a.to_numpy(np.int64)),
             "doc_b": pa.array(pairs.doc_b.to_numpy(np.int64)),
             "jac_x100": pa.array(pairs.jac_x100.to_numpy(np.int64)),
+        }
+    )
+
+
+def q_neardup_clusters(sf_dir: str):
+    """Near-duplicate CLUSTERING + keep-one-per-cluster decision: connected
+    components over the verified near-dup pair graph (_verified_pairs),
+    cluster_id = min doc_id in the component, keep = 1 iff the doc is its
+    cluster's canonical survivor (the row a dedup stage would retain).
+
+    Distributed iterative min-label propagation ("Hash-Min"): each round
+    is two hash shuffles over ids only — co-group each node's label row
+    with its out-edges to propose the label to every neighbour, then
+    min-reduce proposals per node.  Labels are min-monotone, so the label
+    SUM strictly decreases until the fixpoint and one cheap aggregate per
+    round is the convergence test; rounds = O(component diameter) (near-dup
+    components are short chains/cliques in practice; a 64-round cap guards
+    pathological paths).  The per-round state (node, label) is materialized
+    to the object store — distributed, ids-only, never the texts, never on
+    the driver.  Output is one row per doc that appears in >=1 verified
+    pair (singletons are trivially their own cluster and are omitted)."""
+    from ray.data.aggregate import Sum
+
+    pairs = _verified_pairs(sf_dir)
+
+    def symm(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["doc_a"].to_numpy(np.int64)
+        b = df["doc_b"].to_numpy(np.int64)
+        return pd.DataFrame({"u": np.concatenate([a, b]), "v": np.concatenate([b, a])})
+
+    edges = pairs.map_batches(symm, batch_format="pandas").materialize()
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "cluster_id": pa.array([], pa.int64()),
+            "keep": pa.array([], pa.int64()),
+        }
+    )
+    if edges.count() == 0:
+        return empty
+
+    def init_label(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["u"].iloc[0])
+        return pd.DataFrame({"node": [n], "label": [n]})
+
+    labels = edges.groupby("u").map_groups(init_label, batch_format="pandas").materialize()
+
+    def tag_label(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["node"].to_numpy(np.int64),
+                "val": df["label"].to_numpy(np.int64),
+                "is_edge": np.zeros(len(df), np.int64),
+            }
+        )
+
+    def tag_edge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["u"].to_numpy(np.int64),
+                "val": df["v"].to_numpy(np.int64),
+                "is_edge": np.ones(len(df), np.int64),
+            }
+        )
+
+    def propose(g: pd.DataFrame) -> pd.DataFrame:
+        # one label row per node (by construction) + its out-edges
+        node = int(g["key"].iloc[0])
+        lbl = int(g.loc[g["is_edge"] == 0, "val"].min())
+        nbrs = g.loc[g["is_edge"] == 1, "val"].to_numpy(np.int64)
+        return pd.DataFrame({"node": np.append(nbrs, node), "label": lbl})
+
+    def reduce_min(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": [int(g["node"].iloc[0])], "label": [int(g["label"].min())]}
+        )
+
+    prev_sum = None
+    for _round in range(64):
+        proposals = (
+            labels.map_batches(tag_label, batch_format="pandas")
+            .union(edges.map_batches(tag_edge, batch_format="pandas"))
+            .groupby("key")
+            .map_groups(propose, batch_format="pandas")
+        )
+        labels = (
+            proposals.groupby("node")
+            .map_groups(reduce_min, batch_format="pandas")
+            .materialize()
+        )
+        s = labels.aggregate(Sum("label"))["sum(label)"]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    else:  # pragma: no cover - 2^64-node path graph territory
+        raise RuntimeError("min-label propagation did not converge in 64 rounds")
+
+    out = labels.to_pandas().sort_values("node")  # final result: one row per near-dup doc
+    node = out["node"].to_numpy(np.int64)
+    label = out["label"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(node),
+            "cluster_id": pa.array(label),
+            "keep": pa.array((node == label).astype(np.int64)),
         }
     )
 

@@ -134,6 +134,37 @@ def test_simhash_neardup_matches_bruteforce(ray_session, docs):
     pd.testing.assert_frame_equal(got, exp)
 
 
+def test_neardup_clusters_matches_union_find(ray_session):
+    """The distributed min-label propagation must produce exactly the
+    connected components a sequential union-find finds over the same
+    verified pair set — including the keep-one-per-cluster decision."""
+    from cov_tiles_ray.pipelines.rows_only import q_neardup_clusters, q_neardup_verified
+
+    pairs = q_neardup_verified(SF).to_pandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.doc_a, pairs.doc_b):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    exp = pd.DataFrame(
+        sorted((n, find(n)) for n in parent), columns=["doc_id", "cluster_id"]
+    ).astype(np.int64)
+    exp["keep"] = (exp.doc_id == exp.cluster_id).astype(np.int64)
+
+    got = q_neardup_clusters(SF).to_pandas().reset_index(drop=True).astype(np.int64)
+    assert len(pairs) > 0  # the fixture corpus must exercise the graph
+    pd.testing.assert_frame_equal(got, exp)
+    # every cluster keeps exactly one canonical doc
+    assert (got.groupby("cluster_id")["keep"].sum() == 1).all()
+
+
 def test_no_driver_materialization():
     """The three rewritten pipelines must not call .to_pandas() on a full
     input Dataset mid-pipeline (only on the final small pair result)."""
