@@ -1598,6 +1598,330 @@ def _sql_neardup_clusters() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# temporal joins + windows + quantiles (round-3 additions: the brief's
+# "as-of join, range join, windowed aggregate" custom-operator list)
+# ---------------------------------------------------------------------------
+
+# events carry 2024 timestamps while orders span 1995-2001, so the as-of
+# axis is a deterministic per-event date derived from event_id (the same
+# house pattern as the derived lon/lat above): epoch-day 9131 is
+# DATE '1995-01-01', and the multiplicative hash spreads events across the
+# 2500-day order horizon.
+_ASOF_DAY0 = 9131
+_ASOF_SPAN = 2500
+
+
+def _asof_group(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-key as-of merge: for each event row (side=0) pick the order row
+    (side=1) with the greatest t <= event t, ties broken by greatest rid.
+    Separated from the query closure so edge cases (no orders in the
+    group, all-order group) are unit-testable."""
+    side = g["side"].to_numpy()
+    t = g["t"].to_numpy()
+    rid = g["rid"].to_numpy()
+    om = side == 1
+    ot, oid = t[om], rid[om]
+    order = np.lexsort((oid, ot))  # ascending (t, rid): searchsorted-right
+    ot, oid = ot[order], oid[order]  # lands on max rid among the max t
+    et, eid = t[~om], rid[~om]
+    if len(ot) == 0 or len(et) == 0:
+        return pd.DataFrame(
+            {
+                "event_id": np.array([], dtype=np.int64),
+                "order_key": np.array([], dtype=np.int64),
+                "order_day": np.array([], dtype=np.int64),
+            }
+        )
+    idx = np.searchsorted(ot, et, side="right") - 1
+    m = idx >= 0
+    return pd.DataFrame(
+        {
+            "event_id": eid[m].astype(np.int64),
+            "order_key": oid[idx[m]].astype(np.int64),
+            "order_day": ot[idx[m]].astype(np.int64),
+        }
+    )
+
+
+def q_asof_join(sf_dir: str):
+    """Distributed AS-OF join (events -> latest order at-or-before the
+    event's derived as-of date, per user/customer key).
+
+    Scale shape: both sides are tagged into a common (key, t, rid, side)
+    schema, unioned, and co-partitioned with ONE hash shuffle on the join
+    key; each group does a vectorized sort + searchsorted merge.  The
+    partitioning assumption (documented per the brief's custom-operator
+    rule) is that a single key's history fits in one group — for hot keys
+    the scale path is time-range salting with boundary handoff of the
+    last order per range."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def ev_side(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        ad = _ASOF_DAY0 + (eid * 2654435761) % _ASOF_SPAN
+        return pa.table(
+            {
+                "key": b["user_id"],
+                "t": pa.array(ad.astype(np.int64)),
+                "rid": b["event_id"],
+                "side": pa.array(np.zeros(len(eid), np.int64)),
+            }
+        )
+
+    od = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def od_side(b: pa.Table) -> pa.Table:
+        d = (
+            b["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+            // 86_400_000_000
+        )
+        return pa.table(
+            {
+                "key": b["o_custkey"],
+                "t": pa.array(d),
+                "rid": b["o_orderkey"],
+                "side": pa.array(np.ones(len(d), np.int64)),
+            }
+        )
+
+    both = ev.map_batches(ev_side, batch_format="pyarrow", zero_copy_batch=True).union(
+        od.map_batches(od_side, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return both.groupby("key").map_groups(_asof_group, batch_format="pandas")
+
+
+def _sql_asof_join() -> str:
+    return f"""
+    WITH e AS (SELECT event_id, user_id,
+                      {_ASOF_DAY0} + (event_id * 2654435761) % {_ASOF_SPAN} AS ad
+               FROM events),
+    j AS (SELECT e.event_id, o.o_orderkey,
+                 cast(epoch(o.o_orderdate) as bigint) // 86400 AS od,
+                 row_number() OVER (PARTITION BY e.event_id
+                                    ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+          FROM e JOIN orders o ON o.o_custkey = e.user_id
+               AND cast(epoch(o.o_orderdate) as bigint) // 86400 <= e.ad)
+    SELECT event_id, o_orderkey AS order_key, od AS order_day FROM j WHERE rn = 1
+    """
+
+
+_FOLLOW_WINDOW_US = 7_200 * 1_000_000  # 2-hour range-join window
+
+
+def _followups_group(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-user range self-join count: for each event, how many same-user
+    events fall strictly after it within the window.  Vectorized two-sided
+    searchsorted over the sorted timestamp vector — O(n log n) per group
+    instead of the O(n^2) nested-loop range join."""
+    t = g["t"].to_numpy()
+    eid = g["event_id"].to_numpy()
+    ts = np.sort(t)
+    n_follow = np.searchsorted(ts, t + _FOLLOW_WINDOW_US, side="right") - np.searchsorted(
+        ts, t, side="right"
+    )
+    return pd.DataFrame(
+        {"event_id": eid.astype(np.int64), "n_follow": n_follow.astype(np.int64)}
+    )
+
+
+def q_range_join_followups(sf_dir: str):
+    """Range (interval) self-join: per event, the count of same-user events
+    in (ts, ts + 2h].  One hash shuffle on user_id; per-group work is a
+    sort + two searchsorteds.  Partitioning assumption: one user's events
+    fit in a group; hot users would be salted by day with a 2h boundary
+    overlap shipped to the next salt."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        return pa.table({"event_id": b["event_id"], "user_id": b["user_id"], "t": pa.array(t)})
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .map_groups(_followups_group, batch_format="pandas")
+    )
+
+
+def _sql_range_join_followups() -> str:
+    return """
+    SELECT e1.event_id, count(e2.event_id) AS n_follow
+    FROM events e1 LEFT JOIN events e2
+      ON e2.user_id = e1.user_id AND e2.ts > e1.ts
+         AND e2.ts <= e1.ts + INTERVAL 7200 SECOND
+    GROUP BY e1.event_id
+    """
+
+
+def _running_group(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-customer cumulative window: orders sorted by (date, key), cents
+    integer-ized BEFORE the cumsum so the running total is exact integer
+    arithmetic on both engines (float cumsum order would not hash-match)."""
+    day = g["day"].to_numpy()
+    okey = g["o_orderkey"].to_numpy()
+    cents = g["cents"].to_numpy()
+    order = np.lexsort((okey, day))
+    run = np.cumsum(cents[order])
+    n = len(order)
+    return pd.DataFrame(
+        {
+            "o_orderkey": okey[order].astype(np.int64),
+            "o_custkey": np.full(n, int(g["o_custkey"].iloc[0]), dtype=np.int64),
+            "rn": np.arange(1, n + 1, dtype=np.int64),
+            "run_cents": run.astype(np.int64),
+        }
+    )
+
+
+def q_running_totals(sf_dir: str):
+    """Cumulative windowed aggregate (SUM ... OVER (PARTITION BY customer
+    ORDER BY date)): per-customer running spend.  groupby(o_custkey) is the
+    one shuffle; the in-group sort+cumsum is vectorized."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        d = (
+            b["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+            // 86_400_000_000
+        )
+        p = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "o_custkey": b["o_custkey"],
+                "day": pa.array(d),
+                "cents": pa.array(np.floor(p * 100.0).astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .map_groups(_running_group, batch_format="pandas")
+    )
+
+
+def _sql_running_totals() -> str:
+    return """
+    WITH c AS (SELECT o_orderkey, o_custkey, o_orderdate,
+                      cast(floor(o_totalprice * 100.0) as bigint) AS cents
+               FROM orders)
+    SELECT o_orderkey, o_custkey,
+           row_number() OVER w AS rn,
+           cast(sum(cents) OVER w as bigint) AS run_cents
+    FROM c
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS UNBOUNDED PRECEDING)
+    """
+
+
+_QUANTILES = (0.5, 0.9, 0.99)
+
+
+def q_price_quantiles(sf_dir: str):
+    """EXACT distributed quantiles of l_extendedprice (cents) per return
+    flag via a value-histogram: per-batch np.unique combiner -> one small
+    groupby((flag, cents)) -> driver-side rank pick over the COMPRESSED
+    histogram.  Scale shape: the driver pull is bounded by the value
+    domain (distinct cent values), never by row count — the standard exact
+    path when the domain is bounded; unbounded domains would switch to a
+    two-pass rank search."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def hist(b: pa.Table) -> pa.Table:
+        flag = b["l_returnflag"].to_numpy(zero_copy_only=False)
+        cents = np.floor(b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0).astype(
+            np.int64
+        )
+        df = pd.DataFrame({"flag": flag, "cents": cents})
+        part = df.groupby(["flag", "cents"], sort=False).size().reset_index(name="cnt")
+        return pa.table(
+            {
+                "flag": pa.array(part["flag"].to_numpy(dtype=object), pa.string()),
+                "cents": pa.array(part["cents"].to_numpy()),
+                "cnt": pa.array(part["cnt"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    hist_df = (
+        ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["flag", "cents"])
+        .aggregate(Sum("cnt", alias_name="n"))
+        .to_pandas()  # bounded by the distinct-(flag,cents) domain
+    )
+    rows = []
+    for flag, grp in hist_df.groupby("flag", sort=True):
+        grp = grp.sort_values("cents")
+        counts = grp["n"].to_numpy()
+        values = grp["cents"].to_numpy()
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        row = {"flag": flag, "n": np.int64(n)}
+        for q in _QUANTILES:
+            k = int(np.ceil(q * n))  # same IEEE expression as the SQL
+            row[f"p{int(q * 100)}_cents"] = np.int64(values[np.searchsorted(cum, k, side="left")])
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
+def _sql_price_quantiles() -> str:
+    picks = ",\n           ".join(
+        f"max(CASE WHEN rn = cast(ceil(CAST({q!r} AS DOUBLE) * n) as bigint) THEN cents END) AS p{int(q * 100)}_cents"
+        for q in _QUANTILES
+    )
+    return f"""
+    WITH c AS (SELECT l_returnflag AS flag,
+                      cast(floor(l_extendedprice * 100.0) as bigint) AS cents
+               FROM lineitem),
+    r AS (SELECT flag, cents,
+                 row_number() OVER (PARTITION BY flag ORDER BY cents) AS rn,
+                 count(*) OVER (PARTITION BY flag) AS n
+          FROM c)
+    SELECT flag, max(n) AS n,
+           {picks}
+    FROM r GROUP BY flag
+    """
+
+
+def q_anti_join_customers(sf_dir: str):
+    """Broadcast ANTI join: customers with no events.  The distinct key set
+    of the big side is reduced FIRST (bounded by user cardinality), shipped
+    once via ray.put, and the probe side filters with np.isin — no
+    all-to-all shuffle (the VERDICT-r2 #9 broadcast pattern)."""
+    import ray
+
+    users = _read(sf_dir, "events", ["user_id"]).unique("user_id")
+    users_ref = ray.put(np.asarray(users, dtype=np.int64))
+
+    def anti(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        uset = _ray.get(users_ref)
+        ck = b["c_custkey"].to_numpy(zero_copy_only=False)
+        keep = ~np.isin(ck, uset)
+        bal = b["c_acctbal"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "c_custkey": pa.array(ck[keep].astype(np.int64)),
+                "acctbal_cents": pa.array(np.floor(bal * 100.0).astype(np.int64)),
+            }
+        )
+
+    return _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).map_batches(
+        anti, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _sql_anti_join_customers() -> str:
+    return """
+    SELECT c_custkey, cast(floor(c_acctbal * 100.0) as bigint) AS acctbal_cents
+    FROM customer WHERE c_custkey NOT IN (SELECT user_id FROM events)
+    """
+
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -1623,6 +1947,11 @@ SQL_QUERIES: dict[str, tuple] = {
     "lang_counts": (q_lang_counts, _sql_lang_counts()),
     "vocab_topk": (q_vocab_topk, _sql_vocab_topk()),
     "stratified_sample": (q_stratified_sample, _sql_stratified_sample()),
+    "asof_join": (q_asof_join, _sql_asof_join()),
+    "range_join_followups": (q_range_join_followups, _sql_range_join_followups()),
+    "running_totals": (q_running_totals, _sql_running_totals()),
+    "price_quantiles": (q_price_quantiles, _sql_price_quantiles()),
+    "anti_join_customers": (q_anti_join_customers, _sql_anti_join_customers()),
     "ann_cosine_top5": (q_ann_cosine_top5, _sql_ann_cosine_top5()),
     "embedding_label_stats": (q_embedding_label_centroid_norms, _sql_embedding_label()),
 }
