@@ -1247,6 +1247,44 @@ def _sql_phash_dedup(sf: float = 0.01) -> str:
     """
 
 
+def _sql_phash_neardup(sf: float = 0.01) -> str:
+    """SQL mirror of rows_only.q_phash_neardup: the stored int64 phash
+    wraps to u64 HUGEINT, splits into 4x16-bit band keys, bucket cap by
+    lowest image_id (binary collation = numpy object-array sort for the
+    ASCII ids), distinct a<b candidates, exact hamming via
+    bit_count(xor) <= 3 — same construction as _sql_simhash_neardup but
+    over the synthesized image-corpus parquet like _sql_phash_dedup."""
+    from ..sources import synth
+    from .rows_only import MAX_LSH_BUCKET, SIMHASH_BANDS, SIMHASH_HAMMING_MAX
+
+    return f"""
+    WITH img AS (
+      SELECT image_id,
+             CAST(phash AS HUGEINT)
+             + CASE WHEN phash < 0 THEN {_U64} ELSE CAST(0 AS HUGEINT) END AS f
+      FROM read_parquet('{synth.images_dir(sf)}/*.parquet')
+    ), m AS (
+      SELECT image_id, bands.band AS band,
+             (f // (CAST(1 AS HUGEINT) << (16 * bands.band))) % 65536 AS key,
+             f
+      FROM img CROSS JOIN (SELECT unnest(range({SIMHASH_BANDS})) AS band) bands
+    ), mem AS (
+      SELECT * FROM (
+        SELECT image_id, band, key, f,
+               row_number() OVER (PARTITION BY band, key ORDER BY image_id) AS rn
+        FROM m)
+      WHERE rn <= {MAX_LSH_BUCKET}
+    ), cand AS (
+      SELECT DISTINCT a.image_id AS img_a, b.image_id AS img_b,
+                      a.f AS fa, b.f AS fb
+      FROM mem a JOIN mem b
+        ON a.band = b.band AND a.key = b.key AND a.image_id < b.image_id
+    )
+    SELECT img_a, img_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(fa, fb)) <= {SIMHASH_HAMMING_MAX}
+    """
+
+
 def _sql_ann_lsh_buckets() -> str:
     # Inline the seeded hyperplanes (functions/ann.hyperplane_lsh_params,
     # seed 11, 12 bits) as DOUBLE[] literals: the testdata embedding dim is
@@ -1966,6 +2004,7 @@ def _register_promoted() -> None:
     SQL_QUERIES.update(
         {
             "phash_dedup": (_ro.q_phash_dedup, _sql_phash_dedup()),
+            "phash_neardup": (_ro.q_phash_neardup, _sql_phash_neardup()),
             "doc_fingerprints": (_ro.q_doc_fingerprints, _sql_doc_fingerprints()),
             "simhash_docs": (_ro.q_simhash_docs, _sql_simhash_docs()),
             "quality_scores": (_ro.q_quality_scores, _sql_quality_scores()),

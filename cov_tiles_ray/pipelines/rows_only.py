@@ -761,6 +761,83 @@ def q_simhash_neardup(sf_dir: str):
     )
 
 
+def q_phash_neardup(sf_dir: str):
+    """Perceptual-hash near-duplicate IMAGE pairs (hamming <= 3 on the
+    64-bit phash) via the same Manku banding as q_simhash_neardup: the
+    stored phash splits into 4 exact 16-bit band keys, so two images
+    within hamming 3 share at least one band key by pigeonhole — perfect
+    recall below the bucket cap, sub-quadratic candidate generation.
+
+    Image-corpus scale shape: the read prunes to (image_id, phash) — the
+    image `bytes` column never leaves storage — and only the 8-byte hash
+    plus the id ride the band shuffle.  This is the image-side analogue of
+    text near-dup for a training-data pipeline (CLIP-style corpora dedup
+    on perceptual hashes before pixel-level verify)."""
+    from . import tiling
+
+    ds = tiling.read_images(sf_dir, columns=["image_id", "phash"])
+    _empty = pa.table(
+        {
+            "img_a": pa.array([], pa.string()),
+            "img_b": pa.array([], pa.string()),
+            "hamming": pa.array([], pa.int64()),
+        }
+    )
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        fp = df["phash"].to_numpy(np.int64).view(np.uint64)
+        n = len(df)
+        band = np.tile(np.arange(SIMHASH_BANDS, dtype=np.int64), n)
+        fps = np.repeat(fp, SIMHASH_BANDS)
+        key = (
+            (fps >> (band.astype(np.uint64) * np.uint64(16))) & np.uint64(0xFFFF)
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "band": band,
+                "key": key,
+                "image_id": np.repeat(df["image_id"].to_numpy(object), SIMHASH_BANDS),
+                "fp": fps.view(np.int64),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame):
+        sub = g.sort_values("image_id").head(MAX_LSH_BUCKET)
+        if len(sub) < 2:
+            return _empty
+        ids = sub["image_id"].to_numpy(object)
+        fps = sub["fp"].to_numpy(np.int64).view(np.uint64)
+        ai, bi = np.triu_indices(len(ids), k=1)
+        hd = dedup_f.hamming_distance64(fps[ai], fps[bi])
+        keep = hd <= SIMHASH_HAMMING_MAX
+        if not keep.any():
+            return _empty
+        return pa.table(
+            {
+                "img_a": pa.array(ids[ai][keep], pa.string()),
+                "img_b": pa.array(ids[bi][keep], pa.string()),
+                "hamming": pa.array(hd[keep].astype(np.int64)),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(sketch, batch_format="pandas")
+        .groupby(["band", "key"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["img_a", "img_b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .to_pandas()
+    )
+    pairs = pairs.sort_values(["img_a", "img_b"])
+    return pa.table(
+        {
+            "img_a": pa.array(pairs.img_a.astype(str), pa.string()),
+            "img_b": pa.array(pairs.img_b.astype(str), pa.string()),
+            "hamming": pa.array(pairs.hamming.to_numpy(np.int64)),
+        }
+    )
+
+
 def q_embedding_neardup_lsh(sf_dir: str):
     """Embedding near-dup via multi-table hyperplane LSH — the sub-quadratic
     scale path that q_embedding_neardup's exact block-pair join documents.

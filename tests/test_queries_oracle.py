@@ -53,16 +53,20 @@ def sql_query_names():
 
 @pytest.mark.parametrize("name", sql_query_names())
 def test_sql_query_matches_oracle(name, con, ray_session):
-    from cov_tiles_ray.pipelines.queries import SQL_QUERIES, _sql_phash_dedup
+    from cov_tiles_ray.pipelines.queries import (
+        SQL_QUERIES,
+        _sql_phash_dedup,
+        _sql_phash_neardup,
+    )
 
     fn, sql = SQL_QUERIES[name]
-    if name == "phash_dedup":
+    if name in ("phash_dedup", "phash_neardup"):
         # registered SQL targets the driver's sf0.01 corpus; rebuild for
         # this test's scale (and make sure the cache exists for DuckDB)
         from cov_tiles_ray.sources import synth
 
         synth.images_parquet_path(0.001)
-        sql = _sql_phash_dedup(0.001)
+        sql = _sql_phash_dedup(0.001) if name == "phash_dedup" else _sql_phash_neardup(0.001)
     got = _normalize(_to_df(fn(SF_DIR)))
     want = _normalize(con.execute(sql).fetchdf())
     assert list(got.columns) == list(want.columns), f"{name}: column mismatch"
