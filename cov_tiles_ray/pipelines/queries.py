@@ -1960,6 +1960,320 @@ def _sql_anti_join_customers() -> str:
     """
 
 
+_TOPK_ORDERS = 3
+
+
+def q_topk_orders_per_customer(sf_dir: str):
+    """Per-group top-k (the 3 most expensive orders per customer, price
+    desc / orderkey asc tie-break, with ranks).
+
+    Scale shape: a per-batch partial top-k COMBINER bounds the
+    groupby(o_custkey) exchange at k rows per (customer x batch) — the
+    classic window-rank query without shipping every order row through
+    the shuffle; the in-group final pick is one vectorized sort."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_custkey": b["o_custkey"].to_numpy(zero_copy_only=False),
+                "o_orderkey": b["o_orderkey"].to_numpy(zero_copy_only=False),
+                "cents": np.floor(
+                    b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+                ).astype(np.int64),
+            }
+        )
+        df = df.sort_values(["o_custkey", "cents", "o_orderkey"], ascending=[True, False, True])
+        return pa.Table.from_pandas(
+            df.groupby("o_custkey", sort=False).head(_TOPK_ORDERS), preserve_index=False
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cents", "o_orderkey"], ascending=[False, True]).head(_TOPK_ORDERS).copy()
+        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def _sql_topk_orders_per_customer() -> str:
+    return f"""
+    WITH c AS (SELECT o_custkey, o_orderkey,
+                      cast(floor(o_totalprice * 100.0) as bigint) AS cents
+               FROM orders),
+    r AS (SELECT o_custkey, o_orderkey, cents,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY cents DESC, o_orderkey) AS rk
+          FROM c)
+    SELECT o_custkey, o_orderkey, cents, rk FROM r WHERE rk <= {_TOPK_ORDERS}
+    """
+
+
+def q_orders_rollup(sf_dir: str):
+    """Hierarchical aggregate (GROUP BY ROLLUP(status, priority)): order
+    count + spend at the (status, priority), (status) and grand-total
+    levels, 'ALL' standing in for the rolled-up dimension.
+
+    Scale shape: the FINE groupby is the only cluster exchange; the two
+    coarser levels re-aggregate its result — a table bounded by the
+    dimension cardinality product (|status| x |priority| rows), never a
+    rescan of the fact table."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "status": b["o_orderstatus"],
+                "priority": b["o_orderpriority"],
+                "cents": pa.array(
+                    np.floor(b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    fine = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["status", "priority"])
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="spend_cents"))
+        .to_pandas()  # bounded by |status| x |priority|
+    )
+    mid = fine.groupby("status", as_index=False)[["n", "spend_cents"]].sum()
+    mid["priority"] = "ALL"
+    top = pd.DataFrame(
+        {
+            "status": ["ALL"],
+            "priority": ["ALL"],
+            "n": [fine["n"].sum()],
+            "spend_cents": [fine["spend_cents"].sum()],
+        }
+    )
+    out = pd.concat([fine, mid, top], ignore_index=True)[
+        ["status", "priority", "n", "spend_cents"]
+    ]
+    out["n"] = out["n"].astype(np.int64)
+    out["spend_cents"] = out["spend_cents"].astype(np.int64)
+    return out
+
+
+def _sql_orders_rollup() -> str:
+    return """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cast(floor(o_totalprice * 100.0) as bigint)) AS BIGINT) AS spend_cents
+    FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """
+
+
+# deterministic train/val/test assignment: permille buckets.  The second
+# multiplier is the 40-bit FNV prime (not a 64-bit splitmix constant) so the
+# oracle's HUGEINT mirror of (u64 h) * mult stays under 2^127 — same wrap
+# technique as the LSH CTE's FNV chain.
+_SPLIT_MULT2 = 1099511628211
+_SPLIT_TRAIN, _SPLIT_VAL = 980, 990  # <980 train, <990 val, else test
+
+
+def q_train_split(sf_dir: str):
+    """Deterministic train/val/test split assignment (98/1/1 permille by a
+    two-round multiply-xorshift hash of doc_id), reported as per-language
+    split counts.
+
+    Like stratified_sample this is retry-, partitioning- and cluster-size
+    stable (no RNG state) — the property a resumable 100-TB corpus split
+    needs; the groupby exchange carries |lang| x 3 combiner rows."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["doc_id"].to_numpy(np.int64).astype(np.uint64) * np.uint64(_FIB64)
+        h ^= h >> np.uint64(31)
+        h *= np.uint64(_SPLIT_MULT2)
+        b = (h % np.uint64(1000)).astype(np.int64)
+        split = np.where(b < _SPLIT_TRAIN, "train", np.where(b < _SPLIT_VAL, "val", "test"))
+        return pd.DataFrame({"lang": df["lang"].to_numpy(object), "split": split})
+
+    return (
+        ds.map_batches(assign, batch_format="pandas")
+        .groupby(["lang", "split"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def _sql_train_split() -> str:
+    return f"""
+    WITH h1 AS (SELECT lang, (CAST(doc_id AS HUGEINT) * {_FIB64}) % {_U64} AS h
+                FROM documents),
+    h2 AS (SELECT lang, (xor(h, h // 2147483648) * {_SPLIT_MULT2}) % {_U64} AS h FROM h1),
+    b AS (SELECT lang,
+                 CASE WHEN h % 1000 < {_SPLIT_TRAIN} THEN 'train'
+                      WHEN h % 1000 < {_SPLIT_VAL} THEN 'val'
+                      ELSE 'test' END AS split
+          FROM h2)
+    SELECT lang, split, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY lang, split
+    """
+
+
+_DISTINCTIVE_K = 5
+
+
+def q_distinctive_terms(sf_dir: str):
+    """TF-IDF-style document fingerprinting with EXACT integer ranking:
+    the top-5 terms per document ordered by (term frequency desc, corpus
+    document frequency asc, token asc) — rarity-weighted without float
+    idf, so the oracle comparison is bit-exact.
+
+    Scale shape: pass 1 builds the document-frequency table with a
+    per-batch distinct-token combiner feeding one small groupby(tok);
+    the result (bounded by vocabulary size) ships once via ray.put.
+    Pass 2 is a pure map: each doc's tf + rank computes inside its own
+    row, so no per-doc shuffle exists at all.  A vocabulary too big to
+    broadcast would swap pass 2's lookup for a hash join on tok —
+    documented, not needed at any realistic vocab size."""
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _explode(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].astype(str).str.lower().str.split(" ")
+        ex = df[["doc_id"]].assign(tok=toks).explode("tok")
+        return ex[ex["tok"].notna() & (ex["tok"] != "")]
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = _explode(df).drop_duplicates(["doc_id", "tok"])
+        vc = d["tok"].value_counts()
+        return pd.DataFrame({"tok": vc.index.astype(str), "c": vc.to_numpy(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    df_small = (
+        ds.map_batches(df_partial, batch_format="pandas")
+        .groupby("tok")
+        .aggregate(Sum("c", alias_name="df"))
+        .to_pandas()  # bounded by vocabulary size
+    )
+    df_ref = ray.put(
+        pd.Series(df_small["df"].to_numpy(np.int64), index=df_small["tok"].astype(str))
+    )
+
+    def top_terms(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        dfm = _ray.get(df_ref)
+        ex = _explode(df)
+        tf = ex.groupby(["doc_id", "tok"], sort=False).size().reset_index(name="tf")
+        tf["df"] = tf["tok"].map(dfm).astype(np.int64)
+        tf = tf.sort_values(["doc_id", "tf", "df", "tok"], ascending=[True, False, True, True])
+        out = tf.groupby("doc_id", sort=False).head(_DISTINCTIVE_K).copy()
+        out["rk"] = (out.groupby("doc_id", sort=False).cumcount() + 1).astype(np.int64)
+        out["tf"] = out["tf"].astype(np.int64)
+        return out
+
+    return ds.map_batches(top_terms, batch_format="pandas")
+
+
+def _sql_distinctive_terms() -> str:
+    return f"""
+    WITH ex AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), s -> s <> '')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM ex GROUP BY doc_id, tok
+    ), dfc AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df
+      FROM (SELECT DISTINCT doc_id, tok FROM ex) GROUP BY tok
+    ), r AS (
+      SELECT tf.doc_id, tf.tok, tf.tf, dfc.df,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, dfc.df ASC, tf.tok ASC) AS rk
+      FROM tf JOIN dfc USING (tok)
+    )
+    SELECT doc_id, tok, tf, df, rk FROM r WHERE rk <= {_DISTINCTIVE_K}
+    """
+
+
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals per document: token count,
+    most-frequent-token fraction and duplicate-bigram fraction (both
+    x1000, integer-ized so the oracle comparison is exact).  High values
+    flag boilerplate/spam for a training-data filter.
+
+    Pure map over documents — each doc's signals compute inside its own
+    row via one exploded-frame pass (no Python loop over tokens, no
+    shuffle)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def signals(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].astype(str).str.lower().str.split(" ")
+        ex = pd.DataFrame({"row": np.repeat(np.arange(len(df)), toks.str.len()),
+                           "tok": toks.explode().to_numpy(object)})
+        ex = ex[ex["tok"].notna() & (ex["tok"] != "")]
+        n_tok = ex.groupby("row").size()
+        top = ex.groupby(["row", "tok"], sort=False).size().groupby("row").max()
+        nxt_row = ex["row"].shift(-1)
+        ex = ex.assign(nxt=ex["tok"].shift(-1))
+        bg = ex[ex["row"] == nxt_row]
+        n_big = bg.groupby("row").size()
+        d_big = bg.drop_duplicates(["row", "tok", "nxt"]).groupby("row").size()
+
+        idx = pd.RangeIndex(len(df))
+        n = n_tok.reindex(idx, fill_value=0).to_numpy(np.int64)
+        t = top.reindex(idx, fill_value=0).to_numpy(np.int64)
+        nb = n_big.reindex(idx, fill_value=0).to_numpy(np.int64)
+        db = d_big.reindex(idx, fill_value=0).to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_tokens": n,
+                "top_tok_x1000": np.where(n > 0, (t * 1000) // np.maximum(n, 1), 0),
+                "dup_bigram_x1000": np.where(nb > 0, ((nb - db) * 1000) // np.maximum(nb, 1), 0),
+            }
+        )
+
+    return ds.map_batches(signals, batch_format="pandas")
+
+
+def _sql_doc_repetition() -> str:
+    return """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), s -> s <> '') AS ts
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(ts) AS tok FROM t
+    ), ntk AS (
+      SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+    ), topt AS (
+      SELECT doc_id, max(c) AS topc
+      FROM (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok)
+      GROUP BY doc_id
+    ), bge AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(ts)), i -> ts[i] || chr(1) || ts[i + 1])) AS bg
+      FROM t WHERE len(ts) >= 2
+    ), nbg AS (
+      SELECT doc_id, count(*) AS nb, count(DISTINCT bg) AS db FROM bge GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(n.n, 0) AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN coalesce(n.n, 0) = 0 THEN 0
+                     ELSE (tp.topc * 1000) // n.n END AS BIGINT) AS top_tok_x1000,
+           CAST(CASE WHEN coalesce(b.nb, 0) = 0 THEN 0
+                     ELSE ((b.nb - b.db) * 1000) // b.nb END AS BIGINT) AS dup_bigram_x1000
+    FROM documents d
+    LEFT JOIN ntk n USING (doc_id)
+    LEFT JOIN topt tp USING (doc_id)
+    LEFT JOIN nbg b USING (doc_id)
+    """
+
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -1990,6 +2304,14 @@ SQL_QUERIES: dict[str, tuple] = {
     "running_totals": (q_running_totals, _sql_running_totals()),
     "price_quantiles": (q_price_quantiles, _sql_price_quantiles()),
     "anti_join_customers": (q_anti_join_customers, _sql_anti_join_customers()),
+    "topk_orders_per_customer": (
+        q_topk_orders_per_customer,
+        _sql_topk_orders_per_customer(),
+    ),
+    "orders_rollup": (q_orders_rollup, _sql_orders_rollup()),
+    "train_split": (q_train_split, _sql_train_split()),
+    "distinctive_terms": (q_distinctive_terms, _sql_distinctive_terms()),
+    "doc_repetition": (q_doc_repetition, _sql_doc_repetition()),
     "ann_cosine_top5": (q_ann_cosine_top5, _sql_ann_cosine_top5()),
     "embedding_label_stats": (q_embedding_label_centroid_norms, _sql_embedding_label()),
 }
