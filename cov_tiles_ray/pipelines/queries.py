@@ -2274,6 +2274,200 @@ def _sql_doc_repetition() -> str:
     """
 
 
+_PACK_BUDGET = 512  # tokens per packed training sequence
+_PACK_BUCKET = 4096  # docs per ordered scan bucket (bounds every group)
+
+
+def q_pack_sequences(sf_dir: str):
+    """Concat-and-chunk sequence packing for pretraining: documents
+    concatenate in doc_id order within each language and chunk into
+    _PACK_BUDGET-token training sequences; each doc reports the sequence
+    id and in-sequence offset where it starts.
+
+    The interesting distributed shape is the per-lang EXCLUSIVE PREFIX SUM
+    of token counts in doc_id order, computed as a two-phase scan with no
+    unbounded group and no driver materialization of doc rows:
+      1. bucket = doc_id // _PACK_BUCKET partitions the ID SPACE in order;
+         one small groupby((bucket, lang)) sums each bucket's tokens — a
+         table bounded by n_buckets x langs that the driver exclusively
+         scans and ships back via ray.put (the classic scan-of-block-sums).
+      2. groupby(bucket) groups are bounded at _PACK_BUCKET docs; each
+         computes its local exclusive cumsum and adds the bucket base.
+    The token counting runs once into a slim materialized table (4 int
+    cols + lang) feeding both phases."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def count_tokens(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].astype(str).str.lower().str.split(" ")
+        ex = pd.DataFrame(
+            {
+                "row": np.repeat(np.arange(len(df)), s.str.len()),
+                "tok": s.explode().to_numpy(object),
+            }
+        )
+        ex = ex[ex["tok"] != ""]
+        n = (
+            ex.groupby("row")
+            .size()
+            .reindex(pd.RangeIndex(len(df)), fill_value=0)
+            .to_numpy(np.int64)
+        )
+        doc = df["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": doc,
+                "lang": df["lang"].to_numpy(object),
+                "n_tokens": n,
+                "bucket": doc // _PACK_BUCKET,
+            }
+        )
+
+    counted = ds.map_batches(count_tokens, batch_format="pandas").materialize()
+    totals = (
+        counted.groupby(["bucket", "lang"])
+        .aggregate(Sum("n_tokens", alias_name="t"))
+        .to_pandas()  # bounded by n_buckets x langs
+        .sort_values(["lang", "bucket"])
+    )
+    totals["base"] = (totals.groupby("lang")["t"].cumsum() - totals["t"]).astype(np.int64)
+    base_ref = ray.put(totals[["bucket", "lang", "base"]])
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        bdf = _ray.get(base_ref)
+        g = g.sort_values(["lang", "doc_id"]).merge(bdf, on=["bucket", "lang"], how="left")
+        local = (g.groupby("lang")["n_tokens"].cumsum() - g["n_tokens"]).to_numpy(np.int64)
+        start = local + g["base"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "lang": g["lang"].to_numpy(object),
+                "n_tokens": g["n_tokens"].to_numpy(np.int64),
+                "seq_id": start // _PACK_BUDGET,
+                "seq_offset": start % _PACK_BUDGET,
+            }
+        )
+
+    return counted.groupby("bucket").map_groups(pack, batch_format="pandas")
+
+
+def _sql_pack_sequences() -> str:
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(lower(text), ' '), s -> s <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ), s AS (
+      SELECT doc_id, lang, n_tokens,
+             coalesce(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(start_tok // {_PACK_BUDGET} AS BIGINT) AS seq_id,
+           CAST(start_tok % {_PACK_BUDGET} AS BIGINT) AS seq_offset
+    FROM s
+    """
+
+
+_RETENTION_MAX_WEEKS = 12
+_WEEK_US = 7 * 86400 * 1_000_000
+
+
+def q_events_retention(sf_dir: str):
+    """Cohort retention matrix: users grouped by first-activity week, the
+    count still active at each week offset (0..12).
+
+    One groupby(user_id) shuffle carries pre-deduplicated (user, week)
+    combiner rows; each bounded per-user group derives its cohort week and
+    offsets in one pass, and the final count is a small groupby over the
+    (cohort x offset) grid."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def weeks(b: pa.Table) -> pa.Table:
+        us = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame(
+            {"user_id": b["user_id"].to_numpy(zero_copy_only=False), "week": us // _WEEK_US}
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        wks = np.unique(g["week"].to_numpy(np.int64))
+        off = wks - wks[0]
+        off = off[off <= _RETENTION_MAX_WEEKS]
+        return pd.DataFrame(
+            {"cohort_week": np.full(len(off), wks[0], dtype=np.int64), "offset": off}
+        )
+
+    return (
+        ds.map_batches(weeks, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .groupby(["cohort_week", "offset"])
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+
+def _sql_events_retention() -> str:
+    return f"""
+    WITH w AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // {_WEEK_US} AS week FROM events
+    ), c AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM w GROUP BY user_id
+    )
+    SELECT c.cohort_week, w.week - c.cohort_week AS offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM w JOIN c USING (user_id)
+    WHERE w.week - c.cohort_week <= {_RETENTION_MAX_WEEKS}
+    GROUP BY c.cohort_week, w.week - c.cohort_week
+    """
+
+
+def q_user_top_event(sf_dir: str):
+    """Mode / argmax aggregate: each user's most frequent event type (ties
+    to the lexicographically smallest type).  Per-batch (user, type) count
+    combiner -> one groupby sum -> bounded per-user argmax groups (at most
+    |event types| rows each)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "event_type"], sort=False).size().reset_index(name="c")
+        g["c"] = g["c"].astype(np.int64)
+        return g
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("c", alias_name="n"))
+    )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["n", "event_type"], ascending=[False, True]).head(1)
+
+    return counts.groupby("user_id").map_groups(pick, batch_format="pandas")
+
+
+def _sql_user_top_event() -> str:
+    return """
+    WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY user_id, event_type),
+    r AS (SELECT user_id, event_type, n,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY n DESC, event_type) AS rk
+          FROM c)
+    SELECT user_id, event_type, n FROM r WHERE rk = 1
+    """
+
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -2312,6 +2506,9 @@ SQL_QUERIES: dict[str, tuple] = {
     "train_split": (q_train_split, _sql_train_split()),
     "distinctive_terms": (q_distinctive_terms, _sql_distinctive_terms()),
     "doc_repetition": (q_doc_repetition, _sql_doc_repetition()),
+    "pack_sequences": (q_pack_sequences, _sql_pack_sequences()),
+    "events_retention": (q_events_retention, _sql_events_retention()),
+    "user_top_event": (q_user_top_event, _sql_user_top_event()),
     "ann_cosine_top5": (q_ann_cosine_top5, _sql_ann_cosine_top5()),
     "embedding_label_stats": (q_embedding_label_centroid_norms, _sql_embedding_label()),
 }
