@@ -1419,6 +1419,86 @@ def q_schema_scan(sf_dir: str):
     return df
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 5
+
+
+def q_embedding_kmeans(sf_dir: str):
+    """Distributed k-means (Lloyd) over the embedding table — the
+    iterative-algorithm shape a training-data pipeline needs for corpus
+    clustering (mixture balancing, semantic bucketing before dedup).
+
+    Each iteration is ONE streamed pass: centroids broadcast via ray.put,
+    every batch computes assignments with the |v|^2 - 2 v@c + |c|^2 form
+    (never an n x k x dim intermediate) and emits per-cluster PARTIAL sums
+    — k x (dim+2) combiner rows per batch carrying the vector sums, the
+    member count and the batch inertia — then one small groupby finishes
+    the means.  Driver state is O(k x dim) per iteration; nothing scales
+    with row count.  Init is deterministic (the k lowest vec_ids); ties
+    break to the lowest cluster id.  Rows-only: the per-cluster inertia is
+    a float sum whose reduce order varies, so it is reported in rounded
+    micro-units rather than oracle-compared."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    init = emb.sort("vec_id").limit(KMEANS_K).to_pandas()
+    cents = np.stack(init["embedding"].to_numpy()).astype(np.float64)
+    k, dim = cents.shape
+    trace = []
+
+    for it in range(KMEANS_ITERS):
+        ref = ray.put(cents)
+
+        def partial(b: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            c = _ray.get(ref)
+            v = np.stack(b["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+            d2 = (v * v).sum(axis=1)[:, None] - 2.0 * (v @ c.T) + (c * c).sum(axis=1)[None, :]
+            a = d2.argmin(axis=1)  # argmin ties -> lowest cluster id
+            sums = np.zeros((k, dim), dtype=np.float64)
+            np.add.at(sums, a, v)
+            cnt = np.bincount(a, minlength=k).astype(np.float64)
+            inertia = np.zeros(k, dtype=np.float64)
+            np.add.at(inertia, a, d2[np.arange(len(a)), a])
+            # k x (dim+2) combiner rows: dim 0..dim-1 = vector sums,
+            # dim == dim -> count, dim == dim+1 -> inertia
+            payload = np.concatenate([sums, cnt[:, None], inertia[:, None]], axis=1)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.repeat(np.arange(k, dtype=np.int64), dim + 2)),
+                    "d": pa.array(np.tile(np.arange(dim + 2, dtype=np.int64), k)),
+                    "s": pa.array(payload.ravel()),
+                }
+            )
+
+        agg = (
+            emb.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["cluster", "d"])
+            .aggregate(Sum("s", alias_name="v"))
+            .to_pandas()  # bounded: k x (dim+2) rows
+            .sort_values(["cluster", "d"])
+        )
+        mat = agg["v"].to_numpy(np.float64).reshape(k, dim + 2)
+        cnt, inertia = mat[:, dim], mat[:, dim + 1]
+        nonempty = cnt > 0
+        new_cents = cents.copy()
+        new_cents[nonempty] = mat[nonempty, :dim] / cnt[nonempty, None]
+        trace.append((it, cnt.astype(np.int64), inertia))
+        cents = new_cents
+
+    rows = {
+        "iter": np.repeat(np.arange(KMEANS_ITERS, dtype=np.int64), k),
+        "cluster_id": np.tile(np.arange(k, dtype=np.int64), KMEANS_ITERS),
+        "n": np.concatenate([c for _, c, _ in trace]),
+        "inertia_x1e6": np.concatenate(
+            [np.round(i * 1e6).astype(np.int64) for _, _, i in trace]
+        ),
+    }
+    return pa.table({name: pa.array(v) for name, v in rows.items()})
+
+
 GOLDEN_COVT_DIRS = [
     "/root/reference/test/fixtures/omt/covt",
     "/root/reference/test/fixtures/bing/covt",
@@ -1504,6 +1584,7 @@ ROWS_ONLY_QUERIES = {
     # DuckDB with the HUGEINT wrap technique).
     "polygonize_tiles": q_polygonize_tiles,
     "ann_ivf_top5": q_ann_ivf_top5,
+    "embedding_kmeans": q_embedding_kmeans,
     # neardup_verified moved to the SQL-oracle registry (round-3 promotion:
     # exact shingle-set Jaccard over the same shd CTE the LSH mirror uses).
     # ann_lsh_buckets / embedding_neardup moved to the SQL-oracle registry

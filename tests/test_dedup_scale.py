@@ -180,3 +180,40 @@ def test_no_driver_materialization():
         assert src.count(".to_pandas()") <= 1, fn.__name__
         assert "texts = ds.to_pandas" not in src
         assert "emb.to_pandas" not in src
+
+
+def test_embedding_kmeans_lloyd_invariants(ray_session):
+    """Distributed Lloyd must match a single-process numpy reference on the
+    integer outputs (cluster sizes per iteration) and obey the Lloyd
+    monotonicity: total inertia never increases between iterations."""
+    import pyarrow.parquet as pq
+
+    from cov_tiles_ray.pipelines.rows_only import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        q_embedding_kmeans,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q_embedding_kmeans(sf).to_pandas().sort_values(["iter", "cluster_id"])
+
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id")
+    v = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    cents = v[: KMEANS_K].copy()
+    n_rows = len(v)
+    for it in range(KMEANS_ITERS):
+        d2 = (v * v).sum(1)[:, None] - 2.0 * (v @ cents.T) + (cents * cents).sum(1)[None, :]
+        a = d2.argmin(1)
+        g = got[got["iter"] == it]
+        assert g["n"].sum() == n_rows
+        np.testing.assert_array_equal(
+            g.sort_values("cluster_id")["n"].to_numpy(),
+            np.bincount(a, minlength=KMEANS_K),
+            err_msg=f"iter {it} cluster sizes",
+        )
+        for c in range(KMEANS_K):
+            if (a == c).any():
+                cents[c] = v[a == c].mean(0)
+    inertia = got.groupby("iter")["inertia_x1e6"].sum().to_numpy()
+    assert (np.diff(inertia) <= 0).all(), inertia
