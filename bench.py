@@ -177,6 +177,8 @@ def _run_bench(headline_only: bool = False) -> dict:
         "dedup_exact",
         "token_counts",
         "ann_cosine_top5",
+        "pack_sequences",
+        "phash_neardup",
     ]
     qtimes: dict[str, float] = {}
     for name in bench_queries:

@@ -16,6 +16,7 @@ import ray.data as rd
 
 from ..functions import dedup as dedup_f
 from ..functions import text as text_f
+from ..sources import synth
 
 
 def q_covt_tiles(sf_dir: str):
@@ -709,6 +710,7 @@ def q_simhash_neardup(sf_dir: str):
     signature there is nothing to save by a payload join), and the exact
     hamming verify runs inside each bucket group — vectorized popcount."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_rows = ds.count()  # parquet metadata, no read
 
     def sketch(df: pd.DataFrame) -> pd.DataFrame:
         fp = dedup_f.simhash(df["text"])  # uint64
@@ -727,36 +729,113 @@ def q_simhash_neardup(sf_dir: str):
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        sub = g.sort_values("doc_id").head(MAX_LSH_BUCKET)
-        empty = pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(np.int64)
-        if len(sub) < 2:
-            return empty
-        ids = sub["doc_id"].to_numpy(np.int64)
-        fps = sub["fp"].to_numpy(np.int64).view(np.uint64)
-        ai, bi = np.triu_indices(len(ids), k=1)
-        hd = dedup_f.hamming_distance64(fps[ai], fps[bi])
-        keep = hd <= SIMHASH_HAMMING_MAX
-        if not keep.any():
-            return empty
-        return pd.DataFrame(
-            {"doc_a": ids[ai][keep], "doc_b": ids[bi][keep], "hamming": hd[keep]}
+    return _banded_fp_pairs(
+        ds.map_batches(sketch, batch_format="pandas"),
+        n_rows * SIMHASH_BANDS,
+        "doc_id",
+        "doc_a",
+        "doc_b",
+        pa.int64(),
+    )
+
+
+def _banded_fp_pairs(
+    sketched: rd.Dataset,
+    n_band_rows: int,
+    id_col: str,
+    out_a: str,
+    out_b: str,
+    id_pa_type,
+):
+    """Shared engine for banded 64-bit-fingerprint near-dup (simhash /
+    phash): candidate pairs within (band, key) buckets, bucket cap
+    MAX_LSH_BUCKET by lowest id, exact hamming <= SIMHASH_HAMMING_MAX.
+
+    Scale shape: instead of groupby((band, key)).map_groups — whose
+    per-group pandas dispatch dominates at ~10^5 tiny buckets (measured
+    14.2 s for 2.4M band rows at sf0.1) — buckets hash into ~50k-row
+    PARTS via the part-exchange pattern (sort on a splitmix'd part id
+    with exact integer boundaries, one zero-copy batch per part), and
+    each part pairs ALL its buckets in one vectorized segment pass:
+    lexsort, run-length segments, rank-capped membership, and the
+    O(total_pairs) repeat/offset triu expansion.  Cross-band duplicate
+    pairs collapse in one groupby aggregate (vectorized segmented min,
+    not per-group apply)."""
+    from ray.data.aggregate import Min
+
+    n_parts = int(max(8, min(4096, n_band_rows // 50_000 + 1)))
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        bk = (df["band"].to_numpy(np.uint64) << np.uint64(32)) | df["key"].to_numpy(
+            np.uint64
+        )
+        df = df.copy()
+        df["part"] = (synth._splitmix64(bk) % np.uint64(n_parts)).astype(np.int64)
+        return df
+
+    _empty = pa.table(
+        {
+            out_a: pa.array([], id_pa_type),
+            out_b: pa.array([], id_pa_type),
+            "hamming": pa.array([], pa.int64()),
+        }
+    )
+
+    def pairs_in_part(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2:
+            return _empty
+        band = t["band"].to_numpy(zero_copy_only=False)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        fp = t["fp"].to_numpy(zero_copy_only=False).view(np.uint64)
+        order = np.lexsort((ids, key, band))
+        band, key, ids, fp = band[order], key[order], ids[order], fp[order]
+        new = np.r_[True, (band[1:] != band[:-1]) | (key[1:] != key[:-1])]
+        seg = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        full_len = np.diff(np.r_[starts, len(band)])
+        rank = np.arange(len(band)) - np.repeat(starts, full_len)
+        keep = rank < MAX_LSH_BUCKET
+        ids, fp, seg, rank = ids[keep], fp[keep], seg[keep], rank[keep]
+        n = np.bincount(seg, minlength=seg[-1] + 1) if len(seg) else np.array([], np.int64)
+        reps = n[seg] - rank - 1  # pairs where this row is the FIRST element
+        total = int(reps.sum())
+        if total == 0:
+            return _empty
+        ai = np.repeat(np.arange(len(ids)), reps)
+        off = np.arange(total) - np.repeat(np.cumsum(reps) - reps, reps)
+        bi = ai + off + 1
+        # cheap <=k prefilter first: candidates outnumber matches ~10^4:1,
+        # so the exact popcount only ever runs on the survivors
+        kp = dedup_f.hamming_at_most(fp[ai], fp[bi], SIMHASH_HAMMING_MAX)
+        if not kp.any():
+            return _empty
+        ai, bi = ai[kp], bi[kp]
+        hd = dedup_f.hamming_distance64(fp[ai], fp[bi])
+        return pa.table(
+            {
+                out_a: pa.array(ids[ai], id_pa_type),
+                out_b: pa.array(ids[bi], id_pa_type),
+                "hamming": pa.array(hd),
+            }
         )
 
     pairs = (
-        ds.map_batches(sketch, batch_format="pandas")
-        .groupby(["band", "key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        sketched.map_batches(add_part, batch_format="pandas")
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(
+            pairs_in_part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+        .groupby([out_a, out_b])
+        .aggregate(Min("hamming", alias_name="hamming"))
         .to_pandas()
     )
-    pairs = pairs.sort_values(["doc_a", "doc_b"])
+    pairs = pairs.sort_values([out_a, out_b])
     return pa.table(
         {
-            "doc_a": pa.array(pairs.doc_a.to_numpy(np.int64)),
-            "doc_b": pa.array(pairs.doc_b.to_numpy(np.int64)),
-            "hamming": pa.array(pairs.hamming.to_numpy(np.int64)),
+            out_a: pa.array(pairs[out_a].to_numpy(object), id_pa_type),
+            out_b: pa.array(pairs[out_b].to_numpy(object), id_pa_type),
+            "hamming": pa.array(pairs["hamming"].to_numpy(np.int64)),
         }
     )
 
@@ -776,13 +855,7 @@ def q_phash_neardup(sf_dir: str):
     from . import tiling
 
     ds = tiling.read_images(sf_dir, columns=["image_id", "phash"])
-    _empty = pa.table(
-        {
-            "img_a": pa.array([], pa.string()),
-            "img_b": pa.array([], pa.string()),
-            "hamming": pa.array([], pa.int64()),
-        }
-    )
+    n_rows = ds.count()  # parquet metadata, no read
 
     def sketch(df: pd.DataFrame) -> pd.DataFrame:
         fp = df["phash"].to_numpy(np.int64).view(np.uint64)
@@ -801,40 +874,13 @@ def q_phash_neardup(sf_dir: str):
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame):
-        sub = g.sort_values("image_id").head(MAX_LSH_BUCKET)
-        if len(sub) < 2:
-            return _empty
-        ids = sub["image_id"].to_numpy(object)
-        fps = sub["fp"].to_numpy(np.int64).view(np.uint64)
-        ai, bi = np.triu_indices(len(ids), k=1)
-        hd = dedup_f.hamming_distance64(fps[ai], fps[bi])
-        keep = hd <= SIMHASH_HAMMING_MAX
-        if not keep.any():
-            return _empty
-        return pa.table(
-            {
-                "img_a": pa.array(ids[ai][keep], pa.string()),
-                "img_b": pa.array(ids[bi][keep], pa.string()),
-                "hamming": pa.array(hd[keep].astype(np.int64)),
-            }
-        )
-
-    pairs = (
-        ds.map_batches(sketch, batch_format="pandas")
-        .groupby(["band", "key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["img_a", "img_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
-        .to_pandas()
-    )
-    pairs = pairs.sort_values(["img_a", "img_b"])
-    return pa.table(
-        {
-            "img_a": pa.array(pairs.img_a.astype(str), pa.string()),
-            "img_b": pa.array(pairs.img_b.astype(str), pa.string()),
-            "hamming": pa.array(pairs.hamming.to_numpy(np.int64)),
-        }
+    return _banded_fp_pairs(
+        ds.map_batches(sketch, batch_format="pandas"),
+        n_rows * SIMHASH_BANDS,
+        "image_id",
+        "img_a",
+        "img_b",
+        pa.string(),
     )
 
 

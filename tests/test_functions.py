@@ -153,3 +153,26 @@ class TestImage:
     def test_unknown_format_raises(self):
         with pytest.raises(NotImplementedError):
             image.decode_image(b"xx", "jpeg")
+
+
+def test_hamming_at_most_matches_exact_popcount():
+    """The branchless <=k prefilter must agree with the exact popcount on
+    random u64 pairs and on the k-boundary exactly."""
+    import numpy as np
+
+    from cov_tiles_ray.functions.dedup import hamming_at_most, hamming_distance64
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 2**64, size=5000, dtype=np.uint64)
+    b = rng.integers(0, 2**64, size=5000, dtype=np.uint64)
+    # random pairs (far apart) plus engineered near pairs at 0..6 flipped bits
+    flip = np.uint64(0)
+    near_b = []
+    for k in range(7):
+        near_b.append(a[k] ^ flip)
+        flip = (flip << np.uint64(1)) | np.uint64(1)
+    a = np.concatenate([a, a[:7]])
+    b = np.concatenate([b, np.array(near_b, dtype=np.uint64)])
+    exact = hamming_distance64(a, b)
+    for k in (0, 1, 3, 5):
+        np.testing.assert_array_equal(hamming_at_most(a, b, k), exact <= k, err_msg=f"k={k}")
