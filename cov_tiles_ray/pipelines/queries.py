@@ -1397,7 +1397,10 @@ def q_vocab_topk(sf_dir: str):
         toks = df["text"].astype(str).str.lower().str.split(" ").explode()
         toks = toks[toks.notna() & (toks != "")]
         vc = toks.value_counts()
-        return pd.DataFrame({"tok": vc.index.astype(str), "n": vc.to_numpy(np.int64)})
+        # arrow out: pandas-origin blocks put the groupby shuffle on a
+        # ~10x slower sort path (measured)
+        return pa.table({"tok": pa.array(vc.index.to_numpy(object), pa.string()),
+                         "n": pa.array(vc.to_numpy(np.int64))})
 
     counts = ds.map_batches(partial, batch_format="pandas").groupby("tok").aggregate(Sum("n"))
 
@@ -2099,7 +2102,9 @@ def q_train_split(sf_dir: str):
         h *= np.uint64(_SPLIT_MULT2)
         b = (h % np.uint64(1000)).astype(np.int64)
         split = np.where(b < _SPLIT_TRAIN, "train", np.where(b < _SPLIT_VAL, "val", "test"))
-        return pd.DataFrame({"lang": df["lang"].to_numpy(object), "split": split})
+        # arrow out: keeps the groupby shuffle off the pandas slow path
+        return pa.table({"lang": pa.array(df["lang"].to_numpy(object), pa.string()),
+                         "split": pa.array(split, pa.string())})
 
     return (
         ds.map_batches(assign, batch_format="pandas")
@@ -2150,7 +2155,8 @@ def q_distinctive_terms(sf_dir: str):
     def df_partial(df: pd.DataFrame) -> pd.DataFrame:
         d = _explode(df).drop_duplicates(["doc_id", "tok"])
         vc = d["tok"].value_counts()
-        return pd.DataFrame({"tok": vc.index.astype(str), "c": vc.to_numpy(np.int64)})
+        return pa.table({"tok": pa.array(vc.index.to_numpy(object), pa.string()),
+                         "c": pa.array(vc.to_numpy(np.int64))})
 
     from ray.data.aggregate import Sum
 
@@ -2316,12 +2322,13 @@ def q_pack_sequences(sf_dir: str):
             .to_numpy(np.int64)
         )
         doc = df["doc_id"].to_numpy(np.int64)
-        return pd.DataFrame(
+        # arrow out: this table feeds two shuffles (groupby + map_groups)
+        return pa.table(
             {
-                "doc_id": doc,
-                "lang": df["lang"].to_numpy(object),
-                "n_tokens": n,
-                "bucket": doc // _PACK_BUCKET,
+                "doc_id": pa.array(doc),
+                "lang": pa.array(df["lang"].to_numpy(object), pa.string()),
+                "n_tokens": pa.array(n),
+                "bucket": pa.array(doc // _PACK_BUCKET),
             }
         )
 
@@ -2439,10 +2446,11 @@ def q_user_top_event(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame) -> pa.Table:
         g = df.groupby(["user_id", "event_type"], sort=False).size().reset_index(name="c")
         g["c"] = g["c"].astype(np.int64)
-        return g
+        # arrow out: pandas-origin blocks made this aggregate 10x slower
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     counts = (
         ds.map_batches(partial, batch_format="pandas")
