@@ -217,3 +217,41 @@ def test_embedding_kmeans_lloyd_invariants(ray_session):
                 cents[c] = v[a == c].mean(0)
     inertia = got.groupby("iter")["inertia_x1e6"].sum().to_numpy()
     assert (np.diff(inertia) <= 0).all(), inertia
+
+
+def test_part_candidate_pairs_cap_and_coverage(ray_session, monkeypatch):
+    """The vectorized part-exchange pairing engine must (a) emit exactly
+    the distinct a<b pairs a bruteforce per-bucket enumeration emits, and
+    (b) honor the MAX_LSH_BUCKET cap with lowest-id retention — including
+    a bucket bigger than the cap."""
+    import itertools
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cov_tiles_ray.pipelines import rows_only as ro
+
+    monkeypatch.setattr(ro, "MAX_LSH_BUCKET", 5)
+    rng = np.random.default_rng(3)
+    n = 400
+    rows = {
+        "doc_id": np.arange(n, dtype=np.int64),
+        "band": rng.integers(0, 3, n).astype(np.int64),
+        # key 7 in band 0 made hot (bucket of ~80 > cap 5)
+        "key": np.where(rng.random(n) < 0.2, 7, rng.integers(0, 40, n)).astype(np.int64),
+    }
+    rows["band"] = np.where(rows["key"] == 7, 0, rows["band"])
+    ds = rd.from_arrow(pa.table(rows)).repartition(7)
+    got = (
+        ro._part_candidate_pairs(ds, n * 3)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"], ignore_index=True)
+    )
+
+    exp = set()
+    df = pd.DataFrame(rows)
+    for (_b, _k), g in df.groupby(["band", "key"]):
+        ids = np.sort(g["doc_id"].to_numpy())[:5]
+        exp.update(itertools.combinations(ids.tolist(), 2))
+    exp = pd.DataFrame(sorted(exp), columns=["doc_a", "doc_b"])
+    pd.testing.assert_frame_equal(got, exp)
