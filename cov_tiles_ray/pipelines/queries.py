@@ -2450,7 +2450,7 @@ def q_user_top_event(sf_dir: str):
         g = df.groupby(["user_id", "event_type"], sort=False).size().reset_index(name="c")
         g["c"] = g["c"].astype(np.int64)
         # arrow out: pandas-origin blocks made this aggregate 10x slower
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     counts = (
         ds.map_batches(partial, batch_format="pandas")
@@ -2473,6 +2473,142 @@ def _sql_user_top_event() -> str:
                                     ORDER BY n DESC, event_type) AS rk
           FROM c)
     SELECT user_id, event_type, n FROM r WHERE rk = 1
+    """
+
+
+def q_corr_moments(sf_dir: str):
+    """Distributed correlation via EXACT integer moment sums: per return
+    flag, corr(l_quantity, floor(l_extendedprice) dollars) computed from
+    six integer sums (n, Σq, Σd, Σq², Σd², Σqd) that every batch
+    pre-combines — the float expression runs ONCE on the driver from
+    exact integers, so both engines produce the bit-identical IEEE value
+    (float partial sums would drift with reduce order).  Dollars (not
+    cents) keep Σd² within int64 at any realistic scale (1e5² x 1e10
+    rows < 2^63)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def moments(b: pa.Table) -> pa.Table:
+        q = b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = np.floor(b["l_extendedprice"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        df = pd.DataFrame({"flag": b["l_returnflag"].to_numpy(zero_copy_only=False)})
+        df["n"], df["sq"], df["sd"] = 1, q, d
+        df["sqq"], df["sdd"], df["sqd"] = q * q, d * d, q * d
+        g = df.groupby("flag", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    m = (
+        ds.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("flag")
+        .aggregate(*[Sum(c, alias_name=c) for c in ["n", "sq", "sd", "sqq", "sdd", "sqd"]])
+        .to_pandas()  # bounded by |flag|
+        .sort_values("flag")
+    )
+    import math
+
+    corr = []
+    for _, r in m.iterrows():
+        n, sq, sd = int(r["n"]), int(r["sq"]), int(r["sd"])
+        cov = n * int(r["sqd"]) - sq * sd  # exact python ints (no int64 overflow)
+        vq = n * int(r["sqq"]) - sq * sq
+        vd = n * int(r["sdd"]) - sd * sd
+        corr.append(math.floor(1e6 * (float(cov) / math.sqrt(float(vq) * float(vd)))))
+    m["corr_x1e6"] = np.array(corr, dtype=np.int64)
+    for c in ["n", "sq", "sd", "sqq", "sdd", "sqd"]:
+        m[c] = m[c].astype(np.int64)
+    return m.reset_index(drop=True)
+
+
+def _sql_corr_moments() -> str:
+    return """
+    WITH c AS (SELECT l_returnflag AS flag,
+                      CAST(l_quantity AS BIGINT) AS q,
+                      CAST(floor(l_extendedprice) AS BIGINT) AS d
+               FROM lineitem),
+    m AS (SELECT flag,
+                 CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(q) AS HUGEINT) AS sq, CAST(sum(d) AS HUGEINT) AS sd,
+                 CAST(sum(q * q) AS HUGEINT) AS sqq,
+                 CAST(sum(d * d) AS HUGEINT) AS sdd,
+                 CAST(sum(q * d) AS HUGEINT) AS sqd
+          FROM c GROUP BY flag)
+    SELECT flag,
+           CAST(n AS BIGINT) AS n, CAST(sq AS BIGINT) AS sq, CAST(sd AS BIGINT) AS sd,
+           CAST(sqq AS BIGINT) AS sqq, CAST(sdd AS BIGINT) AS sdd, CAST(sqd AS BIGINT) AS sqd,
+           CAST(floor(1e6 * (CAST(n * sqd - sq * sd AS DOUBLE)
+                / sqrt(CAST(n * sqq - sq * sq AS DOUBLE) * CAST(n * sdd - sd * sd AS DOUBLE))))
+                AS BIGINT) AS corr_x1e6
+    FROM m
+    """
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_user_events(sf_dir: str):
+    """Pivot aggregate: one row per user with a count column per event
+    type (the groupby+FILTER pivot).  Indicator columns are built
+    vectorized per batch (one np.equal per type), partial-summed in the
+    combiner, and finished by one groupby — the exchange carries
+    |users x batches| combiner rows, never events."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"user_id": b["user_id"].to_numpy(zero_copy_only=False)})
+        for t in _EVENT_TYPES:
+            df[f"n_{t}"] = (et == t).astype(np.int64)
+        g = df.groupby("user_id", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    aggs = [Sum(f"n_{t}", alias_name=f"n_{t}") for t in _EVENT_TYPES]
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(*aggs)
+    )
+
+
+def _sql_pivot_user_events() -> str:
+    cols = ",\n           ".join(
+        f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in _EVENT_TYPES
+    )
+    return f"""
+    SELECT user_id,
+           {cols}
+    FROM events GROUP BY user_id
+    """
+
+
+def q_supplier_name_agg(sf_dir: str):
+    """Ordered list aggregate (string_agg / collect_list): per nation, the
+    comma-joined supplier names in name order.  Bounded per-nation groups
+    join their strings vectorized; the one shuffle is the groupby."""
+    ds = _read(sf_dir, "supplier", ["s_nationkey", "s_name"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        names = ",".join(sorted(g["s_name"].astype(str)))
+        return pd.DataFrame(
+            {
+                "s_nationkey": [np.int64(g["s_nationkey"].iloc[0])],
+                "names": [names],
+                "n": [np.int64(len(g))],
+            }
+        )
+
+    return ds.groupby("s_nationkey").map_groups(agg, batch_format="pandas")
+
+
+def _sql_supplier_name_agg() -> str:
+    return """
+    SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+           string_agg(s_name, ',' ORDER BY s_name) AS names,
+           CAST(count(*) AS BIGINT) AS n
+    FROM supplier GROUP BY s_nationkey
     """
 
 
@@ -2517,6 +2653,9 @@ SQL_QUERIES: dict[str, tuple] = {
     "pack_sequences": (q_pack_sequences, _sql_pack_sequences()),
     "events_retention": (q_events_retention, _sql_events_retention()),
     "user_top_event": (q_user_top_event, _sql_user_top_event()),
+    "corr_moments": (q_corr_moments, _sql_corr_moments()),
+    "pivot_user_events": (q_pivot_user_events, _sql_pivot_user_events()),
+    "supplier_name_agg": (q_supplier_name_agg, _sql_supplier_name_agg()),
     "ann_cosine_top5": (q_ann_cosine_top5, _sql_ann_cosine_top5()),
     "embedding_label_stats": (q_embedding_label_centroid_norms, _sql_embedding_label()),
 }

@@ -157,7 +157,7 @@ def _part_candidate_pairs(sketched: rd.Dataset, n_band_rows: int) -> rd.Dataset:
         bk = (df["band"].to_numpy(np.uint64) << np.uint64(32)) | df["key"].to_numpy(
             np.uint64
         )
-        t = pa.Table.from_pandas(df, preserve_index=False)
+        t = pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
         return t.append_column(
             "part", pa.array((synth._splitmix64(bk) % np.uint64(n_parts)).astype(np.int64))
         )
@@ -902,7 +902,7 @@ def _banded_fp_pairs(
         )
         # arrow out: pandas-origin blocks put the part sort on a ~10x
         # slower path (measured on the aggregate shuffle)
-        t = pa.Table.from_pandas(df, preserve_index=False)
+        t = pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
         return t.append_column(
             "part", pa.array((synth._splitmix64(bk) % np.uint64(n_parts)).astype(np.int64))
         )
