@@ -27,6 +27,7 @@ import ray.data as rd
 from ..functions import ann as ann_f
 from ..functions import spatial as S
 from ..functions import text as text_f
+from ..sources import synth
 
 # ---------------------------------------------------------------------------
 # shared derivations
@@ -2612,6 +2613,245 @@ def _sql_supplier_name_agg() -> str:
     """
 
 
+_NTILE_K = 10
+
+
+def q_order_price_deciles(sf_dir: str):
+    """Distributed global NTILE: every order's price decile within its
+    priority class (NTILE(10) OVER (PARTITION BY priority ORDER BY cents,
+    orderkey)) — the window that normally forces a single sorted pass.
+
+    Two-phase exact rank, nothing driver-side scales with rows:
+      1. a (priority, cents) count histogram (bounded by the value
+         domain) gives every tie-group's exclusive START RANK and each
+         priority's total via one driver cumsum, shipped back via ray.put;
+      2. rows hash into parts BY TIE-GROUP (splitmix of priority x cents,
+         so a tie-group never splits); each part sorts its rows once and
+         assigns rank = group start + within-group orderkey position,
+         then the NTILE quotient/remainder formula — all vectorized."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "priority": b["o_orderpriority"],
+                "cents": pa.array(
+                    np.floor(b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def hist(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "priority": t["priority"].to_numpy(zero_copy_only=False),
+                "cents": t["cents"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["priority", "cents"], sort=False).size().reset_index(name="c")
+        g["c"] = g["c"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    hdf = (
+        prepped.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["priority", "cents"])
+        .aggregate(Sum("c", alias_name="n"))
+        .to_pandas()  # bounded by the (priority, cents) domain
+        .sort_values(["priority", "cents"])
+    )
+    hdf["start"] = (hdf.groupby("priority")["n"].cumsum() - hdf["n"]).astype(np.int64)
+    totals = hdf.groupby("priority")["n"].sum().astype(np.int64)
+    lookup_ref = ray.put(
+        (hdf[["priority", "cents", "start"]], dict(zip(totals.index, totals.to_numpy())))
+    )
+    n_parts = 64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        from ..sources.synth import _splitmix64
+
+        # tie-group key: a (priority, cents) group must stay in ONE part.
+        # pd.util.hash_array is a fixed-key siphash — deterministic across
+        # batches/processes (a batch-local factorize would not be)
+        pr = pd.util.hash_array(t["priority"].to_numpy(zero_copy_only=False))
+        key = t["cents"].to_numpy(zero_copy_only=False).astype(np.uint64) ^ pr
+        part = (_splitmix64(key) % np.uint64(n_parts)).astype(np.int64)
+        return t.append_column("part", pa.array(part))
+
+    def rank_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "priority": pa.array([], pa.string()),
+                    "cents": pa.array([], pa.int64()),
+                    "decile": pa.array([], pa.int64()),
+                }
+            )
+        import ray as _ray
+
+        starts_df, tot = _ray.get(lookup_ref)
+        df = pd.DataFrame(
+            {
+                "o_orderkey": t["o_orderkey"].to_numpy(zero_copy_only=False),
+                "priority": t["priority"].to_numpy(zero_copy_only=False),
+                "cents": t["cents"].to_numpy(zero_copy_only=False),
+            }
+        ).sort_values(["priority", "cents", "o_orderkey"])
+        df = df.merge(starts_df, on=["priority", "cents"], how="left")
+        grp = (df["priority"].ne(df["priority"].shift()) | df["cents"].ne(df["cents"].shift())).cumsum()
+        local = df.groupby(grp.values).cumcount().to_numpy(np.int64)
+        rn = df["start"].to_numpy(np.int64) + local + 1  # 1-based global rank
+        n = df["priority"].map(tot).to_numpy(np.int64)
+        q, r = n // _NTILE_K, n % _NTILE_K
+        big = r * (q + 1)
+        tile = np.where(
+            rn <= big,
+            (rn - 1) // np.maximum(q + 1, 1) + 1,
+            r + (rn - big - 1) // np.maximum(q, 1) + 1,
+        )
+        return pa.table(
+            {
+                "o_orderkey": pa.array(df["o_orderkey"].to_numpy(np.int64)),
+                "priority": pa.array(df["priority"].to_numpy(object), pa.string()),
+                "cents": pa.array(df["cents"].to_numpy(np.int64)),
+                "decile": pa.array(tile.astype(np.int64)),
+            }
+        )
+
+    return (
+        prepped.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(rank_part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+
+
+def _sql_order_price_deciles() -> str:
+    return f"""
+    WITH c AS (SELECT o_orderkey, o_orderpriority AS priority,
+                      cast(floor(o_totalprice * 100.0) as bigint) AS cents
+               FROM orders)
+    SELECT o_orderkey, priority, cents,
+           CAST(ntile({_NTILE_K}) OVER (PARTITION BY priority
+                                        ORDER BY cents, o_orderkey) AS BIGINT) AS decile
+    FROM c
+    """
+
+
+_FUNNEL_WINDOW_DAYS = 7
+
+
+def q_signup_conversion(sf_dir: str):
+    """Funnel / sequence detection: for each user with a signup event, did
+    a purchase follow within 7 days of the FIRST signup, and after how
+    many whole days?  (converted = 0/1, days_to_convert = -1 if none.)
+
+    One hash co-partition by user (part-exchange), then each part answers
+    every user vectorized: segment-min signup ts via sorted first-hit,
+    earliest qualifying purchase via searchsorted over the part's
+    purchase rows."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    n_parts = int(max(8, min(4096, ds.count() // 100_000 + 1)))  # metadata count
+
+    def prep(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == "signup") | (et == "purchase")
+        uid = b["user_id"].to_numpy(zero_copy_only=False)[keep]
+        us = (
+            b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)[keep]
+        )
+        part = (synth._splitmix64(uid.astype(np.uint64)) % np.uint64(n_parts)).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "is_signup": pa.array(et[keep] == "signup"),
+                "us": pa.array(us),
+                "part": pa.array(part),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "signup_day": pa.array([], pa.int64()),
+            "converted": pa.array([], pa.int64()),
+            "days_to_convert": pa.array([], pa.int64()),
+        }
+    )
+
+    def funnel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        sg = t["is_signup"].to_numpy(zero_copy_only=False)
+        us = t["us"].to_numpy(zero_copy_only=False)
+        # first signup per user: sort (user, ts) over signup rows, take run heads
+        s_ord = np.lexsort((us[sg], uid[sg]))
+        su, st = uid[sg][s_ord], us[sg][s_ord]
+        head = np.r_[True, su[1:] != su[:-1]]
+        su, st = su[head], st[head]
+        if len(su) == 0:
+            return _empty
+        # earliest purchase at/after each user's signup: merge_asof forward
+        # (vectorized C co-merge — no per-user Python loop)
+        sdf = pd.DataFrame({"user_id": su, "st": st}).sort_values("st", kind="stable")
+        pdf = pd.DataFrame({"user_id": uid[~sg], "pt": us[~sg]}).sort_values(
+            "pt", kind="stable"
+        )
+        m = pd.merge_asof(
+            sdf, pdf, left_on="st", right_on="pt", by="user_id", direction="forward"
+        )
+        has = m["pt"].notna().to_numpy()
+        days = np.where(
+            has, (m["pt"].fillna(0).to_numpy(np.int64) - m["st"].to_numpy(np.int64)), -1
+        ) // 86_400_000_000
+        conv = has & (days <= _FUNNEL_WINDOW_DAYS)
+        return pa.table(
+            {
+                "user_id": pa.array(m["user_id"].to_numpy(np.int64)),
+                "signup_day": pa.array(m["st"].to_numpy(np.int64) // 86_400_000_000),
+                "converted": pa.array(conv.astype(np.int64)),
+                "days_to_convert": pa.array(np.where(conv, days, -1).astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(funnel, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+
+
+def _sql_signup_conversion() -> str:
+    return f"""
+    WITH s AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS st FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+      SELECT s.user_id, s.st, MIN(epoch_us(e.ts)) AS pt
+      FROM s JOIN events e ON e.user_id = s.user_id
+       AND e.event_type = 'purchase' AND epoch_us(e.ts) >= s.st
+      GROUP BY s.user_id, s.st
+    )
+    SELECT s.user_id,
+           s.st // 86400000000 AS signup_day,
+           CAST(CASE WHEN p.pt IS NOT NULL
+                      AND (p.pt - s.st) // 86400000000 <= {_FUNNEL_WINDOW_DAYS}
+                     THEN 1 ELSE 0 END AS BIGINT) AS converted,
+           CAST(CASE WHEN p.pt IS NOT NULL
+                      AND (p.pt - s.st) // 86400000000 <= {_FUNNEL_WINDOW_DAYS}
+                     THEN (p.pt - s.st) // 86400000000 ELSE -1 END AS BIGINT) AS days_to_convert
+    FROM s LEFT JOIN p USING (user_id)
+    """
+
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -2656,6 +2896,8 @@ SQL_QUERIES: dict[str, tuple] = {
     "corr_moments": (q_corr_moments, _sql_corr_moments()),
     "pivot_user_events": (q_pivot_user_events, _sql_pivot_user_events()),
     "supplier_name_agg": (q_supplier_name_agg, _sql_supplier_name_agg()),
+    "order_price_deciles": (q_order_price_deciles, _sql_order_price_deciles()),
+    "signup_conversion": (q_signup_conversion, _sql_signup_conversion()),
     "ann_cosine_top5": (q_ann_cosine_top5, _sql_ann_cosine_top5()),
     "embedding_label_stats": (q_embedding_label_centroid_norms, _sql_embedding_label()),
 }
