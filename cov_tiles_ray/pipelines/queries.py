@@ -2852,6 +2852,225 @@ def _sql_signup_conversion() -> str:
     """
 
 
+def q_order_line_join(sf_dir: str):
+    """Generic LARGE x LARGE inner hash join (orders x lineitem on
+    orderkey), aggregated to revenue per order priority.
+
+    The join is one hash co-partition: both sides tag (part =
+    splitmix(orderkey) % P), union, one part-exchange, and each part
+    resolves its keys with a vectorized argsort/searchsorted probe — the
+    same shape as the pair-payload join, demonstrated here as the
+    standalone relational operator.  The aggregate then runs on the
+    joined rows with a per-part combiner, so only |priority| x parts
+    rows reach the final groupby."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    lines = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    n_parts = int(max(8, min(4096, lines.count() // 200_000 + 1)))
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": b["o_orderkey"],
+                "priority": b["o_orderpriority"],
+                "rev_cents": pa.array(np.zeros(len(k), np.int64)),
+                "is_build": pa.array(np.ones(len(k), bool)),
+                "part": pa.array(
+                    (synth._splitmix64(k.astype(np.uint64)) % np.uint64(n_parts)).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    def tag_lines(b: pa.Table) -> pa.Table:
+        k = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1.0 - disc) * 100.0).astype(np.int64)
+        return pa.table(
+            {
+                "key": b["l_orderkey"],
+                "priority": pa.array(np.full(len(k), "", object), pa.string()),
+                "rev_cents": pa.array(cents),
+                "is_build": pa.array(np.zeros(len(k), bool)),
+                "part": pa.array(
+                    (synth._splitmix64(k.astype(np.uint64)) % np.uint64(n_parts)).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    _empty = pa.table(
+        {"priority": pa.array([], pa.string()), "rev_cents": pa.array([], pa.int64())}
+    )
+
+    def join_part(t: pa.Table) -> pa.Table:
+        isb = t["is_build"].to_numpy(zero_copy_only=False)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        b_idx = np.flatnonzero(isb)
+        p_idx = np.flatnonzero(~isb)
+        if len(b_idx) == 0 or len(p_idx) == 0:
+            return _empty
+        bk = key[b_idx]
+        order = np.argsort(bk)
+        bks = bk[order]
+        pos = np.minimum(np.searchsorted(bks, key[p_idx]), len(bks) - 1)
+        found = bks[pos] == key[p_idx]
+        p_idx = p_idx[found]
+        prio = t["priority"].to_numpy(zero_copy_only=False)[b_idx[order[pos[found]]]]
+        cents = t["rev_cents"].to_numpy(zero_copy_only=False)[p_idx]
+        # per-part combiner: |priority| rows leave the part, not |rows|
+        g = pd.DataFrame({"priority": prio, "rev_cents": cents}).groupby(
+            "priority", sort=False
+        )["rev_cents"].sum()
+        return pa.table(
+            {
+                "priority": pa.array(g.index.to_numpy(object), pa.string()),
+                "rev_cents": pa.array(g.to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        orders.map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True)
+        .union(lines.map_batches(tag_lines, batch_format="pyarrow", zero_copy_batch=True))
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(join_part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby("priority")
+        .aggregate(__import__("ray.data.aggregate", fromlist=["Sum"]).Sum(
+            "rev_cents", alias_name="rev_cents"
+        ))
+    )
+
+
+def _sql_order_line_join() -> str:
+    return """
+    SELECT o_orderpriority AS priority,
+           CAST(sum(cast(floor(l_extendedprice * (1.0 - l_discount) * 100.0) as bigint))
+                AS BIGINT) AS rev_cents
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """
+
+
+_HLL_P = 10  # 2^10 = 1024 registers
+_HLL_M = 1 << _HLL_P
+
+
+def q_hll_distinct_users(sf_dir: str):
+    """Approximate distinct count (HyperLogLog) of event users, with the
+    sketch kept INTEGER-EXACT so the oracle comparison is bit-exact: the
+    register table (bucket, max rho) and the register power sum
+    Σ 2^(54 − rho) are pure integer artifacts of the deterministic
+    splitmix hash (rho = trailing zeros + 1, an integer-only form), and
+    the final float estimate is one fixed-arity IEEE expression over
+    those exact integers — the corr_moments technique applied to a
+    sketch aggregate.
+
+    Shape: per-batch register combiner (max per bucket) -> one 1024-row
+    groupby MAX -> driver computes the estimate; at 10^12 rows the
+    exchange still carries <= batches x 1024 combiner rows."""
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def regs(b: pa.Table) -> pa.Table:
+        h = synth._splitmix64(b["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        bucket = (h & np.uint64(_HLL_M - 1)).astype(np.int64)
+        rest = h >> np.uint64(_HLL_P)
+        # rho = trailing zeros of rest + 1 (integer-only): tz = popcount((x & -x) - 1)
+        low = rest & (~rest + np.uint64(1))
+        tz = np.zeros(len(rest), np.int64)
+        nz = low > 0
+        tzv = np.log2(low[nz].astype(np.float64)).astype(np.int64)  # exact: low is a power of 2
+        tz[nz] = tzv
+        rho = np.where(nz, tz + 1, 54).astype(np.int64)
+        df = pd.DataFrame({"bucket": bucket, "rho": np.minimum(rho, 54)})
+        g = df.groupby("bucket", sort=False)["rho"].max().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    reg = (
+        ds.map_batches(regs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(Max("rho", alias_name="rho"))
+        .to_pandas()  # <= 1024 rows
+        .sort_values("bucket", ignore_index=True)
+    )
+    # exact power sum over ALL m registers (absent bucket -> rho 0 -> 2^54);
+    # python int: the sum can exceed int64 (1024 x 2^54 = 2^64)
+    pow_sum = sum(1 << (54 - int(r)) for r in reg["rho"]) + (_HLL_M - len(reg)) * (1 << 54)
+    import math
+
+    alpha = 0.7213 / (1.0 + 1.079 / _HLL_M)
+    # fixed-arity IEEE expression over exact integers, association mirrored
+    # by the oracle character-for-character
+    est = math.floor(alpha * 1048576.0 * 18014398509481984.0 / float(pow_sum))
+    return pd.DataFrame(
+        {
+            "m_used": [np.int64(len(reg))],
+            "pow_hi": [np.int64(pow_sum >> 32)],
+            "pow_lo": [np.int64(pow_sum & 0xFFFFFFFF)],
+            "estimate": [np.int64(est)],
+        }
+    )
+
+
+def _sql_mul64_lo(x: str, c: int) -> str:
+    """low64(x * c) for HUGEINT x in [0, 2^64) and a 64-bit constant c —
+    the 32-bit limb decomposition keeps every product under 2^65."""
+    c_lo, c_hi = c % 2**32, c // 2**32
+    return (
+        f"((( ({x} // 4294967296) * {c_lo} + ({x} % 4294967296) * {c_hi} ) % 4294967296)"
+        f" * 4294967296 + ({x} % 4294967296) * {c_lo}) % {_U64}"
+    )
+
+
+def _sql_splitmix64(v: str) -> str:
+    """Exact HUGEINT mirror of sources.synth._splitmix64 (validated
+    value-for-value against the numpy kernel)."""
+    x = f"((CAST({v} AS HUGEINT) + {0x9E3779B97F4A7C15}) % {_U64})"
+    z1 = f"(xor({x}, {x} // {1 << 30}))"
+    z2 = f"({_sql_mul64_lo(z1, 0xBF58476D1CE4E5B9)})"
+    z3 = f"(xor({z2}, {z2} // {1 << 27}))"
+    z4 = f"({_sql_mul64_lo(z3, 0x94D049BB133111EB)})"
+    return f"xor({z4}, {z4} // {1 << 31})"
+
+
+def _sql_hll_distinct_users() -> str:
+    alpha = 0.7213 / (1.0 + 1.079 / _HLL_M)
+    return f"""
+    WITH z AS (
+      SELECT {_sql_splitmix64("user_id")} AS z FROM events
+    ), r AS (
+      SELECT CAST(z % {_HLL_M} AS BIGINT) AS bucket, z // {_HLL_M} AS rest FROM z
+    ), rh AS (
+      SELECT bucket,
+             CASE WHEN rest = 0 THEN 54
+                  ELSE LEAST(CAST(bit_count((rest & ({_U64} - rest)) - 1) AS BIGINT) + 1, 54)
+             END AS rho
+      FROM r
+    ), reg AS (
+      SELECT bucket, MAX(rho) AS rho FROM rh GROUP BY bucket
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS m_used,
+             SUM(CAST(1 AS HUGEINT) << (54 - rho)) AS ps FROM reg
+    ), tot AS (
+      SELECT m_used,
+             ps + ({_HLL_M} - m_used) * (CAST(1 AS HUGEINT) << 54) AS pow_sum
+      FROM s
+    )
+    SELECT m_used,
+           CAST(pow_sum // 4294967296 AS BIGINT) AS pow_hi,
+           CAST(pow_sum % 4294967296 AS BIGINT) AS pow_lo,
+           CAST(floor(CAST({alpha!r} AS DOUBLE) * 1048576.0 * 18014398509481984.0
+                      / CAST(pow_sum AS DOUBLE)) AS BIGINT) AS estimate
+    FROM tot
+    """
+
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -2898,6 +3117,8 @@ SQL_QUERIES: dict[str, tuple] = {
     "supplier_name_agg": (q_supplier_name_agg, _sql_supplier_name_agg()),
     "order_price_deciles": (q_order_price_deciles, _sql_order_price_deciles()),
     "signup_conversion": (q_signup_conversion, _sql_signup_conversion()),
+    "order_line_join": (q_order_line_join, _sql_order_line_join()),
+    "hll_distinct_users": (q_hll_distinct_users, _sql_hll_distinct_users()),
     "ann_cosine_top5": (q_ann_cosine_top5, _sql_ann_cosine_top5()),
     "embedding_label_stats": (q_embedding_label_centroid_norms, _sql_embedding_label()),
 }
