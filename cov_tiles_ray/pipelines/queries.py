@@ -3071,6 +3071,354 @@ def _sql_hll_distinct_users() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# session-5 additions: quadkeys, radius join, hex stencil, exact image dedup
+# ---------------------------------------------------------------------------
+
+_QK_Z = 10
+
+
+def q_quadkey_tiles(sf_dir: str):
+    """Bing-style quadkey assignment at z10 (the reference's Bing corpus is
+    quadkey-addressed: evaluation/java .../mvt/MvtUtils.java reads Bing
+    tiles by z/x/y; quadkeys are the equivalent interleaved addressing) —
+    one row per occupied quadkey with its point count.
+
+    Scale shape: digits are pure bit math over the batch (no shuffle until
+    the per-batch np.unique combiner has collapsed rows to distinct keys)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = _event_lonlat(eid)
+        tx, ty = S.lonlat_to_tile(lon, lat, _QK_Z)
+        tx = tx.astype(np.int64)
+        ty = ty.astype(np.int64)
+        qk = np.zeros(len(eid), np.int64)
+        for i in range(_QK_Z):
+            k = _QK_Z - 1 - i
+            qk = qk * 10 + (2 * ((ty >> k) & 1) + ((tx >> k) & 1))
+        u, c = np.unique(qk, return_counts=True)
+        return pa.table({"qk": pa.array(u), "n": pa.array(c.astype(np.int64))})
+
+    counts = (
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("qk")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        qs = df["qk"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "quadkey": [str(v).zfill(_QK_Z) for v in qs],
+                "n": df["n"].to_numpy(np.int64),
+            }
+        )
+
+    return counts.map_batches(fmt, batch_format="pandas")
+
+
+def _sql_quadkey_tiles() -> str:
+    z = _QK_Z
+    n = 1 << z
+    mx, my = _mercator_sql("lon", "lat")
+    tx = f"cast(least(greatest(floor(({mx}) * {n}.0), 0.0), {n - 1}.0) as bigint)"
+    ty = f"cast(least(greatest(floor(({my}) * {n}.0), 0.0), {n - 1}.0) as bigint)"
+    digits = " || ".join(
+        f"CAST((2 * ((ty >> {z - 1 - i}) & 1) + ((tx >> {z - 1 - i}) & 1)) AS VARCHAR)"
+        for i in range(z)
+    )
+    return f"""
+    WITH pts AS (SELECT {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events),
+    t AS (SELECT {tx} AS tx, {ty} AS ty FROM pts)
+    SELECT {digits} AS quadkey, CAST(count(*) AS BIGINT) AS n
+    FROM t GROUP BY 1
+    """
+
+
+# radius join: threshold in normalized-mercator plane units (grid-friendly
+# and exactly mirrorable in SQL; a km threshold would make the guarantee
+# radius lat-dependent under mercator stretch).  0.018 ~ 2000 km at the
+# equator — sized so the hash-sampled corpus yields pairs at every sf.
+_RADIUS_D = 0.018
+
+
+def q_geo_radius_join(sf_dir: str):
+    """Spatial radius self-join: all pairs of (hash-sampled 1/8) event
+    points within euclidean distance D in the normalized mercator plane.
+
+    Scale shape: grid-bucket candidate generation — each point emits to
+    the 3x3 neighborhood of its D-sized grid cell, candidates co-locate by
+    one part-exchange, and each pair is counted exactly once via the
+    (home-cell order, id order) ownership rule.  All-pairs work is bounded
+    by local density, never corpus size; the oracle is the O(n^2) join the
+    engine must NOT do.  The emitted distance is quantized at 1e9 (not
+    finer): numpy and DuckDB libm tan/ln differ in the last ulp, so a
+    1e15-scale floor flips on ~1e-3 of pairs — at 1e9 the flip
+    probability is ~2e-9 per pair."""
+    ds = _read(sf_dir, "events", ["event_id"])
+    d = _RADIUS_D
+    n_rows = ds.count()
+    n_parts = int(max(8, min(4096, (n_rows // 8 * 9) // 50_000 + 1)))
+
+    offs = np.array([(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], np.int64)
+    is_center = (offs[:, 0] == 0) & (offs[:, 1] == 0)
+
+    def prep(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        eid = eid[synth._splitmix64(eid.astype(np.uint64)) % np.uint64(8) == 0]
+        lon, lat = _event_lonlat(eid)
+        mx, my = S.mercator_xy(lon, lat)
+        cx = np.floor(mx / d).astype(np.int64)
+        cy = np.floor(my / d).astype(np.int64)
+        home = (cx + 2) * (1 << 32) + (cy + 2)
+        k = len(offs)
+        cell = (
+            (cx[:, None] + offs[None, :, 0] + 2) * (1 << 32)
+            + (cy[:, None] + offs[None, :, 1] + 2)
+        ).reshape(-1)
+        part = (synth._splitmix64(cell.astype(np.uint64)) % np.uint64(n_parts)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "cell": pa.array(cell),
+                "home": pa.array(np.repeat(home, k)),
+                "eid": pa.array(np.repeat(eid, k)),
+                "mx": pa.array(np.repeat(mx, k)),
+                "my": pa.array(np.repeat(my, k)),
+                "is_home": pa.array(np.tile(is_center, len(eid))),
+                "part": pa.array(part),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "d2_e9": pa.array([], pa.int64()),
+        }
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        cell = t["cell"].to_numpy(zero_copy_only=False)
+        home = t["home"].to_numpy(zero_copy_only=False)
+        eid = t["eid"].to_numpy(zero_copy_only=False)
+        mx = t["mx"].to_numpy(zero_copy_only=False)
+        my = t["my"].to_numpy(zero_copy_only=False)
+        is_home = t["is_home"].to_numpy(zero_copy_only=False)
+        # sort cell-major, home rows first within each cell
+        order = np.lexsort((~is_home, cell))
+        cell, home, eid, mx, my, is_home = (
+            a[order] for a in (cell, home, eid, mx, my, is_home)
+        )
+        starts = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1]])
+        lens = np.diff(np.r_[starts, len(cell)])
+        homes = np.add.reduceat(is_home.astype(np.int64), starts)
+        tot = homes * lens
+        keep_run = tot > 0
+        s, L, H, T = starts[keep_run], lens[keep_run], homes[keep_run], tot[keep_run]
+        if len(s) == 0:
+            return _empty
+        grand = int(T.sum())
+        run = np.repeat(np.arange(len(s)), T)
+        p = np.arange(grand) - np.repeat(np.r_[0, np.cumsum(T)[:-1]], T)
+        a = s[run] + p // L[run]
+        b = s[run] + p % L[run]
+        m = a != b
+        a, b = a[m], b[m]
+        ha, hb = home[a], home[b]
+        keep = (ha < hb) | ((ha == hb) & is_home[b] & (eid[a] < eid[b]))
+        a, b = a[keep], b[keep]
+        dx = mx[a] - mx[b]
+        dy = my[a] - my[b]
+        d2 = dx * dx + dy * dy
+        hit = d2 < d * d
+        a, b, d2 = a[hit], b[hit], d2[hit]
+        lo = np.minimum(eid[a], eid[b])
+        hi = np.maximum(eid[a], eid[b])
+        return pa.table(
+            {
+                "id_a": pa.array(lo),
+                "id_b": pa.array(hi),
+                "d2_e9": pa.array(np.floor(d2 * 1e9).astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(pairs, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+
+
+def _sql_geo_radius_join() -> str:
+    d = _RADIUS_D
+    mx, my = _mercator_sql("lon", "lat")
+    return f"""
+    WITH s AS (
+      SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events
+      WHERE ({_sql_splitmix64("event_id")}) % 8 = 0
+    ), m AS (
+      SELECT event_id, {mx} AS mx, {my} AS my FROM s
+    )
+    SELECT a.event_id AS id_a, b.event_id AS id_b,
+           CAST(floor(((a.mx - b.mx) * (a.mx - b.mx)
+                       + (a.my - b.my) * (a.my - b.my)) * 1e9) AS BIGINT) AS d2_e9
+    FROM m a JOIN m b ON a.event_id < b.event_id
+    WHERE (a.mx - b.mx) * (a.mx - b.mx) + (a.my - b.my) * (a.my - b.my) < {d * d!r}
+    """
+
+
+_RING_RES = 5
+
+
+def q_hex_ring_density(sf_dir: str):
+    """Hex-grid stencil / neighborhood smoothing: per occupied res-5 cell,
+    its own point count and the total over its k=1 ring (7 cells).
+
+    Scale shape: a grid convolution as two bounded shuffles — per-batch
+    np.unique combiner -> groupby sum (distinct cells, not points), then
+    each cell fans out 7 stencil contributions (pure int64 math on packed
+    ids) into a second groupby.  No point-level data ever re-shuffles."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_id"])
+    offs = S.k_ring_offsets(1)  # (7, 2) incl. center
+
+    def cnt(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = _event_lonlat(eid)
+        cell = S.lonlat_to_hex(lon, lat, _RING_RES)
+        u, c = np.unique(cell, return_counts=True)
+        return pa.table({"cell": pa.array(u), "n": pa.array(c.astype(np.int64))})
+
+    counts = (
+        ds.map_batches(cnt, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cell")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def stencil(b: pa.Table) -> pa.Table:
+        cell = b["cell"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False)
+        k = len(offs)
+        tgt = (cell[:, None] + offs[None, :, 0] * (1 << 26) + offs[None, :, 1]).reshape(-1)
+        contrib = np.repeat(n, k)
+        center = np.tile((offs[:, 0] == 0) & (offs[:, 1] == 0), len(cell))
+        own = np.where(center, contrib, 0)
+        return pa.table(
+            {"cell": pa.array(tgt), "contrib": pa.array(contrib), "own": pa.array(own)}
+        )
+
+    dens = (
+        counts.map_batches(stencil, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cell")
+        .aggregate(Sum("contrib", alias_name="ring_n"), Sum("own", alias_name="n"))
+    )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["n"] > 0]
+        return pd.DataFrame(
+            {
+                "cell": df["cell"].to_numpy(np.int64),
+                "n": df["n"].to_numpy(np.int64),
+                "ring_n": df["ring_n"].to_numpy(np.int64),
+            }
+        )
+
+    return dens.map_batches(fin, batch_format="pandas")
+
+
+def _sql_hex_ring_density() -> str:
+    offs = S.k_ring_offsets(1)
+    deltas = ", ".join(str(int(dq) * (1 << 26) + int(dr)) for dq, dr in offs)
+    return f"""
+    WITH pts AS (SELECT {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events),
+    c AS (
+      SELECT {_hex_sql(_RING_RES)} AS cell, CAST(count(*) AS BIGINT) AS n
+      FROM pts GROUP BY 1
+    ),
+    o AS (SELECT unnest([{deltas}]) AS dlt)
+    SELECT a.cell, a.n, CAST(SUM(b.n) AS BIGINT) AS ring_n
+    FROM c a, o
+    JOIN c b ON b.cell = a.cell + o.dlt
+    GROUP BY a.cell, a.n
+    """
+
+
+def q_image_exact_dedup(sf_dir: str):
+    """Exact byte-level image dedup over the image corpus: one row per
+    duplicated content group (same encoded bytes) with the kept (minimum)
+    image id and the copy count.
+
+    Scale shape: each blob is digested where it is read (md5 -> 8-byte
+    key), so only (key, id) rides the groupby — image bytes never enter
+    the shuffle (SURVEY §7.5 'bytes out of the shuffle' rule).  The
+    oracle groups the raw BLOB column directly."""
+    import hashlib
+
+    from ray.data.aggregate import Count, Min
+
+    from . import tiling
+
+    images = tiling.read_images(sf_dir, columns=["image_id", "bytes"])
+
+    def digest(b: pa.Table) -> pa.Table:
+        ids = b["image_id"].to_pylist()
+        nums = np.array([int(s[3:]) for s in ids], np.int64)
+        keys = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(x).digest()[:8], "little") - (1 << 63)
+                for x in b["bytes"].to_pylist()
+            ),
+            np.int64,
+            b.num_rows,
+        )
+        return pa.table({"k": pa.array(keys), "idnum": pa.array(nums)})
+
+    g = (
+        images.map_batches(digest, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k")
+        .aggregate(Min("idnum", alias_name="mn"), Count(alias_name="n_copies"))
+    )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["n_copies"] > 1]
+        return pd.DataFrame(
+            {
+                "keep_image_id": [
+                    f"img{v:012d}" for v in df["mn"].to_numpy(np.int64)
+                ],
+                "n_copies": df["n_copies"].to_numpy(np.int64),
+            }
+        )
+
+    return g.map_batches(fin, batch_format="pandas")
+
+
+def _sql_image_exact_dedup(sf: float = 0.01) -> str:
+    import os
+
+    from ..sources import synth as _synth
+
+    path = os.path.join(_synth.CACHE_DIR, f"images_sf{sf:g}", "*.parquet")
+    return f"""
+    SELECT 'img' || lpad(CAST(mn AS VARCHAR), 12, '0') AS keep_image_id, n_copies
+    FROM (
+      SELECT MIN(CAST(substr(image_id, 4) AS BIGINT)) AS mn,
+             CAST(count(*) AS BIGINT) AS n_copies
+      FROM read_parquet('{path}') GROUP BY bytes
+    )
+    WHERE n_copies > 1
+    """
+
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -3119,6 +3467,10 @@ SQL_QUERIES: dict[str, tuple] = {
     "signup_conversion": (q_signup_conversion, _sql_signup_conversion()),
     "order_line_join": (q_order_line_join, _sql_order_line_join()),
     "hll_distinct_users": (q_hll_distinct_users, _sql_hll_distinct_users()),
+    "quadkey_tiles": (q_quadkey_tiles, _sql_quadkey_tiles()),
+    "geo_radius_join": (q_geo_radius_join, _sql_geo_radius_join()),
+    "hex_ring_density": (q_hex_ring_density, _sql_hex_ring_density()),
+    "image_exact_dedup": (q_image_exact_dedup, _sql_image_exact_dedup()),
     "ann_cosine_top5": (q_ann_cosine_top5, _sql_ann_cosine_top5()),
     "embedding_label_stats": (q_embedding_label_centroid_norms, _sql_embedding_label()),
 }

@@ -55,18 +55,24 @@ def sql_query_names():
 def test_sql_query_matches_oracle(name, con, ray_session):
     from cov_tiles_ray.pipelines.queries import (
         SQL_QUERIES,
+        _sql_image_exact_dedup,
         _sql_phash_dedup,
         _sql_phash_neardup,
     )
 
     fn, sql = SQL_QUERIES[name]
-    if name in ("phash_dedup", "phash_neardup"):
+    corpus_sql = {
+        "phash_dedup": _sql_phash_dedup,
+        "phash_neardup": _sql_phash_neardup,
+        "image_exact_dedup": _sql_image_exact_dedup,
+    }
+    if name in corpus_sql:
         # registered SQL targets the driver's sf0.01 corpus; rebuild for
         # this test's scale (and make sure the cache exists for DuckDB)
         from cov_tiles_ray.sources import synth
 
         synth.images_parquet_path(0.001)
-        sql = _sql_phash_dedup(0.001) if name == "phash_dedup" else _sql_phash_neardup(0.001)
+        sql = corpus_sql[name](0.001)
     got = _normalize(_to_df(fn(SF_DIR)))
     want = _normalize(con.execute(sql).fetchdf())
     assert list(got.columns) == list(want.columns), f"{name}: column mismatch"
