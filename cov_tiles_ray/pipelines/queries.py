@@ -3419,6 +3419,431 @@ def _sql_image_exact_dedup(sf: float = 0.01) -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# session-5 batch 2: chunking, sampling, windows, set ops, outer join, sizes
+# ---------------------------------------------------------------------------
+
+_CHUNK_LEN, _CHUNK_STRIDE = 500, 400
+
+
+def q_doc_chunks(sf_dir: str):
+    """Training-data chunking: split each document into overlapping
+    fixed-size character chunks (len 500, stride 400) with per-chunk
+    content hashes — the explode stage every context-window pipeline
+    needs before packing.
+
+    Scale shape: a pure flat-map (no shuffle); chunk counts derive from
+    integer math so both engines enumerate identical chunk grids.  The
+    per-chunk substring+md5 loop is per-CHUNK work (string copies can't
+    vectorize further), not a per-row scalar op."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    L, St = _CHUNK_LEN, _CHUNK_STRIDE
+
+    def chunks(df: pd.DataFrame) -> pd.DataFrame:
+        txt = df["text"].astype(str).to_numpy(object)
+        did = df["doc_id"].to_numpy(np.int64)
+        n = np.fromiter((len(t) for t in txt), np.int64, len(txt))
+        k = (np.maximum(n - L, 0) + St - 1) // St + 1
+        rep = np.repeat(np.arange(len(txt)), k)
+        idx = np.arange(len(rep)) - np.repeat(np.r_[0, np.cumsum(k)[:-1]], k)
+        starts = idx * St
+        pieces = [txt[r][s : s + L] for r, s in zip(rep, starts)]
+        # two's-complement int64 view of DuckDB's md5_number_lower
+        # (little-endian last 8 digest bytes)
+        hashes = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(p.encode()).digest()[8:], "little", signed=True)
+                for p in pieces
+            ),
+            np.int64,
+            len(pieces),
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": did[rep],
+                "chunk_idx": idx,
+                "start": starts,
+                "chunk_len": np.fromiter((len(p) for p in pieces), np.int64, len(pieces)),
+                "chunk_hash": hashes,
+            }
+        )
+
+    return ds.map_batches(chunks, batch_format="pandas")
+
+
+def _sql_doc_chunks() -> str:
+    L, St = _CHUNK_LEN, _CHUNK_STRIDE
+    return f"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n,
+             (GREATEST(length(text) - {L}, 0) + {St - 1}) // {St} + 1 AS k
+      FROM documents
+    ), series AS (
+      SELECT unnest(generate_series(0, (SELECT MAX(k) - 1 FROM d))) AS i
+    ), c AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, CAST(i * {St} AS BIGINT) AS start,
+             substr(text, CAST(i * {St} + 1 AS BIGINT), {L}) AS chunk
+      FROM d JOIN series ON series.i < d.k
+    )
+    SELECT doc_id, chunk_idx, start,
+           CAST(length(chunk) AS BIGINT) AS chunk_len,
+           CAST(CASE WHEN h >= CAST({1 << 63} AS HUGEINT) THEN h - {_U64} ELSE h END AS BIGINT) AS chunk_hash
+    FROM (SELECT *, CAST(md5_number_lower(chunk) AS HUGEINT) AS h FROM c)
+    """
+
+
+_SAMPLE_K = 64
+
+
+def q_corpus_sample_topk(sf_dir: str):
+    """Deterministic exact-k global uniform sample: the k documents with
+    the smallest splitmix64(doc_id) — the distributed bottom-k-by-hash
+    sampler (reservoir sampling is order-dependent and therefore not
+    retry/partitioning-stable; bottom-k by a counter hash is).
+
+    Scale shape: each block emits only its local bottom-k, the driver
+    merges blocks x k candidate rows."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"].to_numpy(np.int64)
+        h = synth._splitmix64(did.astype(np.uint64))
+        o = np.argsort(h, kind="stable")[:_SAMPLE_K]
+        return pd.DataFrame({"doc_id": did[o], "hu": h[o]})
+
+    cand = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(["hu", "doc_id"], ignore_index=True).head(_SAMPLE_K)
+    h_signed = cand["hu"].to_numpy(np.uint64).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(cand["doc_id"].to_numpy(np.int64)),
+            "h": pa.array(h_signed),
+        }
+    )
+
+
+def _sql_corpus_sample_topk() -> str:
+    return f"""
+    SELECT doc_id,
+           CAST(CASE WHEN hu >= CAST({1 << 63} AS HUGEINT) THEN hu - {_U64} ELSE hu END AS BIGINT) AS h
+    FROM (SELECT doc_id, ({_sql_splitmix64("doc_id")}) AS hu FROM documents)
+    ORDER BY hu, doc_id LIMIT {_SAMPLE_K}
+    """
+
+
+def q_event_gaps(sf_dir: str):
+    """Lead/lag window op: per user, the consecutive-event time-gap
+    profile (event count, max gap, gaps over one hour).  Gap multiset =
+    diffs of the sorted timestamp multiset, so the result is independent
+    of tie order on equal timestamps.
+
+    Scale shape: one user-hashed part-exchange, then each part resolves
+    all its users with one lexsort + vectorized diff + two grouped
+    reductions — no per-user Python loop."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    n_parts = int(max(8, min(4096, ds.count() // 100_000 + 1)))
+    _HOUR_US = 3_600_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        us = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        part = (synth._splitmix64(uid.astype(np.uint64)) % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({"user_id": pa.array(uid), "us": pa.array(us), "part": pa.array(part)})
+
+    _empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "max_gap_us": pa.array([], pa.int64()),
+            "gaps_over_1h": pa.array([], pa.int64()),
+        }
+    )
+
+    def gaps(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        us = t["us"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((us, uid))
+        uid, us = uid[o], us[o]
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        lens = np.diff(np.r_[starts, len(uid)])
+        d = us[1:] - us[:-1]
+        same = uid[1:] == uid[:-1]
+        # per-user reductions over the gap array (gaps sit at positions
+        # start..start+len-2 of d, all flagged `same`)
+        dm = np.where(same, d, -1)
+        over = np.where(same, (d > _HOUR_US).astype(np.int64), 0)
+        # reduceat over run starts clipped into d's index space
+        s_clip = np.minimum(starts, len(d) - 1) if len(d) else starts
+        max_gap = (
+            np.maximum.reduceat(dm, s_clip)
+            if len(d)
+            else np.full(len(starts), -1, np.int64)
+        )
+        n_over = (
+            np.add.reduceat(over, s_clip) if len(d) else np.zeros(len(starts), np.int64)
+        )
+        # runs of length 1 whose start lands on a foreign gap position
+        max_gap = np.where(lens > 1, max_gap, -1)
+        n_over = np.where(lens > 1, n_over, 0)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts]),
+                "n_events": pa.array(lens.astype(np.int64)),
+                "max_gap_us": pa.array(max_gap.astype(np.int64)),
+                "gaps_over_1h": pa.array(n_over.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(gaps, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+
+
+def _sql_event_gaps() -> str:
+    return """
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS d
+      FROM events
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(COALESCE(MAX(d), -1) AS BIGINT) AS max_gap_us,
+           CAST(COALESCE(SUM(CASE WHEN d > 3600000000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS gaps_over_1h
+    FROM g GROUP BY user_id
+    """
+
+
+_RICH_BAL = 5000.0
+
+
+def q_nation_setops(sf_dir: str):
+    """Distributed set algebra (UNION / INTERSECT / EXCEPT in one pass):
+    nations having rich customers vs nations having rich suppliers —
+    one row per nation in either set with membership flags (intersect =
+    both flags, except = exactly one).
+
+    Scale shape: both sides reduce to distinct keys inside map_batches
+    (per-batch np.unique), then one tiny flag groupby."""
+    from ray.data.aggregate import Max
+
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+    supp = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+
+    def side(key: str, bal: str, flag: str):
+        def f(b: pa.Table) -> pa.Table:
+            nk = b[key].to_numpy(zero_copy_only=False)
+            keep = b[bal].to_numpy(zero_copy_only=False) > _RICH_BAL
+            u = np.unique(nk[keep]).astype(np.int64)
+            return pa.table(
+                {
+                    "nationkey": pa.array(u),
+                    "in_customers": pa.array(
+                        np.full(len(u), 1 if flag == "c" else 0, np.int64)
+                    ),
+                    "in_suppliers": pa.array(
+                        np.full(len(u), 1 if flag == "s" else 0, np.int64)
+                    ),
+                }
+            )
+
+        return f
+
+    both = cust.map_batches(side("c_nationkey", "c_acctbal", "c"), batch_format="pyarrow", zero_copy_batch=True).union(
+        supp.map_batches(side("s_nationkey", "s_acctbal", "s"), batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return both.groupby("nationkey").aggregate(
+        Max("in_customers", alias_name="in_customers"),
+        Max("in_suppliers", alias_name="in_suppliers"),
+    )
+
+
+def _sql_nation_setops() -> str:
+    return f"""
+    SELECT nationkey, CAST(MAX(c) AS BIGINT) AS in_customers,
+           CAST(MAX(s) AS BIGINT) AS in_suppliers
+    FROM (
+      SELECT c_nationkey AS nationkey, 1 AS c, 0 AS s FROM customer WHERE c_acctbal > {_RICH_BAL}
+      UNION ALL
+      SELECT s_nationkey, 0, 1 FROM supplier WHERE s_acctbal > {_RICH_BAL}
+    ) GROUP BY nationkey
+    """
+
+
+def q_customer_order_coverage(sf_dir: str):
+    """LEFT OUTER join with null-preserving aggregate: per nation, how
+    many customers exist, how many have at least one finished ('F')
+    order, and the total finished-order count.
+
+    Scale shape: the same hash co-partition engine as order_line_join
+    but OUTER — unmatched build rows survive with zero counts; each part
+    emits only per-nation partials so the final groupby is tiny."""
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+    n_parts = int(max(8, min(4096, orders.count() // 200_000 + 1)))
+
+    def tag_cust(b: pa.Table) -> pa.Table:
+        k = b["c_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": pa.array(np.asarray(k, np.int64)),
+                "nationkey": pa.array(
+                    b["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "is_build": pa.array(np.ones(len(k), bool)),
+                "part": pa.array(
+                    (synth._splitmix64(k.astype(np.uint64)) % np.uint64(n_parts)).astype(np.int64)
+                ),
+            }
+        )
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        st = b["o_orderstatus"].to_numpy(zero_copy_only=False)
+        k = b["o_custkey"].to_numpy(zero_copy_only=False)[st == "F"]
+        return pa.table(
+            {
+                "key": pa.array(k),
+                "nationkey": pa.array(np.full(len(k), -1, np.int64)),
+                "is_build": pa.array(np.zeros(len(k), bool)),
+                "part": pa.array(
+                    (synth._splitmix64(k.astype(np.uint64)) % np.uint64(n_parts)).astype(np.int64)
+                ),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "nationkey": pa.array([], pa.int64()),
+            "n_customers": pa.array([], pa.int64()),
+            "n_with_orders": pa.array([], pa.int64()),
+            "n_orders": pa.array([], pa.int64()),
+        }
+    )
+
+    def outer_part(t: pa.Table) -> pa.Table:
+        isb = t["is_build"].to_numpy(zero_copy_only=False)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        nk = t["nationkey"].to_numpy(zero_copy_only=False)
+        b_idx = np.flatnonzero(isb)
+        if len(b_idx) == 0:
+            return _empty
+        bk = key[b_idx]
+        order = np.argsort(bk, kind="stable")
+        bks = bk[order]
+        pk = key[~isb]
+        # per-customer order count via sorted counting
+        cnt = np.zeros(len(bks), np.int64)
+        if len(pk):
+            pos = np.searchsorted(bks, pk)
+            ok = (pos < len(bks)) & (bks[np.minimum(pos, len(bks) - 1)] == pk)
+            np.add.at(cnt, pos[ok], 1)
+        g = pd.DataFrame(
+            {
+                "nationkey": nk[b_idx[order]],
+                "one": 1,
+                "has": (cnt > 0).astype(np.int64),
+                "n": cnt,
+            }
+        ).groupby("nationkey", sort=False).sum()
+        return pa.table(
+            {
+                "nationkey": pa.array(g.index.to_numpy(np.int64)),
+                "n_customers": pa.array(g["one"].to_numpy(np.int64)),
+                "n_with_orders": pa.array(g["has"].to_numpy(np.int64)),
+                "n_orders": pa.array(g["n"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        cust.map_batches(tag_cust, batch_format="pyarrow", zero_copy_batch=True)
+        .union(orders.map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True))
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(outer_part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby("nationkey")
+        .aggregate(
+            Sum("n_customers", alias_name="n_customers"),
+            Sum("n_with_orders", alias_name="n_with_orders"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+    )
+
+
+def _sql_customer_order_coverage() -> str:
+    return """
+    WITH oc AS (
+      SELECT o_custkey, count(*) AS n FROM orders
+      WHERE o_orderstatus = 'F' GROUP BY o_custkey
+    )
+    SELECT c_nationkey AS nationkey,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN oc.n IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_orders,
+           CAST(COALESCE(SUM(oc.n), 0) AS BIGINT) AS n_orders
+    FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+    GROUP BY c_nationkey
+    """
+
+
+def q_image_size_stats(sf_dir: str):
+    """Storage profile of the image corpus: per encoding format, blob
+    count and total/min/max encoded size.
+
+    Scale shape: lengths come from pa.compute.binary_length on the
+    zero-copy batch and a per-batch combiner collapses to one row per
+    (fmt x batch) — image bytes never leave the read task."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from . import tiling
+
+    images = tiling.read_images(sf_dir, columns=["fmt", "bytes"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ln = pc.binary_length(b["bytes"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"fmt": b["fmt"].to_pylist(), "ln": ln})
+        g = df.groupby("fmt", sort=False)["ln"].agg(["count", "sum", "min", "max"])
+        return pa.table(
+            {
+                "fmt": pa.array(g.index.to_numpy(object), pa.string()),
+                "n": pa.array(g["count"].to_numpy(np.int64)),
+                "total_bytes": pa.array(g["sum"].to_numpy(np.int64)),
+                "min_bytes": pa.array(g["min"].to_numpy(np.int64)),
+                "max_bytes": pa.array(g["max"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        images.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("fmt")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("total_bytes", alias_name="total_bytes"),
+            Min("min_bytes", alias_name="min_bytes"),
+            Max("max_bytes", alias_name="max_bytes"),
+        )
+    )
+
+
+def _sql_image_size_stats(sf: float = 0.01) -> str:
+    import os
+
+    from ..sources import synth as _synth
+
+    path = os.path.join(_synth.CACHE_DIR, f"images_sf{sf:g}", "*.parquet")
+    return f"""
+    SELECT fmt, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(octet_length(bytes)) AS BIGINT) AS total_bytes,
+           CAST(MIN(octet_length(bytes)) AS BIGINT) AS min_bytes,
+           CAST(MAX(octet_length(bytes)) AS BIGINT) AS max_bytes
+    FROM read_parquet('{path}') GROUP BY fmt
+    """
+
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -3467,6 +3892,15 @@ SQL_QUERIES: dict[str, tuple] = {
     "signup_conversion": (q_signup_conversion, _sql_signup_conversion()),
     "order_line_join": (q_order_line_join, _sql_order_line_join()),
     "hll_distinct_users": (q_hll_distinct_users, _sql_hll_distinct_users()),
+    "doc_chunks": (q_doc_chunks, _sql_doc_chunks()),
+    "corpus_sample_topk": (q_corpus_sample_topk, _sql_corpus_sample_topk()),
+    "event_gaps": (q_event_gaps, _sql_event_gaps()),
+    "nation_setops": (q_nation_setops, _sql_nation_setops()),
+    "customer_order_coverage": (
+        q_customer_order_coverage,
+        _sql_customer_order_coverage(),
+    ),
+    "image_size_stats": (q_image_size_stats, _sql_image_size_stats()),
     "quadkey_tiles": (q_quadkey_tiles, _sql_quadkey_tiles()),
     "geo_radius_join": (q_geo_radius_join, _sql_geo_radius_join()),
     "hex_ring_density": (q_hex_ring_density, _sql_hex_ring_density()),
