@@ -179,6 +179,9 @@ def _run_bench(headline_only: bool = False) -> dict:
         "ann_cosine_top5",
         "pack_sequences",
         "phash_neardup",
+        "geo_radius_join",
+        "doc_chunks",
+        "bloom_membership",
     ]
     qtimes: dict[str, float] = {}
     for name in bench_queries:

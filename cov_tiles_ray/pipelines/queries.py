@@ -4200,6 +4200,244 @@ def _sql_ann_range_search() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# session-5 batch 4: count-of-counts, calendar rollup, HLL merge, captions
+# ---------------------------------------------------------------------------
+
+
+def q_degree_histogram(sf_dir: str):
+    """Count-of-counts (degree distribution): how many customers placed
+    exactly n orders, for every observed n — the two-level aggregate that
+    profiles graph/key skew before choosing a partitioning.
+
+    Scale shape: level 1 is a per-batch (custkey, n) combiner + bounded
+    groupby; level 2 re-combines the counts column per batch so the final
+    histogram groupby sees only distinct degrees per block."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = b["o_custkey"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(k, return_counts=True)
+        return pa.table(
+            {"custkey": pa.array(u.astype(np.int64)), "n": pa.array(c.astype(np.int64))}
+        )
+
+    per_cust = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("custkey")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def hist(b: pa.Table) -> pa.Table:
+        u, c = np.unique(b["n"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table(
+            {
+                "n_orders": pa.array(u.astype(np.int64)),
+                "n_customers": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    return (
+        per_cust.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_orders")
+        .aggregate(Sum("n_customers", alias_name="n_customers"))
+    )
+
+
+def _sql_degree_histogram() -> str:
+    return """
+    SELECT n AS n_orders, CAST(count(*) AS BIGINT) AS n_customers
+    FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY o_custkey)
+    GROUP BY n
+    """
+
+
+def q_orders_by_month(sf_dir: str):
+    """Calendar rollup: order count and revenue cents per (year, month)
+    — exercises date-part extraction (numpy datetime64[M] arithmetic vs
+    SQL date_trunc) with integer-exact money."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        d = b["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[M]")
+        y = d.astype("datetime64[Y]").astype(np.int64) + 1970
+        m = d.astype(np.int64) % 12 + 1
+        cents = np.floor(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "ym": pa.array(y * 100 + m),
+                "cents": pa.array(cents),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ym")
+        .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="revenue_cents"))
+    )
+
+
+def _sql_orders_by_month() -> str:
+    return """
+    SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM orders GROUP BY 1
+    """
+
+
+def q_hll_by_event_type(sf_dir: str):
+    """HLL sketch algebra: one HyperLogLog per event type PLUS their
+    register-wise union merged into an 'ALL' row — demonstrating that
+    union-of-sketches equals sketch-of-union (the merged estimate is
+    bit-identical to hll_distinct_users's global estimate).  Registers
+    and power sums stay integer-exact; only the final fixed-arity IEEE
+    expression is float (the hll_distinct_users technique, grouped).
+
+    Scale shape: per-batch (type, bucket, rho) combiners -> one groupby
+    MAX bounded by |types| x 1024 rows; the merge is a register-wise max
+    on the driver over that bounded table."""
+    import math
+
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def regs(b: pa.Table) -> pa.Table:
+        h = synth._splitmix64(b["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        bucket = (h & np.uint64(_HLL_M - 1)).astype(np.int64)
+        rest = h >> np.uint64(_HLL_P)
+        low = rest & (~rest + np.uint64(1))
+        tz = np.zeros(len(rest), np.int64)
+        nz = low > 0
+        tz[nz] = np.log2(low[nz].astype(np.float64)).astype(np.int64)
+        rho = np.minimum(np.where(nz, tz + 1, 54), 54).astype(np.int64)
+        df = pd.DataFrame(
+            {"event_type": b["event_type"].to_pylist(), "bucket": bucket, "rho": rho}
+        )
+        g = df.groupby(["event_type", "bucket"], sort=False)["rho"].max().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    reg = (
+        ds.map_batches(regs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "bucket"])
+        .aggregate(Max("rho", alias_name="rho"))
+        .to_pandas()  # <= |types| x 1024 rows
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / _HLL_M)
+
+    def estimate(rhos: pd.Series) -> tuple[int, int]:
+        pow_sum = sum(1 << (54 - int(r)) for r in rhos) + (_HLL_M - len(rhos)) * (1 << 54)
+        return len(rhos), math.floor(
+            alpha * 1048576.0 * 18014398509481984.0 / float(pow_sum)
+        )
+
+    rows = []
+    for et, g in reg.groupby("event_type", sort=True):
+        m_used, est = estimate(g["rho"])
+        rows.append((et, m_used, est))
+    merged = reg.groupby("bucket", sort=True)["rho"].max()
+    m_used, est = estimate(merged)
+    rows.append(("ALL", m_used, est))
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "m_used": pa.array(np.array([r[1] for r in rows], np.int64)),
+            "estimate": pa.array(np.array([r[2] for r in rows], np.int64)),
+        }
+    )
+
+
+def _sql_hll_by_event_type() -> str:
+    alpha = 0.7213 / (1.0 + 1.079 / _HLL_M)
+    est = (
+        f"CAST(floor(CAST({alpha!r} AS DOUBLE) * 1048576.0 * 18014398509481984.0"
+        f" / CAST(ps + ({_HLL_M} - m_used) * (CAST(1 AS HUGEINT) << 54) AS DOUBLE)) AS BIGINT)"
+    )
+    return f"""
+    WITH z AS (
+      SELECT event_type, {_sql_splitmix64("user_id")} AS z FROM events
+    ), rh AS (
+      SELECT event_type, CAST(z % {_HLL_M} AS BIGINT) AS bucket,
+             CASE WHEN z // {_HLL_M} = 0 THEN 54
+                  ELSE LEAST(CAST(bit_count(((z // {_HLL_M}) & ({_U64} - (z // {_HLL_M}))) - 1) AS BIGINT) + 1, 54)
+             END AS rho
+      FROM z
+    ), reg AS (
+      SELECT event_type, bucket, MAX(rho) AS rho FROM rh GROUP BY event_type, bucket
+    ), per_type AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS m_used,
+             SUM(CAST(1 AS HUGEINT) << (54 - rho)) AS ps
+      FROM reg GROUP BY event_type
+    ), merged AS (
+      SELECT 'ALL' AS event_type, CAST(count(*) AS BIGINT) AS m_used,
+             SUM(CAST(1 AS HUGEINT) << (54 - rho)) AS ps
+      FROM (SELECT bucket, MAX(rho) AS rho FROM reg GROUP BY bucket)
+    )
+    SELECT event_type, m_used, {est} AS estimate FROM per_type
+    UNION ALL
+    SELECT event_type, m_used, {est} AS estimate FROM merged
+    """
+
+
+def q_caption_word_stats(sf_dir: str):
+    """Caption-text profile of the image corpus (the north-star input is
+    image + caption pairs): distribution of caption word counts, with
+    distinct-word totals per length class.
+
+    Scale shape: map-only pandas str ops on the pruned caption column +
+    per-batch combiner; image bytes are never read."""
+    from ray.data.aggregate import Sum
+
+    from . import tiling
+
+    images = tiling.read_images(sf_dir, columns=["image_id", "caption"])
+
+    def stats(df: pd.DataFrame) -> pa.Table:
+        words = df["caption"].astype(str).str.split(" ")
+        n_words = words.str.len().to_numpy(np.int64)
+        n_distinct = np.fromiter((len(set(w)) for w in words), np.int64, len(words))
+        g = pd.DataFrame({"n_words": n_words, "one": 1, "nd": n_distinct}).groupby(
+            "n_words", sort=False
+        ).sum()
+        return pa.table(
+            {
+                "n_words": pa.array(g.index.to_numpy(np.int64)),
+                "n_captions": pa.array(g["one"].to_numpy(np.int64)),
+                "total_distinct_words": pa.array(g["nd"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        images.map_batches(stats, batch_format="pandas")
+        .groupby("n_words")
+        .aggregate(
+            Sum("n_captions", alias_name="n_captions"),
+            Sum("total_distinct_words", alias_name="total_distinct_words"),
+        )
+    )
+
+
+def _sql_caption_word_stats(sf: float = 0.01) -> str:
+    import os
+
+    from ..sources import synth as _synth
+
+    path = os.path.join(_synth.CACHE_DIR, f"images_sf{sf:g}", "*.parquet")
+    return f"""
+    SELECT CAST(len(string_split(caption, ' ')) AS BIGINT) AS n_words,
+           CAST(count(*) AS BIGINT) AS n_captions,
+           CAST(SUM(len(list_distinct(string_split(caption, ' ')))) AS BIGINT) AS total_distinct_words
+    FROM read_parquet('{path}') GROUP BY 1
+    """
+
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -4248,6 +4486,10 @@ SQL_QUERIES: dict[str, tuple] = {
     "signup_conversion": (q_signup_conversion, _sql_signup_conversion()),
     "order_line_join": (q_order_line_join, _sql_order_line_join()),
     "hll_distinct_users": (q_hll_distinct_users, _sql_hll_distinct_users()),
+    "degree_histogram": (q_degree_histogram, _sql_degree_histogram()),
+    "orders_by_month": (q_orders_by_month, _sql_orders_by_month()),
+    "hll_by_event_type": (q_hll_by_event_type, _sql_hll_by_event_type()),
+    "caption_word_stats": (q_caption_word_stats, _sql_caption_word_stats()),
     "cms_heavy_hitters": (q_cms_heavy_hitters, _sql_cms_heavy_hitters()),
     "bloom_membership": (q_bloom_membership, _sql_bloom_membership()),
     "user_travel": (q_user_travel, _sql_user_travel()),
