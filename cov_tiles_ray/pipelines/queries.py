@@ -4438,6 +4438,233 @@ def _sql_caption_word_stats(sf: float = 0.01) -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# session-5 batch 5: nearest-centroid assign, framed windows, interpolation
+# ---------------------------------------------------------------------------
+
+
+def q_region_nearest(sf_dir: str):
+    """Nearest-centroid assignment: each event point to the closest of
+    the 5 region-box centers (degree-plane euclidean, tie-break lowest
+    region key).  Distances are pure arithmetic on hash-derived lon/lat
+    (no trig), so both engines compute bit-identical doubles and the
+    argmin/quantize are exact.
+
+    Scale shape: the 5-row centroid table broadcasts in the closure; the
+    assign is one vectorized argmin per batch — the k-means assign step
+    as a standalone relational operator."""
+    boxes = _region_boxes()
+    cx = ((boxes["lon0"] + boxes["lon1"]) / 2.0).to_numpy()
+    cy = ((boxes["lat0"] + boxes["lat1"]) / 2.0).to_numpy()
+    rk = boxes["r_regionkey"].to_numpy(np.int64)
+
+    def assign(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = _event_lonlat(eid)
+        dx = lon[:, None] - cx[None, :]
+        dy = lat[:, None] - cy[None, :]
+        d2 = dx * dx + dy * dy
+        best = np.argmin(d2, axis=1)  # ties -> lowest index == lowest key
+        bd = d2[np.arange(len(eid)), best]
+        return pa.table(
+            {
+                "event_id": pa.array(eid),
+                "r_regionkey": pa.array(rk[best]),
+                "d2_e6": pa.array(np.floor(bd * 1e6).astype(np.int64)),
+            }
+        )
+
+    return _read(sf_dir, "events", ["event_id"]).map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _sql_region_nearest() -> str:
+    return f"""
+    WITH pts AS (SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events),
+    cents AS (SELECT r_regionkey,
+                     (-160.0 + r_regionkey * 64.0 + (-160.0 + r_regionkey * 64.0 + 52.0)) / 2.0 AS cx,
+                     (-70.0 + r_regionkey * 26.0 + (-70.0 + r_regionkey * 26.0 + 36.0)) / 2.0 AS cy
+              FROM region),
+    d AS (SELECT p.event_id, c.r_regionkey,
+                 (p.lon - c.cx) * (p.lon - c.cx) + (p.lat - c.cy) * (p.lat - c.cy) AS d2,
+                 row_number() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY (p.lon - c.cx) * (p.lon - c.cx) + (p.lat - c.cy) * (p.lat - c.cy),
+                            c.r_regionkey
+                 ) AS rn
+          FROM pts p CROSS JOIN cents c)
+    SELECT event_id, CAST(r_regionkey AS BIGINT) AS r_regionkey,
+           CAST(floor(d2 * 1e6) AS BIGINT) AS d2_e6
+    FROM d WHERE rn = 1
+    """
+
+
+def q_moving_avg_spend(sf_dir: str):
+    """Frame-bounded window aggregate (ROWS BETWEEN 2 PRECEDING AND
+    CURRENT ROW): per user, the moving 3-event sum of event value cents
+    in (ts, event_id) order.  Cents are integer-ized before the framed
+    sum, so the window arithmetic is exact on both engines (the
+    running_totals rule applied to a bounded frame).
+
+    Scale shape: one user-hash part-exchange; each part computes every
+    user's framed sums from one prefix-sum array (cs[i+1] -
+    cs[max(i-2, run_start)]) — no per-user loop, no per-row window
+    state."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    n_parts = int(max(8, min(4096, ds.count() // 100_000 + 1)))
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        us = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        cents = np.floor(b["value"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        part = (synth._splitmix64(uid.astype(np.uint64)) % np.uint64(n_parts)).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": pa.array(uid),
+                "us": pa.array(us),
+                "cents": pa.array(cents),
+                "part": pa.array(part),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "ma3_cents": pa.array([], pa.int64()),
+        }
+    )
+
+    def framed(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        us = t["us"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((eid, us, uid))
+        eid, uid, cents = eid[o], uid[o], cents[o]
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        run_start = np.repeat(starts, np.diff(np.r_[starts, len(uid)]))
+        cs = np.r_[0, np.cumsum(cents)]
+        i = np.arange(len(uid))
+        lo = np.maximum(i - 2, run_start)
+        ma3 = cs[i + 1] - cs[lo]
+        return pa.table(
+            {
+                "event_id": pa.array(eid),
+                "user_id": pa.array(uid),
+                "ma3_cents": pa.array(ma3.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(framed, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+
+
+def _sql_moving_avg_spend() -> str:
+    return """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(floor(value * 100.0) AS BIGINT)) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                ) AS BIGINT) AS ma3_cents
+    FROM events
+    """
+
+
+_INTERP_QS = [(0.5, 50), (0.9, 90), (0.99, 99)]
+
+
+def q_price_percentiles_interp(sf_dir: str):
+    """Interpolated (percentile_cont-style) quantiles per return flag —
+    the ordered-set-aggregate counterpart of price_quantiles' exact rank
+    pick.  pos = (n-1)*q; result = lo + (hi-lo)*frac where lo/hi are the
+    exact integer cents at the bracketing ranks — both engines evaluate
+    the identical fixed-arity IEEE expression over exact integers, so
+    the quantized output is bit-exact.
+
+    Scale shape: per-batch np.unique histogram combiner -> one small
+    groupby; the driver interpolates over the value-domain-bounded
+    histogram, never the rows."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def hist(df: pd.DataFrame) -> pa.Table:
+        cents = np.floor(df["l_extendedprice"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        g = pd.DataFrame({"flag": df["l_returnflag"].to_numpy(object), "v": cents}).groupby(
+            ["flag", "v"], sort=False
+        ).size()
+        idx = g.index.to_frame(index=False)
+        return pa.table(
+            {
+                "flag": pa.array(idx["flag"].to_numpy(object), pa.string()),
+                "v": pa.array(idx["v"].to_numpy(np.int64)),
+                "n": pa.array(g.to_numpy(np.int64)),
+            }
+        )
+
+    h = (
+        ds.map_batches(hist, batch_format="pandas")
+        .groupby(["flag", "v"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded by |flags| x |distinct cents|
+        .sort_values(["flag", "v"], ignore_index=True)
+    )
+    rows = []
+    for flag, g in h.groupby("flag", sort=True):
+        v = g["v"].to_numpy(np.int64)
+        c = np.cumsum(g["n"].to_numpy(np.int64))
+        n = int(c[-1])
+        for q, pct in _INTERP_QS:
+            pos = (n - 1) * q
+            klo = int(np.floor(pos))
+            khi = min(klo + 1, n - 1)
+            lo = int(v[np.searchsorted(c, klo + 1)])
+            hi = int(v[np.searchsorted(c, khi + 1)])
+            res = lo + (hi - lo) * (pos - np.floor(pos))
+            rows.append((flag, pct, int(np.floor(res * 100.0))))
+    return pa.table(
+        {
+            "l_returnflag": pa.array([r[0] for r in rows], pa.string()),
+            "pct": pa.array(np.array([r[1] for r in rows], np.int64)),
+            "value_c2": pa.array(np.array([r[2] for r in rows], np.int64)),
+        }
+    )
+
+
+def _sql_price_percentiles_interp() -> str:
+    # CAST each literal: bare decimals parse as exact DECIMAL in DuckDB,
+    # which makes (n-1)*q differ from IEEE double arithmetic by an ulp
+    qlits = ", ".join(f"CAST({q!r} AS DOUBLE)" for q, _ in _INTERP_QS)
+    plits = ", ".join(str(p) for _, p in _INTERP_QS)
+    return f"""
+    WITH c AS (
+      SELECT l_returnflag AS f, CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS v
+      FROM lineitem
+    ), r AS (
+      SELECT f, v, row_number() OVER (PARTITION BY f ORDER BY v) - 1 AS rn,
+             count(*) OVER (PARTITION BY f) AS n
+      FROM c
+    ), qs AS (SELECT unnest([{qlits}]) AS q, unnest([{plits}]) AS pct),
+    sel AS (
+      SELECT r.f, qs.q, qs.pct, MAX(r.n) AS n,
+             MAX(CASE WHEN rn = CAST(floor((n - 1) * q) AS BIGINT) THEN v END) AS lo,
+             MAX(CASE WHEN rn = LEAST(CAST(floor((n - 1) * q) AS BIGINT) + 1, n - 1) THEN v END) AS hi
+      FROM r CROSS JOIN qs GROUP BY r.f, qs.q, qs.pct
+    )
+    SELECT f AS l_returnflag, CAST(pct AS BIGINT) AS pct,
+           CAST(floor((lo + (hi - lo) * ((n - 1) * q - floor((n - 1) * q))) * 100.0) AS BIGINT) AS value_c2
+    FROM sel
+    """
+
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -4486,6 +4713,12 @@ SQL_QUERIES: dict[str, tuple] = {
     "signup_conversion": (q_signup_conversion, _sql_signup_conversion()),
     "order_line_join": (q_order_line_join, _sql_order_line_join()),
     "hll_distinct_users": (q_hll_distinct_users, _sql_hll_distinct_users()),
+    "region_nearest": (q_region_nearest, _sql_region_nearest()),
+    "moving_avg_spend": (q_moving_avg_spend, _sql_moving_avg_spend()),
+    "price_percentiles_interp": (
+        q_price_percentiles_interp,
+        _sql_price_percentiles_interp(),
+    ),
     "degree_histogram": (q_degree_histogram, _sql_degree_histogram()),
     "orders_by_month": (q_orders_by_month, _sql_orders_by_month()),
     "hll_by_event_type": (q_hll_by_event_type, _sql_hll_by_event_type()),
