@@ -4665,6 +4665,314 @@ def _sql_price_percentiles_interp() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# session-5 batch 6: CUBE, temporal first/last, correlated filter, OD flows
+# ---------------------------------------------------------------------------
+
+
+def q_orders_cube(sf_dir: str):
+    """GROUP BY CUBE(status, priority): all four grouping combinations
+    from ONE fine exchange — the (status, priority) groupby runs once
+    and every coarser level re-aggregates its dimension-bounded result
+    (the orders_rollup pattern completed to the full cube).  'ALL'
+    sentinel matches the oracle's coalesced NULLs."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = np.floor(b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "status": b["o_orderstatus"],
+                "priority": b["o_orderpriority"],
+                "cents": pa.array(cents),
+            }
+        )
+
+    fine = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["status", "priority"])
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="cents"))
+        .to_pandas()  # |status| x |priority| rows
+    )
+    levels = []
+    for by in (["status", "priority"], ["status"], ["priority"], []):
+        if by:
+            g = fine.groupby(by, as_index=False)[["n", "cents"]].sum()
+        else:
+            g = pd.DataFrame({"n": [fine["n"].sum()], "cents": [fine["cents"].sum()]})
+        for col in ("status", "priority"):
+            if col not in g:
+                g[col] = "ALL"
+        levels.append(g[["status", "priority", "n", "cents"]])
+    out = pd.concat(levels, ignore_index=True)
+    return pa.table(
+        {
+            "status": pa.array(out["status"].astype(str)),
+            "priority": pa.array(out["priority"].astype(str)),
+            "n": pa.array(out["n"].to_numpy(np.int64)),
+            "cents": pa.array(out["cents"].to_numpy(np.int64)),
+        }
+    )
+
+
+def _sql_orders_cube() -> str:
+    return """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """
+
+
+def q_user_first_last(sf_dir: str):
+    """Temporal FIRST_VALUE / LAST_VALUE: each user's first and last
+    event type (by ts, event_id) plus lifetime span in seconds — the
+    argmin/argmax-by-time window pair.
+
+    Scale shape: one user-hash part-exchange; run heads and tails of the
+    per-part lexsort answer every user at once."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    n_parts = int(max(8, min(4096, ds.count() // 100_000 + 1)))
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        us = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        part = (synth._splitmix64(uid.astype(np.uint64)) % np.uint64(n_parts)).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "eid": b["event_id"],
+                "us": pa.array(us),
+                "event_type": b["event_type"],
+                "part": pa.array(part),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "first_type": pa.array([], pa.string()),
+            "last_type": pa.array([], pa.string()),
+            "span_s": pa.array([], pa.int64()),
+        }
+    )
+
+    def firstlast(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        eid = t["eid"].to_numpy(zero_copy_only=False)
+        us = t["us"].to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((eid, us, uid))
+        uid, us, et = uid[o], us[o], et[o]
+        heads = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        tails = np.r_[heads[1:] - 1, len(uid) - 1]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[heads]),
+                "first_type": pa.array(et[heads], pa.string()),
+                "last_type": pa.array(et[tails], pa.string()),
+                "span_s": pa.array((us[tails] - us[heads]) // 1_000_000),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(firstlast, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+
+
+def _sql_user_first_last() -> str:
+    return """
+    WITH w AS (
+      SELECT user_id,
+             first_value(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_type,
+             last_value(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type,
+             (max(epoch_us(ts)) OVER (PARTITION BY user_id)
+              - min(epoch_us(ts)) OVER (PARTITION BY user_id)) // 1000000 AS span_s
+      FROM events
+    )
+    SELECT DISTINCT user_id, first_type, last_type, CAST(span_s AS BIGINT) AS span_s
+    FROM w
+    """
+
+
+def q_orders_above_cust_avg(sf_dir: str):
+    """Correlated-subquery filter: orders whose price exceeds their own
+    customer's average order price.  The comparison is the exact integer
+    cross-multiply cents * n_orders > sum_cents — no division, so no
+    float appears anywhere and both engines agree bit-for-bit.
+
+    Scale shape: one custkey hash co-partition; each part derives the
+    per-customer (n, sum) from its own rows and filters in place — the
+    correlated aggregate never becomes a second exchange."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    n_parts = int(max(8, min(4096, ds.count() // 200_000 + 1)))
+
+    def prep(b: pa.Table) -> pa.Table:
+        k = b["o_custkey"].to_numpy(zero_copy_only=False)
+        cents = np.floor(b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0).astype(
+            np.int64
+        )
+        part = (synth._splitmix64(k.astype(np.uint64)) % np.uint64(n_parts)).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "custkey": pa.array(k),
+                "cents": pa.array(cents),
+                "part": pa.array(part),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "o_orderkey": pa.array([], pa.int64()),
+            "cents": pa.array([], pa.int64()),
+        }
+    )
+
+    def above(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        k = t["custkey"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        o = np.argsort(k, kind="stable")
+        ks, cs = k[o], cents[o]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        lens = np.diff(np.r_[starts, len(ks)])
+        sums = np.add.reduceat(cs, starts)
+        n_rep = np.repeat(lens, lens)
+        sum_rep = np.repeat(sums, lens)
+        keep = cs * n_rep > sum_rep
+        okey = t["o_orderkey"].to_numpy(zero_copy_only=False)[o]
+        return pa.table(
+            {"o_orderkey": pa.array(okey[keep]), "cents": pa.array(cs[keep])}
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(above, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+
+
+def _sql_orders_above_cust_avg() -> str:
+    return """
+    WITH c AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents
+      FROM orders
+    ), agg AS (
+      SELECT o_custkey, count(*) AS n, SUM(cents) AS s FROM c GROUP BY o_custkey
+    )
+    SELECT c.o_orderkey, c.cents
+    FROM c JOIN agg USING (o_custkey)
+    WHERE c.cents * agg.n > agg.s
+    """
+
+
+_OD_RES = 2
+
+
+def q_hex_od_flows(sf_dir: str):
+    """Origin-destination flow matrix: counts of consecutive same-user
+    movements between res-2 hex cells (time-ordered) — the trajectory
+    transition aggregate mobility pipelines run at fleet scale.
+
+    Scale shape: one user-hash part-exchange produces every consecutive
+    pair vectorized; a per-part (src, dst) combiner bounds the final
+    groupby at distinct-cell-pairs per part."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    n_parts = int(max(8, min(4096, ds.count() // 100_000 + 1)))
+
+    def prep(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        us = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        lon, lat = _event_lonlat(eid)
+        cell = S.lonlat_to_hex(lon, lat, _OD_RES)
+        part = (synth._splitmix64(uid.astype(np.uint64)) % np.uint64(n_parts)).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "eid": pa.array(eid),
+                "us": pa.array(us),
+                "cell": pa.array(cell),
+                "part": pa.array(part),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "src": pa.array([], pa.int64()),
+            "dst": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def flows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        eid = t["eid"].to_numpy(zero_copy_only=False)
+        us = t["us"].to_numpy(zero_copy_only=False)
+        cell = t["cell"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((eid, us, uid))
+        uid, cell = uid[o], cell[o]
+        same = uid[1:] == uid[:-1]
+        src, dst = cell[:-1][same], cell[1:][same]
+        g = pd.DataFrame({"src": src, "dst": dst, "one": 1}).groupby(
+            ["src", "dst"], sort=False
+        ).sum()
+        idx = g.index.to_frame(index=False)
+        return pa.table(
+            {
+                "src": pa.array(idx["src"].to_numpy(np.int64)),
+                "dst": pa.array(idx["dst"].to_numpy(np.int64)),
+                "n": pa.array(g["one"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(flows, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby(["src", "dst"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def _sql_hex_od_flows() -> str:
+    cell = _hex_sql(_OD_RES)
+    return f"""
+    WITH p AS (
+      SELECT user_id, ts, event_id, {cell} AS cell
+      FROM (SELECT user_id, ts, event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events)
+    ), seq AS (
+      SELECT user_id, cell AS dst,
+             lag(cell) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+      FROM p
+    )
+    SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE src IS NOT NULL
+    GROUP BY src, dst
+    """
+
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -4713,6 +5021,10 @@ SQL_QUERIES: dict[str, tuple] = {
     "signup_conversion": (q_signup_conversion, _sql_signup_conversion()),
     "order_line_join": (q_order_line_join, _sql_order_line_join()),
     "hll_distinct_users": (q_hll_distinct_users, _sql_hll_distinct_users()),
+    "orders_cube": (q_orders_cube, _sql_orders_cube()),
+    "user_first_last": (q_user_first_last, _sql_user_first_last()),
+    "orders_above_cust_avg": (q_orders_above_cust_avg, _sql_orders_above_cust_avg()),
+    "hex_od_flows": (q_hex_od_flows, _sql_hex_od_flows()),
     "region_nearest": (q_region_nearest, _sql_region_nearest()),
     "moving_avg_spend": (q_moving_avg_spend, _sql_moving_avg_spend()),
     "price_percentiles_interp": (
