@@ -4973,6 +4973,369 @@ def _sql_hex_od_flows() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# session-5 batch 7: JSON extraction, set similarity, robust stats, n-grams
+# ---------------------------------------------------------------------------
+
+
+def q_json_props_stats(sf_dir: str):
+    """Semi-structured extraction: parse the JSON `props` payload column
+    ('{"k": N}') and aggregate the extracted integer per event type —
+    the schema-on-read step every log pipeline runs before anything
+    relational.
+
+    Scale shape: vectorized pandas str.extract per batch + combiner; the
+    JSON text never leaves the read task."""
+    from ray.data.aggregate import Max, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def extract(df: pd.DataFrame) -> pa.Table:
+        k = df["props"].astype(str).str.extract(r'"k": ([0-9]+)', expand=False)
+        kv = pd.to_numeric(k, errors="coerce").fillna(-1).astype(np.int64)
+        g = pd.DataFrame({"event_type": df["event_type"].to_numpy(object), "k": kv}).groupby(
+            "event_type", sort=False
+        )["k"].agg(["count", "sum", "max"])
+        return pa.table(
+            {
+                "event_type": pa.array(g.index.to_numpy(object), pa.string()),
+                "n": pa.array(g["count"].to_numpy(np.int64)),
+                "sum_k": pa.array(g["sum"].to_numpy(np.int64)),
+                "max_k": pa.array(g["max"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(extract, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_k", alias_name="sum_k"),
+            Max("max_k", alias_name="max_k"),
+        )
+    )
+
+
+def _sql_json_props_stats() -> str:
+    return """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(COALESCE(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT), -1)) AS BIGINT) AS sum_k,
+           CAST(MAX(COALESCE(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT), -1)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """
+
+
+def q_event_type_jaccard(sf_dir: str):
+    """Pairwise set similarity between event types over their user sets:
+    for every type pair, |users_a ∩ users_b| and |users_a ∪ users_b| —
+    the audience-overlap matrix, kept integer (the Jaccard ratio is the
+    caller's one division).
+
+    Scale shape: (user, type) dedup per batch, one user-hash
+    part-exchange, each part expands every user's <=|types| set into
+    sorted type pairs vectorized; pair counts combine before the tiny
+    final groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    n_parts = int(max(8, min(4096, ds.count() // 100_000 + 1)))
+
+    def prep(df: pd.DataFrame) -> pa.Table:
+        d = df[["user_id", "event_type"]].drop_duplicates()
+        uid = d["user_id"].to_numpy(np.int64)
+        part = (synth._splitmix64(uid.astype(np.uint64)) % np.uint64(n_parts)).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "event_type": pa.array(d["event_type"].to_numpy(object), pa.string()),
+                "part": pa.array(part),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "type_a": pa.array([], pa.string()),
+            "type_b": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "is_single": pa.array([], pa.bool_()),
+        }
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        df = (
+            pd.DataFrame(
+                {
+                    "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                    "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                }
+            )
+            .drop_duplicates()  # cross-batch dupes of the same (user, type)
+            .sort_values(["user_id", "event_type"], kind="stable")
+        )
+        uid = df["user_id"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy(object)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        lens = np.diff(np.r_[starts, len(uid)])
+        # per-type distinct-user counts (for the union term)
+        su, sc = np.unique(et, return_counts=True)
+        singles = pa.table(
+            {
+                "type_a": pa.array(su.astype(object), pa.string()),
+                "type_b": pa.array(su.astype(object), pa.string()),
+                "n": pa.array(sc.astype(np.int64)),
+                "is_single": pa.array(np.ones(len(su), bool)),
+            }
+        )
+        # expand each user's sorted type list into ordered pairs (a < b)
+        total = int((lens * (lens - 1) // 2).sum())
+        if total == 0:
+            return singles
+        runp = np.repeat(np.arange(len(starts)), lens * (lens - 1) // 2)
+        p = np.arange(total) - np.repeat(
+            np.r_[0, np.cumsum(lens * (lens - 1) // 2)[:-1]], lens * (lens - 1) // 2
+        )
+        # map pair index p -> (i, j) in the triangle, vectorized
+        L = lens[runp].astype(np.float64)
+        i = (
+            np.floor((2 * L - 1 - np.sqrt((2 * L - 1) * (2 * L - 1) - 8 * p)) / 2)
+        ).astype(np.int64)
+        j = p - i * (2 * lens[runp] - i - 1) // 2 + i + 1
+        a = et[starts[runp] + i]
+        b = et[starts[runp] + j]
+        g = pd.DataFrame({"type_a": a, "type_b": b, "one": 1}).groupby(
+            ["type_a", "type_b"], sort=False
+        ).sum()
+        idx = g.index.to_frame(index=False)
+        inter = pa.table(
+            {
+                "type_a": pa.array(idx["type_a"].to_numpy(object), pa.string()),
+                "type_b": pa.array(idx["type_b"].to_numpy(object), pa.string()),
+                "n": pa.array(g["one"].to_numpy(np.int64)),
+                "is_single": pa.array(np.zeros(len(g), bool)),
+            }
+        )
+        return pa.concat_tables([singles, inter])
+
+    mixed = (
+        ds.map_batches(prep, batch_format="pandas")
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(pairs, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby(["type_a", "type_b", "is_single"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # <= |types|^2 rows
+    )
+    totals = {
+        r.type_a: int(r.n) for r in mixed[mixed["is_single"]].itertuples()
+    }
+    inter = mixed[~mixed["is_single"]]
+    rows = []
+    for r in inter.itertuples():
+        union = totals[r.type_a] + totals[r.type_b] - int(r.n)
+        rows.append((r.type_a, r.type_b, int(r.n), union))
+    rows.sort()
+    return pa.table(
+        {
+            "type_a": pa.array([r[0] for r in rows], pa.string()),
+            "type_b": pa.array([r[1] for r in rows], pa.string()),
+            "n_inter": pa.array(np.array([r[2] for r in rows], np.int64)),
+            "n_union": pa.array(np.array([r[3] for r in rows], np.int64)),
+        }
+    )
+
+
+def _sql_event_type_jaccard() -> str:
+    return """
+    WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+    tot AS (SELECT event_type, count(*) AS n FROM d GROUP BY event_type),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n
+      FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b, CAST(i.n AS BIGINT) AS n_inter,
+           CAST(ta.n + tb.n - i.n AS BIGINT) AS n_union
+    FROM inter i
+    JOIN tot ta ON ta.event_type = i.type_a
+    JOIN tot tb ON tb.event_type = i.type_b
+    """
+
+
+def q_mad_prices(sf_dir: str):
+    """Robust statistics: per return flag, the order-statistic median of
+    price cents and the median absolute deviation around it (both the
+    rank-ceil(n/2) order statistic, no interpolation — exact integers).
+
+    Scale shape: ONE histogram exchange serves both passes — the
+    |v - med| histogram is derived on the driver by folding the value
+    histogram around the median, so the distributed work is a single
+    combiner + small groupby regardless of n."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def hist(df: pd.DataFrame) -> pa.Table:
+        cents = np.floor(df["l_extendedprice"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        g = pd.DataFrame({"flag": df["l_returnflag"].to_numpy(object), "v": cents}).groupby(
+            ["flag", "v"], sort=False
+        ).size()
+        idx = g.index.to_frame(index=False)
+        return pa.table(
+            {
+                "flag": pa.array(idx["flag"].to_numpy(object), pa.string()),
+                "v": pa.array(idx["v"].to_numpy(np.int64)),
+                "n": pa.array(g.to_numpy(np.int64)),
+            }
+        )
+
+    h = (
+        ds.map_batches(hist, batch_format="pandas")
+        .groupby(["flag", "v"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["flag", "v"], ignore_index=True)
+    )
+
+    def rank_pick(v: np.ndarray, c: np.ndarray, k: int) -> int:
+        return int(v[np.searchsorted(c, k)])
+
+    rows = []
+    for flag, g in h.groupby("flag", sort=True):
+        v = g["v"].to_numpy(np.int64)
+        cnt = g["n"].to_numpy(np.int64)
+        c = np.cumsum(cnt)
+        n = int(c[-1])
+        k = (n + 1) // 2
+        med = rank_pick(v, c, k)
+        # fold the histogram around med: |v - med| keyed counts
+        av = np.abs(v - med)
+        fold = pd.DataFrame({"av": av, "n": cnt}).groupby("av", sort=True)["n"].sum()
+        mad = rank_pick(
+            fold.index.to_numpy(np.int64), np.cumsum(fold.to_numpy(np.int64)), k
+        )
+        rows.append((flag, med, mad))
+    return pa.table(
+        {
+            "l_returnflag": pa.array([r[0] for r in rows], pa.string()),
+            "median_cents": pa.array(np.array([r[1] for r in rows], np.int64)),
+            "mad_cents": pa.array(np.array([r[2] for r in rows], np.int64)),
+        }
+    )
+
+
+def _sql_mad_prices() -> str:
+    return """
+    WITH c AS (
+      SELECT l_returnflag AS f, CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS v
+      FROM lineitem
+    ), r AS (
+      SELECT f, v, row_number() OVER (PARTITION BY f ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY f) AS n
+      FROM c
+    ), med AS (
+      SELECT f, v AS med FROM r WHERE rn = (n + 1) // 2
+    ), a AS (
+      SELECT c.f, abs(c.v - m.med) AS av, m.med FROM c JOIN med m USING (f)
+    ), ra AS (
+      SELECT f, av, med, row_number() OVER (PARTITION BY f ORDER BY av) AS rn,
+             count(*) OVER (PARTITION BY f) AS n
+      FROM a
+    )
+    SELECT f AS l_returnflag, CAST(med AS BIGINT) AS median_cents,
+           CAST(av AS BIGINT) AS mad_cents
+    FROM ra WHERE rn = (n + 1) // 2
+    """
+
+
+def q_event_trigrams(sf_dir: str):
+    """Sequence mining: the 10 most common consecutive 3-event-type
+    sequences across user timelines (time-ordered, same-user windows) —
+    the n-gram pattern extraction behavioral pipelines run before
+    sequence modeling.
+
+    Scale shape: one user-hash part-exchange; each part forms every
+    trigram from two shifted views of the lexsorted array, a per-part
+    combiner bounds the exchange at distinct trigrams per part."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    n_parts = int(max(8, min(4096, ds.count() // 100_000 + 1)))
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        us = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        part = (synth._splitmix64(uid.astype(np.uint64)) % np.uint64(n_parts)).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "eid": b["event_id"],
+                "us": pa.array(us),
+                "event_type": b["event_type"],
+                "part": pa.array(part),
+            }
+        )
+
+    _empty = pa.table(
+        {"trigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+    )
+
+    def grams(t: pa.Table) -> pa.Table:
+        if t.num_rows < 3:
+            return _empty
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        eid = t["eid"].to_numpy(zero_copy_only=False)
+        us = t["us"].to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False).astype(object)
+        o = np.lexsort((eid, us, uid))
+        uid, et = uid[o], et[o]
+        ok = (uid[2:] == uid[1:-1]) & (uid[1:-1] == uid[:-2])
+        if not ok.any():
+            return _empty
+        tri = et[:-2][ok] + ">" + et[1:-1][ok] + ">" + et[2:][ok]
+        u, c = np.unique(tri.astype(str), return_counts=True)
+        return pa.table(
+            {"trigram": pa.array(u, pa.string()), "n": pa.array(c.astype(np.int64))}
+        )
+
+    counts = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(grams, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby("trigram")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n", "trigram"], ascending=[False, True]).head(10)
+
+    top = counts.map_batches(block_topk, batch_format="pandas").to_pandas()
+    top = top.sort_values(["n", "trigram"], ascending=[False, True]).head(10)
+    return pa.table(
+        {
+            "trigram": pa.array(top["trigram"].astype(str)),
+            "n": pa.array(top["n"].to_numpy(np.int64)),
+        }
+    )
+
+
+def _sql_event_trigrams() -> str:
+    return """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type, 1) OVER w AS p1,
+             lag(event_type, 2) OVER w AS p2,
+             lag(user_id, 2) OVER w AS u2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT p2 || '>' || p1 || '>' || event_type AS trigram,
+           CAST(count(*) AS BIGINT) AS n
+    FROM s WHERE u2 = user_id
+    GROUP BY 1 ORDER BY n DESC, trigram LIMIT 10
+    """
+
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -5021,6 +5384,10 @@ SQL_QUERIES: dict[str, tuple] = {
     "signup_conversion": (q_signup_conversion, _sql_signup_conversion()),
     "order_line_join": (q_order_line_join, _sql_order_line_join()),
     "hll_distinct_users": (q_hll_distinct_users, _sql_hll_distinct_users()),
+    "json_props_stats": (q_json_props_stats, _sql_json_props_stats()),
+    "event_type_jaccard": (q_event_type_jaccard, _sql_event_type_jaccard()),
+    "mad_prices": (q_mad_prices, _sql_mad_prices()),
+    "event_trigrams": (q_event_trigrams, _sql_event_trigrams()),
     "orders_cube": (q_orders_cube, _sql_orders_cube()),
     "user_first_last": (q_user_first_last, _sql_user_first_last()),
     "orders_above_cust_avg": (q_orders_above_cust_avg, _sql_orders_above_cust_avg()),
