@@ -1277,6 +1277,37 @@ def q_stream_stats(sf_dir: str):
     )
 
 
+def q_image_quality(sf_dir: str):
+    """Image quality filter (the image-side quality_scores): actor-pool
+    decode + brightness/contrast/edge scoring over an 8k-row corpus
+    sample, aggregated to per-(fmt, verdict) counts — the drop-rate
+    report a filtering stage ships to its dashboard.  Bytes never cross
+    a shuffle; verdicts are deterministic integer-quantized features."""
+    from ray.data.aggregate import Count, Sum
+
+    from . import imaging, tiling
+
+    images = tiling.read_images(sf_dir).limit(8000)
+    scored = imaging.quality_pipeline(images, concurrency=(1, 4), batch_size=512)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["fmt", "verdict"], sort=False).agg(
+            n=("image_id", "size"), sum_brightness_milli=("brightness_milli", "sum")
+        )
+        return g.reset_index()
+
+    return (
+        scored.map_batches(combine, batch_format="pandas")
+        .groupby(["fmt", "verdict"])
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_brightness_milli", alias_name="sum_brightness_milli"),
+        )
+        .to_pandas()
+        .sort_values(["fmt", "verdict"], ignore_index=True)
+    )
+
+
 def q_image_thumbnails(sf_dir: str):
     """Multimodal actor-pool stage over the binary image column: decode ->
     bilinear resize -> feature extract -> png thumbnail, 8k-row sample of
@@ -1769,5 +1800,6 @@ ROWS_ONLY_QUERIES = {
     "stream_stats": q_stream_stats,
     "covt_new_layout": q_covt_new_layout,
     "image_thumbnails": q_image_thumbnails,
+    "image_quality": q_image_quality,
     "covt_feature_scan": q_covt_feature_scan,
 }

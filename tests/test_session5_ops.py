@@ -93,3 +93,34 @@ def test_hll_merge_equals_global(ray_session):
     # union-of-sketches == sketch-of-union, bit-for-bit on the estimate
     assert int(per_type.loc["ALL", "estimate"]) == int(glob["estimate"].iloc[0])
     assert int(per_type.loc["ALL", "m_used"]) == int(glob["m_used"].iloc[0])
+
+
+def test_image_quality_matches_driver_recompute(ray_session):
+    import pyarrow as pa
+
+    from cov_tiles_ray.functions import image as img_f
+    from cov_tiles_ray.pipelines import imaging
+    from cov_tiles_ray.pipelines.rows_only import q_image_quality
+    from cov_tiles_ray.sources import synth
+
+    got = q_image_quality(SF)
+    # driver-side reference over the same 8k-row (whole sf0.001) sample
+    t = synth.generate_images_batch(0, synth.rows_for_sf(0.001))
+    ref = {}
+    for i in range(t.num_rows):
+        img = img_f.decode_image(t["bytes"][i].as_py(), t["fmt"][i].as_py())
+        f = imaging.image_features(img)
+        v = (
+            "dark"
+            if f["brightness"] < imaging.QUALITY_DARK_BRIGHTNESS
+            else ("flat" if f["std_gray"] < imaging.QUALITY_FLAT_STD else "ok")
+        )
+        key = (t["fmt"][i].as_py(), v)
+        n, s = ref.get(key, (0, 0))
+        ref[key] = (n + 1, s + int(np.floor(f["brightness"] * 1000.0)))
+    assert len(got) == len(ref)
+    for row in got.itertuples():
+        n, s = ref[(row.fmt, row.verdict)]
+        assert (row.n, row.sum_brightness_milli) == (n, s), (row.fmt, row.verdict)
+    # every verdict class populated at the chosen thresholds
+    assert set(got["verdict"]) == {"dark", "flat", "ok"}
