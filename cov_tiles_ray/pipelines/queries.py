@@ -3494,6 +3494,139 @@ def _sql_doc_chunks() -> str:
     """
 
 
+_NGRAM_W = 8
+
+
+def q_dup_ngram_spans(sf_dir: str):
+    """Exact substring-level dedup signal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", exact-substring variant):
+    for every document, count how many of its W-token windows (W=8,
+    whitespace tokens) also occur in at least one OTHER document — the
+    per-doc signal a span-trimming dedup stage keys on.
+
+    Scale shape: one map-only explode emits (doc_id, win_hash) id pairs —
+    window TEXT never leaves the explode task — then ONE hash
+    part-exchange co-groups every occurrence of a hash (part =
+    splitmix64(hash) % P, sort with exact integer boundaries, whole parts
+    per batch) and finds cross-doc-duplicated hashes with a single
+    vectorized run-length pass; per-doc partial sums ride a final small
+    groupby(doc_id).  P is sized from sum(n_chars) (already in the
+    parquet) so no extra counting pass runs.  Window hashing is md5 (low
+    8 LE bytes) for cross-engine oracle parity; at 100-TB scale a
+    Karp-Rabin rolling hash (O(tokens), not O(tokens*W)) drops in with an
+    identical pipeline shape.  Tokenization is split-on-single-space to
+    mirror DuckDB string_split exactly."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    W = _NGRAM_W
+    meta = _read(sf_dir, "documents", ["n_chars"]).sum("n_chars")
+    est_windows = max(int(meta) // 6, 1)  # ~5-char words + separator
+    n_parts = int(max(8, min(4096, est_windows // 50_000 + 1)))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(df: pd.DataFrame) -> pa.Table:
+        dids: list[np.ndarray] = []
+        hs: list[np.ndarray] = []
+        for did, txt in zip(df["doc_id"].to_numpy(np.int64), df["text"].astype(str)):
+            toks = txt.split(" ")
+            nw = len(toks) - W + 1
+            if nw <= 0:
+                continue
+            h = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.md5(" ".join(toks[i : i + W]).encode()).digest()[8:],
+                        "little",
+                        signed=True,
+                    )
+                    for i in range(nw)
+                ),
+                np.int64,
+                nw,
+            )
+            dids.append(np.full(nw, did, np.int64))
+            hs.append(h)
+        if not hs:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "h": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int64()),
+                }
+            )
+        h = np.concatenate(hs)
+        part = (synth._splitmix64(h.astype(np.uint64)) % np.uint64(n_parts)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(dids)),
+                "h": pa.array(h),
+                "part": pa.array(part),
+            }
+        )
+
+    def count_dups(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "nw": pa.array([], pa.int64()),
+                    "nd": pa.array([], pa.int64()),
+                }
+            )
+        h = t["h"].to_numpy(zero_copy_only=False)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, h))
+        h, did = h[order], did[order]
+        # run starts per hash; distinct docs per run = doc transitions + 1
+        new_h = np.r_[True, h[1:] != h[:-1]]
+        seg = np.cumsum(new_h) - 1
+        new_doc = new_h | np.r_[True, did[1:] != did[:-1]]
+        ndocs = np.bincount(seg[new_doc], minlength=seg[-1] + 1)
+        dup = (ndocs >= 2)[seg]
+        uids, inv = np.unique(did, return_inverse=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(uids),
+                "nw": pa.array(np.bincount(inv, minlength=len(uids))),
+                "nd": pa.array(np.bincount(inv, weights=dup, minlength=len(uids)).astype(np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(explode, batch_format="pandas")
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(count_dups, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby("doc_id")
+        .aggregate(Sum("nw", alias_name="n_windows"), Sum("nd", alias_name="n_dup_windows"))
+    )
+    return out
+
+
+def _sql_dup_ngram_spans() -> str:
+    W = _NGRAM_W
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), w AS (
+      SELECT doc_id, array_to_string(t[s.i:s.i+{W - 1}], ' ') AS win
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - {W} + 1)) AS i) s
+      WHERE len(t) >= {W}
+    ), dup AS (
+      SELECT win FROM w GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN dup.win IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+    FROM w LEFT JOIN dup USING (win)
+    GROUP BY w.doc_id
+    """
+
+
 _SAMPLE_K = 64
 
 
@@ -5407,6 +5540,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "user_travel": (q_user_travel, _sql_user_travel()),
     "ann_range_search": (q_ann_range_search, _sql_ann_range_search()),
     "doc_chunks": (q_doc_chunks, _sql_doc_chunks()),
+    "dup_ngram_spans": (q_dup_ngram_spans, _sql_dup_ngram_spans()),
     "corpus_sample_topk": (q_corpus_sample_topk, _sql_corpus_sample_topk()),
     "event_gaps": (q_event_gaps, _sql_event_gaps()),
     "nation_setops": (q_nation_setops, _sql_nation_setops()),
