@@ -1308,6 +1308,97 @@ def q_image_quality(sf_dir: str):
     )
 
 
+_MOSAIC_Z = 5
+_MOSAIC_GRID = 4  # 4x4 thumbs per mosaic
+_MOSAIC_THUMB = 8  # 8x8 grayscale thumbs
+
+
+def q_image_tile_mosaic(sf_dir: str):
+    """Per-tile thumbnail mosaic: the map-preview stage of an image tiling
+    service — decode each image in an actor pool, grayscale-downsample to
+    an 8x8 thumb, assign its z5 web-mercator tile, then compose per tile
+    the up-to-16 lexicographically-first images (by image_id) into a 4x4
+    mosaic grid and emit its checksum.
+
+    Scale shape: full image bytes never cross a shuffle — the groupby
+    exchange carries 64-byte thumbs; mosaic membership is sorted-by-id
+    with a hard cap, so the output is partitioning/retry-invariant; group
+    count is bounded by the tile grid (4^z), never the corpus, so the
+    per-group pandas dispatch cost stays O(tiles).  Checksums are crc32
+    over the mosaic's raw pixels; tests/test_imaging.py recomputes every
+    mosaic independently from the parquet."""
+    import zlib
+
+    from . import imaging, tiling
+    from ..functions import image as img_f
+    from ..functions import spatial as S
+
+    K = _MOSAIC_GRID * _MOSAIC_GRID
+    T = _MOSAIC_THUMB
+
+    images = tiling.read_images(
+        sf_dir, columns=["image_id", "bytes", "fmt", "lon", "lat"]
+    ).limit(8000)
+
+    class ThumbAssign:
+        """Actor-pool stage: decode once per image (codec dispatch cached
+        per actor), emit (tile_id, image_id, 64-byte thumb)."""
+
+        def __init__(self):
+            self._decode = img_f.decode_image
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            fmts = batch["fmt"].to_pylist()
+            datas = batch["bytes"].to_pylist()
+            thumbs: list[bytes] = []
+            for data, fmt in zip(datas, fmts):
+                img = self._decode(data, fmt)
+                gray = (
+                    img[:, :, 0].astype(np.uint16) + img[:, :, 1] + img[:, :, 2]
+                ) // 3
+                t = imaging.resize_nearest(gray.astype(np.uint8)[..., None], T, T)
+                thumbs.append(t.tobytes())
+            lon = batch["lon"].to_numpy()
+            lat = batch["lat"].to_numpy()
+            tx, ty = S.lonlat_to_tile(lon, lat, _MOSAIC_Z)
+            tid = S.pack_tile_id(_MOSAIC_Z, tx, ty).astype(np.int64)
+            return pa.table(
+                {
+                    "tile_id": pa.array(tid),
+                    "image_id": batch["image_id"],
+                    "thumb": pa.array(thumbs, pa.binary()),
+                }
+            )
+
+    def mosaic(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("image_id", ignore_index=True)
+        n = len(g)
+        used = min(n, K)
+        canvas = np.zeros((_MOSAIC_GRID * T, _MOSAIC_GRID * T), np.uint8)
+        for i in range(used):
+            t = np.frombuffer(g["thumb"].iloc[i], np.uint8).reshape(T, T)
+            r, c = divmod(i, _MOSAIC_GRID)
+            canvas[r * T : (r + 1) * T, c * T : (c + 1) * T] = t
+        return pd.DataFrame(
+            {
+                "tile_id": [int(g["tile_id"].iloc[0])],
+                "n_images": [n],
+                "used": [used],
+                "mosaic_crc": [np.int64(zlib.crc32(canvas.tobytes()))],
+            }
+        )
+
+    return (
+        images.map_batches(
+            ThumbAssign, batch_format="pyarrow", batch_size=512, concurrency=(1, 4)
+        )
+        .groupby("tile_id")
+        .map_groups(mosaic, batch_format="pandas")
+        .to_pandas()
+        .sort_values("tile_id", ignore_index=True)
+    )
+
+
 def q_image_thumbnails(sf_dir: str):
     """Multimodal actor-pool stage over the binary image column: decode ->
     bilinear resize -> feature extract -> png thumbnail, 8k-row sample of
@@ -1801,5 +1892,6 @@ ROWS_ONLY_QUERIES = {
     "covt_new_layout": q_covt_new_layout,
     "image_thumbnails": q_image_thumbnails,
     "image_quality": q_image_quality,
+    "image_tile_mosaic": q_image_tile_mosaic,
     "covt_feature_scan": q_covt_feature_scan,
 }

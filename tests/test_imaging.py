@@ -46,6 +46,59 @@ class TestThumbnailPipeline:
         assert out["brightness"].between(0, 255).all()
 
 
+class TestTileMosaic:
+    def test_mosaic_matches_independent_recompute(self, ray_session):
+        """q_image_tile_mosaic vs a straight-line pandas recompute from the
+        same parquet: every tile's membership, cap and crc must match."""
+        import zlib
+
+        import pyarrow.parquet as pq
+
+        from cov_tiles_ray.functions import spatial as S
+        from cov_tiles_ray.pipelines import rows_only
+        from cov_tiles_ray.sources import synth
+
+        sf_dir = "/root/testdata/sf0.001"
+        got = rows_only.q_image_tile_mosaic(sf_dir)
+
+        df = (
+            pq.read_table(
+                synth.images_parquet_path(synth.sf_from_dir(sf_dir)),
+                columns=["image_id", "bytes", "fmt", "lon", "lat"],
+            )
+            .to_pandas()
+            .head(8000)
+        )
+        T, G = rows_only._MOSAIC_THUMB, rows_only._MOSAIC_GRID
+        tx, ty = S.lonlat_to_tile(df["lon"].to_numpy(), df["lat"].to_numpy(), rows_only._MOSAIC_Z)
+        df["tile_id"] = S.pack_tile_id(rows_only._MOSAIC_Z, tx, ty).astype(np.int64)
+        exp_rows = []
+        for tid, g in df.groupby("tile_id"):
+            g = g.sort_values("image_id")
+            canvas = np.zeros((G * T, G * T), np.uint8)
+            used = min(len(g), G * G)
+            for i in range(used):
+                img = img_f.decode_image(bytes(g["bytes"].iloc[i]), g["fmt"].iloc[i])
+                gray = (img[:, :, 0].astype(np.uint16) + img[:, :, 1] + img[:, :, 2]) // 3
+                t = imaging.resize_nearest(gray.astype(np.uint8)[..., None], T, T)
+                r, c = divmod(i, G)
+                canvas[r * T : (r + 1) * T, c * T : (c + 1) * T] = t[:, :, 0]
+            exp_rows.append(
+                {
+                    "tile_id": int(tid),
+                    "n_images": len(g),
+                    "used": used,
+                    "mosaic_crc": np.int64(zlib.crc32(canvas.tobytes())),
+                }
+            )
+        exp = pd.DataFrame(exp_rows).sort_values("tile_id", ignore_index=True)
+        pd.testing.assert_frame_equal(
+            got.astype({"n_images": "int64", "used": "int64", "mosaic_crc": "int64"}),
+            exp.astype({"n_images": "int64", "used": "int64", "mosaic_crc": "int64"}),
+        )
+        assert (got["used"] <= G * G).all() and got["n_images"].sum() == len(df)
+
+
 class TestFrameSampler:
     def _vid(self, n=6, h=8, w=10, seed=3):
         rng = np.random.default_rng(seed)
