@@ -3627,6 +3627,136 @@ def _sql_dup_ngram_spans() -> str:
     """
 
 
+_BM25_TERMS = ("merge", "scan", "window")
+_BM25_K1 = 1.25  # exactly representable binary fractions: no literal-parse
+_BM25_B = 0.75  # divergence between the two engines
+_BM25_TOPK = 20
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 retrieval scoring: top-20 documents for a fixed 3-term query —
+    the ranking stage of a corpus search / retrieval-augmented pipeline.
+
+    Two passes over a tiny per-doc stats table (doc_id, dl, tf per term;
+    5 int64 columns, materialized once so the text is split exactly once):
+    pass 1 is one small aggregate for N / avgdl / per-term df, pass 2
+    scores every doc vectorized and keeps a per-block partial top-k, the
+    driver merges blocks x k rows.  Float parity: k1/b are exact binary
+    fractions, idf uses scalar math.log (libm, matching DuckDB ln, not
+    numpy's SIMD log), the score expression tree is written identically
+    on both sides, and the emitted score is floor(score * 1e6) — the
+    <=1e9 quantization rule (BASELINE.md session-5)."""
+    import math
+
+    from ray.data.aggregate import Count, Sum
+
+    terms = _BM25_TERMS
+    k1, b = _BM25_K1, _BM25_B
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(df: pd.DataFrame) -> pa.Table:
+        toks = [t.split(" ") for t in df["text"].astype(str)]
+        out = {
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "dl": np.fromiter((len(t) for t in toks), np.int64, len(toks)),
+        }
+        for j, term in enumerate(terms):
+            out[f"tf{j}"] = np.fromiter(
+                (t.count(term) for t in toks), np.int64, len(toks)
+            )
+        return pa.table({k: pa.array(v) for k, v in out.items()})
+
+    st = ds.map_batches(stats, batch_format="pandas").materialize()
+
+    def partial_g(t: pa.Table) -> pa.Table:
+        cols = {
+            "n": np.array([t.num_rows], np.int64),
+            "sum_dl": np.array([pc.sum(t["dl"]).as_py() or 0], np.int64),
+        }
+        for j in range(len(terms)):
+            tf = t[f"tf{j}"].to_numpy(zero_copy_only=False)
+            cols[f"df{j}"] = np.array([int((tf > 0).sum())], np.int64)
+        return pa.table({k: pa.array(v) for k, v in cols.items()})
+
+    g = st.map_batches(partial_g, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    n = int(g["n"].sum())
+    avgdl = int(g["sum_dl"].sum()) / n
+    idf = [
+        math.log((n - int(g[f"df{j}"].sum()) + 0.5) / (int(g[f"df{j}"].sum()) + 0.5) + 1.0)
+        for j in range(len(terms))
+    ]
+
+    def score_block(t: pa.Table) -> pa.Table:
+        dl = t["dl"].to_numpy(zero_copy_only=False)
+        den = k1 * (0.25 + 0.75 * dl / avgdl)
+        score = None
+        any_tf = np.zeros(len(dl), bool)
+        for j in range(len(terms)):
+            tf = t[f"tf{j}"].to_numpy(zero_copy_only=False)
+            any_tf |= tf > 0
+            s = idf[j] * (tf * (k1 + 1.0)) / (tf + den)
+            score = s if score is None else score + s
+        micro = np.floor(score * 1000000.0).astype(np.int64)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = np.flatnonzero(any_tf)
+        order = keep[np.lexsort((did[keep], -micro[keep]))][:_BM25_TOPK]
+        return pa.table({"doc_id": pa.array(did[order]), "score_micro": pa.array(micro[order])})
+
+    cand = st.map_batches(
+        score_block, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    cand = cand.sort_values(
+        ["score_micro", "doc_id"], ascending=[False, True], ignore_index=True
+    ).head(_BM25_TOPK)
+    return pa.table(
+        {
+            "doc_id": pa.array(cand["doc_id"].to_numpy(np.int64)),
+            "score_micro": pa.array(cand["score_micro"].to_numpy(np.int64)),
+        }
+    )
+
+
+def _sql_bm25_topk() -> str:
+    terms = _BM25_TERMS
+    k1, b = _BM25_K1, _BM25_B
+    tf_cols = ",\n        ".join(
+        f"len(list_filter(t, x -> x = '{term}')) AS tf{j}" for j, term in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf{j} > 0 THEN 1 ELSE 0 END) AS df{j}" for j in range(len(terms))
+    )
+    # expression trees written identically to the numpy path: den shared,
+    # per-term idf * (tf * 2.25) / (tf + den), terms summed left-to-right
+    term_exprs = [
+        f"(ln(((n - df{j}) + 0.5) / (df{j} + 0.5) + 1.0) * (tf{j} * {k1 + 1.0!r}) / (tf{j} + den))"
+        for j in range(len(terms))
+    ]
+    score = term_exprs[0]
+    for e in term_exprs[1:]:
+        score = f"({score} + {e})"
+    return f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), s AS (
+      SELECT doc_id, len(t) AS dl,
+        {tf_cols}
+      FROM d
+    ), g AS (
+      SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, {df_cols}
+      FROM s
+    ), scored AS (
+      SELECT doc_id,
+             CAST(floor({score} * 1000000.0) AS BIGINT) AS score_micro
+      FROM (SELECT s.*, g.*, {k1!r} * (0.25 + 0.75 * dl / avgdl) AS den FROM s, g)
+      WHERE tf0 + tf1 + tf2 > 0
+    )
+    SELECT doc_id, score_micro FROM scored
+    ORDER BY score_micro DESC, doc_id
+    LIMIT {_BM25_TOPK}
+    """
+
+
 _SAMPLE_K = 64
 
 
@@ -5541,6 +5671,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "ann_range_search": (q_ann_range_search, _sql_ann_range_search()),
     "doc_chunks": (q_doc_chunks, _sql_doc_chunks()),
     "dup_ngram_spans": (q_dup_ngram_spans, _sql_dup_ngram_spans()),
+    "bm25_topk": (q_bm25_topk, _sql_bm25_topk()),
     "corpus_sample_topk": (q_corpus_sample_topk, _sql_corpus_sample_topk()),
     "event_gaps": (q_event_gaps, _sql_event_gaps()),
     "nation_setops": (q_nation_setops, _sql_nation_setops()),
