@@ -3757,6 +3757,146 @@ def _sql_bm25_topk() -> str:
     """
 
 
+def q_unigram_logprob(sf_dir: str):
+    """Unigram language-model scoring (the CCNet/Gopher-style perplexity
+    quality filter): score every document by the sum of its tokens' corpus
+    log-probabilities.  Pipelines keep the middle perplexity band and drop
+    the tails; this operator computes the per-doc signal.
+
+    Float parity across engines is made EXACT by quantizing per-WORD, not
+    per-doc: the driver computes floor(ln(c_w/total) * 1e6) once per
+    distinct vocabulary word with libm (math.log, matching DuckDB ln),
+    and per-doc scores are then pure INTEGER sums — immune to float
+    summation order, which neither engine guarantees.
+
+    Scale shape: pass 1 is a classic combiner'd word-count groupby whose
+    result is vocabulary-bounded (the one driver pull; at open-web scale
+    the drop-in variant keeps the top-V words + one OOV bucket, same
+    shape); pass 2 is map-only — flatten each batch's tokens, one
+    searchsorted against the broadcast sorted vocab, one segment-sum."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial_counts(df: pd.DataFrame) -> pa.Table:
+        toks = [t.split(" ") for t in df["text"].astype(str)]
+        flat = np.concatenate([np.asarray(t, object) for t in toks]) if toks else np.empty(0, object)
+        w, c = np.unique(flat.astype(str), return_counts=True)
+        return pa.table({"w": pa.array(w), "c": pa.array(c.astype(np.int64))})
+
+    counts = (
+        ds.map_batches(partial_counts, batch_format="pandas")
+        .groupby("w")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    total = int(counts["c"].sum())
+    vocab = np.sort(counts["w"].to_numpy(str))
+    order = np.argsort(counts["w"].to_numpy(str), kind="stable")
+    lp = np.fromiter(
+        (
+            int(math.floor(math.log(int(c) / total) * 1000000.0))
+            for c in counts["c"].to_numpy(np.int64)[order]
+        ),
+        np.int64,
+        len(vocab),
+    )
+
+    def score(df: pd.DataFrame) -> pa.Table:
+        toks = [t.split(" ") for t in df["text"].astype(str)]
+        n_tok = np.fromiter((len(t) for t in toks), np.int64, len(toks))
+        flat = np.concatenate([np.asarray(t, object) for t in toks]) if toks else np.empty(0, object)
+        wi = np.searchsorted(vocab, flat.astype(str))
+        doc_ix = np.repeat(np.arange(len(toks)), n_tok)
+        s = np.bincount(doc_ix, weights=lp[wi], minlength=len(toks)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+                "n_tokens": pa.array(n_tok),
+                "sum_lp_micro": pa.array(s),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+def _sql_unigram_logprob() -> str:
+    return """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), cnt AS (
+      SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+    ), tot AS (
+      SELECT SUM(c) AS total FROM cnt
+    ), lp AS (
+      SELECT w, CAST(floor(ln(CAST(c AS DOUBLE) / total) * 1000000.0) AS BIGINT) AS lp_micro
+      FROM cnt, tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(lp_micro) AS BIGINT) AS sum_lp_micro
+    FROM tok JOIN lp USING (w)
+    GROUP BY doc_id
+    """
+
+
+_WSAMPLE_K = 32
+
+
+def q_weighted_sample(sf_dir: str):
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    the k=32 documents with the largest ln(u_i)/w_i keys, weight =
+    n_chars, u_i derived EXACTLY from splitmix64(doc_id) (53-bit mantissa
+    + half-ulp offset, power-of-two division — bit-identical doubles on
+    both engines).  Deterministic and order/partitioning-independent,
+    unlike sequential reservoir sampling.
+
+    Scale shape: map-only partial top-k per block, driver merges
+    blocks x k candidate rows.  Keys are floor-quantized at 1e9 (the
+    disclosed per-row ln parity rule, BASELINE.md session-5)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"].to_numpy(np.int64)
+        w = df["n_chars"].to_numpy(np.int64)
+        h53 = (synth._splitmix64(did.astype(np.uint64)) >> np.uint64(11)).astype(
+            np.float64
+        )
+        u = (h53 + 0.5) / 9007199254740992.0
+        key = np.floor(np.log(u) / w * 1000000000.0).astype(np.int64)
+        o = np.lexsort((did, -key))[:_WSAMPLE_K]
+        return pd.DataFrame({"doc_id": did[o], "n_chars": w[o], "key_nano": key[o]})
+
+    cand = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(
+        ["key_nano", "doc_id"], ascending=[False, True], ignore_index=True
+    ).head(_WSAMPLE_K)
+    return pa.table(
+        {
+            "doc_id": pa.array(cand["doc_id"].to_numpy(np.int64)),
+            "n_chars": pa.array(cand["n_chars"].to_numpy(np.int64)),
+            "key_nano": pa.array(cand["key_nano"].to_numpy(np.int64)),
+        }
+    )
+
+
+def _sql_weighted_sample() -> str:
+    return f"""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             CAST(({_sql_splitmix64("doc_id")}) // 2048 AS DOUBLE) AS h53
+      FROM documents
+    )
+    SELECT doc_id, n_chars,
+           CAST(floor(ln((h53 + 0.5) / 9007199254740992.0) / n_chars * 1000000000.0) AS BIGINT) AS key_nano
+    FROM h
+    ORDER BY key_nano DESC, doc_id
+    LIMIT {_WSAMPLE_K}
+    """
+
+
 _SAMPLE_K = 64
 
 
@@ -5672,6 +5812,8 @@ SQL_QUERIES: dict[str, tuple] = {
     "doc_chunks": (q_doc_chunks, _sql_doc_chunks()),
     "dup_ngram_spans": (q_dup_ngram_spans, _sql_dup_ngram_spans()),
     "bm25_topk": (q_bm25_topk, _sql_bm25_topk()),
+    "unigram_logprob": (q_unigram_logprob, _sql_unigram_logprob()),
+    "weighted_sample": (q_weighted_sample, _sql_weighted_sample()),
     "corpus_sample_topk": (q_corpus_sample_topk, _sql_corpus_sample_topk()),
     "event_gaps": (q_event_gaps, _sql_event_gaps()),
     "nation_setops": (q_nation_setops, _sql_nation_setops()),
