@@ -3757,6 +3757,171 @@ def _sql_bm25_topk() -> str:
     """
 
 
+_PR_ITERS = 10
+_PR_SCALE = 10**12
+
+
+def q_nation_pagerank(sf_dir: str):
+    """Weighted PageRank over the nation trade-flow graph: edge
+    cust_nation -> supp_nation weighted by lineitem count (who buys from
+    whom), 10 damped iterations (d=0.85) — the canonical iterative graph
+    workload, here fed by a distributed LARGE x LARGE join.
+
+    Exactness: ranks are FIXED-POINT integers (1e12 scale); every
+    iteration computes floor((r_u * 85 * w_uv) / (100 * W_u)) in
+    arbitrary-precision ints (Python) / HUGEINT (DuckDB), so ten
+    iterations stay bit-identical across engines — no float ever enters.
+
+    Scale shape: the heavy stage is the hash co-partition join
+    lineitem x orders (same part-exchange probe as order_line_join) with
+    the tiny customer/supplier nation maps broadcast via ray.put
+    (fetch-once per worker); per-part combiners reduce to <=625
+    (src, dst) edge rows, so the driver-side 25-node iteration loop is
+    O(nations^2) — at web scale (large node sets) the loop swaps for the
+    per-round co-group shuffle already demonstrated by
+    rows_only.q_neardup_clusters' hash-min propagation."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    c2n_ref = ray.put(cust.set_index("c_custkey")["c_nationkey"])
+    s2n_ref = ray.put(supp.set_index("s_suppkey")["s_nationkey"])
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    lines = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    n_parts = int(max(8, min(4096, lines.count() // 200_000 + 1)))
+
+    def tag(b: pa.Table, key_col: str, val_col: str, is_build: bool) -> pa.Table:
+        k = b[key_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": b[key_col],
+                "val": b[val_col],
+                "is_build": pa.array(np.full(len(k), is_build)),
+                "part": pa.array(
+                    (synth._splitmix64(k.astype(np.uint64)) % np.uint64(n_parts)).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "src": pa.array([], pa.int64()),
+            "dst": pa.array([], pa.int64()),
+            "w": pa.array([], pa.int64()),
+        }
+    )
+
+    def join_part(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        isb = t["is_build"].to_numpy(zero_copy_only=False)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        val = t["val"].to_numpy(zero_copy_only=False)
+        b_idx = np.flatnonzero(isb)
+        p_idx = np.flatnonzero(~isb)
+        if len(b_idx) == 0 or len(p_idx) == 0:
+            return _empty
+        order = np.argsort(key[b_idx])
+        bks = key[b_idx][order]
+        pos = np.minimum(np.searchsorted(bks, key[p_idx]), len(bks) - 1)
+        found = bks[pos] == key[p_idx]
+        custkey = val[b_idx[order[pos[found]]]]
+        suppkey = val[p_idx[found]]
+        c2n = _ray.get(c2n_ref)  # plasma-local after first fetch per worker
+        s2n = _ray.get(s2n_ref)
+        src = c2n.reindex(custkey).to_numpy(np.int64)
+        dst = s2n.reindex(suppkey).to_numpy(np.int64)
+        # per-part combiner: <= nations^2 rows leave each part
+        e = (src.astype(np.int64) << np.int64(32)) | dst.astype(np.int64)
+        u, c = np.unique(e, return_counts=True)
+        return pa.table(
+            {
+                "src": pa.array((u >> np.int64(32)).astype(np.int64)),
+                "dst": pa.array((u & np.int64(0xFFFFFFFF)).astype(np.int64)),
+                "w": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    edges = (
+        orders.map_batches(
+            lambda b: tag(b, "o_orderkey", "o_custkey", True), batch_format="pyarrow"
+        )
+        .union(
+            lines.map_batches(
+                lambda b: tag(b, "l_orderkey", "l_suppkey", False),
+                batch_format="pyarrow",
+            )
+        )
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(join_part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby(["src", "dst"])
+        .aggregate(Sum("w", alias_name="w"))
+        .to_pandas()
+    )
+
+    # driver-side fixed-point iteration over the tiny nation graph
+    nodes = sorted(set(edges["src"]) | set(edges["dst"]))
+    wout = edges.groupby("src")["w"].sum().to_dict()
+    adj = [(int(r.src), int(r.dst), int(r.w)) for r in edges.itertuples()]
+    base = 15 * _PR_SCALE // 100
+    r = {n: _PR_SCALE for n in nodes}
+    for _ in range(_PR_ITERS):
+        nxt = {n: base for n in nodes}
+        for s, d, w in adj:
+            nxt[d] += (r[s] * 85 * w) // (100 * wout[s])
+        r = nxt
+    return pa.table(
+        {
+            "n_nationkey": pa.array(np.array(nodes, np.int64)),
+            "rank_e12": pa.array(np.array([r[n] for n in nodes], np.int64)),
+        }
+    )
+
+
+def _sql_nation_pagerank() -> str:
+    base = 15 * _PR_SCALE // 100
+    prev = "pr0"
+    iters = []
+    for k in range(1, _PR_ITERS + 1):
+        iters.append(
+            f"""pr{k} AS (
+      SELECT n.id AS id,
+             CAST({base} AS HUGEINT)
+             + COALESCE(SUM((p.r * 85 * e.w) // (100 * o.wout)), 0) AS r
+      FROM nodes n
+      LEFT JOIN edges e ON e.dst = n.id
+      LEFT JOIN {prev} p ON p.id = e.src
+      LEFT JOIN outw o ON o.src = e.src
+      GROUP BY n.id
+    )"""
+        )
+        prev = f"pr{k}"
+    chain = ", ".join(iters)
+    return f"""
+    WITH pairs AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    ), edges AS (
+      SELECT src, dst, CAST(COUNT(*) AS HUGEINT) AS w FROM pairs GROUP BY src, dst
+    ), outw AS (
+      SELECT src, SUM(w) AS wout FROM edges GROUP BY src
+    ), nodes AS (
+      SELECT src AS id FROM edges UNION SELECT dst FROM edges
+    ), pr0 AS (
+      SELECT id, CAST({_PR_SCALE} AS HUGEINT) AS r FROM nodes
+    ), {chain}
+    SELECT id AS n_nationkey, CAST(r AS BIGINT) AS rank_e12 FROM {prev}
+    """
+
+
 def q_unigram_logprob(sf_dir: str):
     """Unigram language-model scoring (the CCNet/Gopher-style perplexity
     quality filter): score every document by the sum of its tokens' corpus
@@ -5814,6 +5979,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "bm25_topk": (q_bm25_topk, _sql_bm25_topk()),
     "unigram_logprob": (q_unigram_logprob, _sql_unigram_logprob()),
     "weighted_sample": (q_weighted_sample, _sql_weighted_sample()),
+    "nation_pagerank": (q_nation_pagerank, _sql_nation_pagerank()),
     "corpus_sample_topk": (q_corpus_sample_topk, _sql_corpus_sample_topk()),
     "event_gaps": (q_event_gaps, _sql_event_gaps()),
     "nation_setops": (q_nation_setops, _sql_nation_setops()),
