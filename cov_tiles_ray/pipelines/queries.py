@@ -3757,6 +3757,153 @@ def _sql_bm25_topk() -> str:
     """
 
 
+_FUZZY_MAX_EDIT = 2
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Plain Levenshtein DP (matches DuckDB's levenshtein())."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def q_vocab_fuzzy_pairs(sf_dir: str):
+    """Fuzzy (edit-distance <= 2) vocabulary self-join — the SymSpell
+    symmetric-delete algorithm: typo/variant detection over a corpus
+    dictionary.  If lev(a,b) <= 2 then a and b share a string reachable
+    by <= 2 deletions from each (take an optimal alignment and delete the
+    edited positions), so hashing every <= 2-deletion variant and pairing
+    within buckets is a COMPLETE sub-quadratic candidate generator; exact
+    DP verification then removes false candidates.
+
+    Scale shape: the vocabulary is built by a distributed distinct
+    (explode + groupby) and NEVER lands on the driver; each word fans out
+    to O(L^2) deletion variants carrying only (variant-hash, word); one
+    hash part-exchange pairs bucket members vectorized; candidate pairs
+    dedup through a groupby before the exact per-pair DP (pairs are
+    bucket-bounded, not O(V^2)).  The oracle is the O(V^2)
+    levenshtein() self-join — tractable only at test scale, which is the
+    point."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def toks(df: pd.DataFrame) -> pa.Table:
+        flat = np.concatenate(
+            [np.asarray(t.split(" "), object) for t in df["text"].astype(str)]
+        )
+        return pa.table({"w": pa.array(np.unique(flat.astype(str)))})
+
+    vocab = ds.map_batches(toks, batch_format="pandas").groupby("w").aggregate(
+        Count(alias_name="_n")
+    )
+
+    def variants(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        ws: list[str] = []
+        hs: list[int] = []
+        for w in t["w"].to_pylist():
+            vs = {w}
+            for i in range(len(w)):
+                d1 = w[:i] + w[i + 1 :]
+                vs.add(d1)
+                for j in range(len(d1)):
+                    vs.add(d1[:j] + d1[j + 1 :])
+            for v in vs:
+                ws.append(w)
+                hs.append(
+                    int.from_bytes(hashlib.md5(v.encode()).digest()[8:], "little", signed=True)
+                )
+        h = np.array(hs, np.int64)
+        return pa.table(
+            {
+                "w": pa.array(ws, pa.string()),
+                "h": pa.array(h),
+                "part": pa.array(
+                    (synth._splitmix64(h.astype(np.uint64)) % np.uint64(64)).astype(np.int64)
+                ),
+            }
+        )
+
+    _empty = pa.table({"wa": pa.array([], pa.string()), "wb": pa.array([], pa.string())})
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2:
+            return _empty
+        h = t["h"].to_numpy(zero_copy_only=False)
+        w = np.asarray(t["w"].to_pylist(), object)
+        order = np.lexsort((w, h))
+        h, w = h[order], w[order]
+        new = np.r_[True, h[1:] != h[:-1]]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.r_[starts, len(h)])
+        rank = np.arange(len(h)) - np.repeat(starts, lens)
+        reps = lens[np.cumsum(new) - 1] - rank - 1
+        total = int(reps.sum())
+        if total == 0:
+            return _empty
+        ai = np.repeat(np.arange(len(w)), reps)
+        off = np.arange(total) - np.repeat(np.cumsum(reps) - reps, reps)
+        bi = ai + off + 1
+        wa, wb = w[ai], w[bi]
+        keep = wa != wb
+        return pa.table({"wa": pa.array(wa[keep], pa.string()), "wb": pa.array(wb[keep], pa.string())})
+
+    def verify(t: pa.Table) -> pa.Table:
+        wa = t["wa"].to_pylist()
+        wb = t["wb"].to_pylist()
+        rows = [
+            (a, b, d)
+            for a, b in zip(wa, wb)
+            if (d := _levenshtein(a, b)) <= _FUZZY_MAX_EDIT
+        ]
+        return pa.table(
+            {
+                "word_a": pa.array([r[0] for r in rows], pa.string()),
+                "word_b": pa.array([r[1] for r in rows], pa.string()),
+                "lev": pa.array(np.array([r[2] for r in rows], np.int64)),
+            }
+        )
+
+    cand = (
+        vocab.map_batches(variants, batch_format="pyarrow")
+        .sort("part", boundaries=list(range(1, 64)))
+        .map_batches(pair_bucket, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "wa": pc.min_element_wise(t["wa"], t["wb"]),
+                    "wb": pc.max_element_wise(t["wa"], t["wb"]),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["wa", "wb"])
+        .aggregate(Count(alias_name="_nb"))
+        .select_columns(["wa", "wb"])
+    )
+    return cand.map_batches(verify, batch_format="pyarrow")
+
+
+def _sql_vocab_fuzzy_pairs() -> str:
+    return f"""
+    WITH v AS (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents
+    )
+    SELECT a.w AS word_a, b.w AS word_b,
+           CAST(levenshtein(a.w, b.w) AS BIGINT) AS lev
+    FROM v a, v b
+    WHERE a.w < b.w AND levenshtein(a.w, b.w) <= {_FUZZY_MAX_EDIT}
+    """
+
+
 _PR_ITERS = 10
 _PR_SCALE = 10**12
 
@@ -5980,6 +6127,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "unigram_logprob": (q_unigram_logprob, _sql_unigram_logprob()),
     "weighted_sample": (q_weighted_sample, _sql_weighted_sample()),
     "nation_pagerank": (q_nation_pagerank, _sql_nation_pagerank()),
+    "vocab_fuzzy_pairs": (q_vocab_fuzzy_pairs, _sql_vocab_fuzzy_pairs()),
     "corpus_sample_topk": (q_corpus_sample_topk, _sql_corpus_sample_topk()),
     "event_gaps": (q_event_gaps, _sql_event_gaps()),
     "nation_setops": (q_nation_setops, _sql_nation_setops()),
