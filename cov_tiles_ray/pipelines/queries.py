@@ -5007,6 +5007,183 @@ def _sql_orders_by_month() -> str:
     """
 
 
+def q_orders_skyline(sf_dir: str):
+    """Skyline (Pareto frontier) query: orders not dominated on
+    (totalprice max, orderdate min) — the "largest-earliest" preference
+    frontier.  p dominates q iff p.cents >= q.cents AND p.day <= q.day
+    with at least one strict; ties on both axes are mutually
+    non-dominating and all survive.
+
+    Scale shape: dominance is transitive, so every block computes its
+    LOCAL skyline with one vectorized sweep (sort by cents desc / day
+    asc, a point survives iff its day equals its cents-group minimum and
+    beats the running min over strictly-richer groups) and the driver
+    merges only the tiny block skylines with the same sweep — the classic
+    distributed-skyline decomposition; no shuffle at all.  All integer
+    (cents, epoch days), so cross-engine exact."""
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def local_skyline(b: pa.Table) -> pa.Table:
+        key = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        day = (
+            b["o_orderdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        keep = _skyline_sweep(cents, day)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(key[keep]),
+                "cents": pa.array(cents[keep]),
+                "day": pa.array(day[keep]),
+            }
+        )
+
+    cand = ds.map_batches(
+        local_skyline, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    keep = _skyline_sweep(cand["cents"].to_numpy(np.int64), cand["day"].to_numpy(np.int64))
+    out = cand.iloc[keep].sort_values("o_orderkey", ignore_index=True)
+    return pa.table(
+        {
+            "o_orderkey": pa.array(out["o_orderkey"].to_numpy(np.int64)),
+            "cents": pa.array(out["cents"].to_numpy(np.int64)),
+            "day": pa.array(out["day"].to_numpy(np.int64)),
+        }
+    )
+
+
+def _skyline_sweep(cents: np.ndarray, day: np.ndarray) -> np.ndarray:
+    """Indices of the 2D skyline (cents max, day min), vectorized: group
+    by distinct cents (desc); a row survives iff day == its group min AND
+    that min < the running min over all strictly-greater-cents groups."""
+    if len(cents) == 0:
+        return np.empty(0, np.int64)
+    order = np.lexsort((day, -cents))
+    c, d = cents[order], day[order]
+    new = np.r_[True, c[1:] != c[:-1]]
+    seg = np.cumsum(new) - 1
+    gmin = d[new]  # day is asc within each cents group -> first is the min
+    before = np.r_[np.int64(np.iinfo(np.int64).max), np.minimum.accumulate(gmin)[:-1]]
+    survive = (d == gmin[seg]) & (gmin[seg] < before[seg])
+    return order[np.flatnonzero(survive)]
+
+
+def _sql_orders_skyline() -> str:
+    return """
+    WITH t AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents,
+             CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+      FROM orders
+    )
+    SELECT o_orderkey, cents, day FROM t q
+    WHERE NOT EXISTS (
+      SELECT 1 FROM t p
+      WHERE p.cents >= q.cents AND p.day <= q.day
+        AND (p.cents > q.cents OR p.day < q.day)
+    )
+    """
+
+
+def q_user_event_entropy(sf_dir: str):
+    """Shannon-entropy profile per user over their event-type
+    distribution — the information-theoretic behavioral-diversity signal
+    (low entropy = bot-like single-action users).
+
+    Exactness: H = sum_t (c_t/n) ln(n/c_t) is summed as QUANTIZED
+    INTEGER terms — each term floor(ln(n/c)*c*1e6/n) is one fixed-arity
+    IEEE expression over the same two ints on both engines, and the
+    per-user sum is then order-free integer addition (float SUM order is
+    engine-unspecified; this sidesteps it, same trick as
+    q_unigram_logprob).
+
+    Scale shape: ONE user-hash part-exchange; each part resolves all its
+    users vectorized (lexsort + run-length segments for per-(user,type)
+    counts, reduceat for per-user totals) — no per-user dispatch."""
+    n_parts = 64
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def tag(df: pd.DataFrame) -> pa.Table:
+        # per-batch (user, type) combiner before the exchange
+        g = df.groupby(["user_id", "event_type"], sort=False).size().reset_index(name="c")
+        u = g["user_id"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(u),
+                "event_type": pa.array(g["event_type"].astype(str).to_numpy(object), pa.string()),
+                "c": pa.array(g["c"].to_numpy(np.int64)),
+                "part": pa.array(
+                    (synth._splitmix64(u.astype(np.uint64)) % np.uint64(n_parts)).astype(np.int64)
+                ),
+            }
+        )
+
+    def entropy_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "n_types": pa.array([], pa.int64()),
+                    "entropy_micro": pa.array([], pa.int64()),
+                }
+            )
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(t["event_type"].to_pylist(), object)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((et, uid))
+        uid, et, c = uid[order], et[order], c[order]
+        # merge split partials for the same (user, type)
+        new_pair = np.r_[True, (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])]
+        pair_seg = np.cumsum(new_pair) - 1
+        c = np.bincount(pair_seg, weights=c).astype(np.int64)
+        uid = uid[new_pair]
+        new_u = np.r_[True, uid[1:] != uid[:-1]]
+        useg = np.cumsum(new_u) - 1
+        n = np.bincount(useg, weights=c).astype(np.int64)[useg]
+        term = np.floor(np.log(n / c) * c * 1000000.0 / n).astype(np.int64)
+        users = uid[new_u]
+        return pa.table(
+            {
+                "user_id": pa.array(users),
+                "n_events": pa.array(np.bincount(useg, weights=c).astype(np.int64)),
+                "n_types": pa.array(np.bincount(useg).astype(np.int64)),
+                "entropy_micro": pa.array(np.bincount(useg, weights=term).astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(entropy_part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+
+
+def _sql_user_event_entropy() -> str:
+    return """
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id, event_type
+    ), n AS (
+      SELECT user_id, CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_types
+      FROM c GROUP BY user_id
+    )
+    SELECT c.user_id,
+           ANY_VALUE(n.n) AS n_events,
+           ANY_VALUE(n.n_types) AS n_types,
+           CAST(SUM(CAST(floor(ln(CAST(n.n AS DOUBLE) / c.c) * c.c * 1000000.0 / n.n) AS BIGINT)) AS BIGINT) AS entropy_micro
+    FROM c JOIN n USING (user_id)
+    GROUP BY c.user_id
+    """
+
+
 def q_hll_by_event_type(sf_dir: str):
     """HLL sketch algebra: one HyperLogLog per event type PLUS their
     register-wise union merged into an 'ALL' row — demonstrating that
@@ -6128,6 +6305,8 @@ SQL_QUERIES: dict[str, tuple] = {
     "weighted_sample": (q_weighted_sample, _sql_weighted_sample()),
     "nation_pagerank": (q_nation_pagerank, _sql_nation_pagerank()),
     "vocab_fuzzy_pairs": (q_vocab_fuzzy_pairs, _sql_vocab_fuzzy_pairs()),
+    "orders_skyline": (q_orders_skyline, _sql_orders_skyline()),
+    "user_event_entropy": (q_user_event_entropy, _sql_user_event_entropy()),
     "corpus_sample_topk": (q_corpus_sample_topk, _sql_corpus_sample_topk()),
     "event_gaps": (q_event_gaps, _sql_event_gaps()),
     "nation_setops": (q_nation_setops, _sql_nation_setops()),
