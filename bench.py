@@ -182,6 +182,8 @@ def _run_bench(headline_only: bool = False) -> dict:
         "geo_radius_join",
         "doc_chunks",
         "bloom_membership",
+        "dup_ngram_spans",
+        "nation_pagerank",
     ]
     qtimes: dict[str, float] = {}
     for name in bench_queries:

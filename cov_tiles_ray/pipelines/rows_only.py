@@ -1716,6 +1716,68 @@ def q_schema_scan(sf_dir: str):
 
 KMEANS_K = 8
 KMEANS_ITERS = 5
+PCA_COMPONENTS = 4
+
+
+def q_embedding_pca(sf_dir: str):
+    """Distributed PCA over the embedding table: top principal components
+    of the corpus — the dimensionality/variance profile a curation
+    pipeline uses for drift detection and whitening before ANN indexing.
+
+    Scale shape: ONE streamed pass; every batch emits its exact
+    second-moment partials (the dim x dim Gram upper triangle + the mean
+    vector + count as (i, j, s) combiner rows — O(dim^2) per batch,
+    independent of row count), one small groupby sums them, and the
+    driver eigendecomposes the dim x dim covariance (O(dim^3), no row
+    data).  This is the textbook two-moment PCA decomposition: nothing
+    about it reruns at corpus scale except the embarrassingly-parallel
+    Gram pass.  Rows-only: eigenvalues are float (reduce-order noise in
+    the Gram sums), so the oracle is the pytest recompute from the raw
+    table (eigenvalue closeness + principal-subspace angle), not a SQL
+    hash."""
+    from ray.data.aggregate import Sum
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+
+    def gram_partial(b: pa.Table) -> pa.Table:
+        v = np.stack(b["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        dim = v.shape[1]
+        g = v.T @ v
+        iu, ju = np.triu_indices(dim)
+        i = np.concatenate([iu, np.full(dim, dim, np.int64), [dim + 1]])
+        j = np.concatenate([ju, np.arange(dim, dtype=np.int64), [0]])
+        s = np.concatenate([g[iu, ju], v.sum(axis=0), [float(len(v))]])
+        return pa.table({"i": pa.array(i.astype(np.int64)), "j": pa.array(j), "s": pa.array(s)})
+
+    agg = (
+        emb.map_batches(gram_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["i", "j"])
+        .aggregate(Sum("s", alias_name="v"))
+        .to_pandas()  # bounded: dim*(dim+1)/2 + dim + 1 rows
+    )
+    n = float(agg.loc[(agg["i"] == agg["i"].max()), "v"].iloc[0])
+    dim = int(agg["i"].max()) - 1
+    mean = np.zeros(dim)
+    gram = np.zeros((dim, dim))
+    for _, r in agg.iterrows():
+        i, j, s = int(r["i"]), int(r["j"]), float(r["v"])
+        if i == dim:
+            mean[j] = s / n
+        elif i < dim:
+            gram[i, j] = s
+            gram[j, i] = s
+    cov = gram / n - np.outer(mean, mean)
+    evals, _ = np.linalg.eigh(cov)
+    evals = evals[::-1][:PCA_COMPONENTS]
+    total = float(np.trace(cov))
+    return pd.DataFrame(
+        {
+            "component": np.arange(PCA_COMPONENTS, dtype=np.int64),
+            "eigenvalue_x1e9": np.floor(evals * 1e9).astype(np.int64),
+            "explained_x1e6": np.floor(evals / total * 1e6).astype(np.int64),
+            "n_rows": np.full(PCA_COMPONENTS, int(n), np.int64),
+        }
+    )
 
 
 def q_embedding_kmeans(sf_dir: str):
@@ -1880,6 +1942,7 @@ ROWS_ONLY_QUERIES = {
     "polygonize_tiles": q_polygonize_tiles,
     "ann_ivf_top5": q_ann_ivf_top5,
     "embedding_kmeans": q_embedding_kmeans,
+    "embedding_pca": q_embedding_pca,
     # neardup_verified moved to the SQL-oracle registry (round-3 promotion:
     # exact shingle-set Jaccard over the same shd CTE the LSH mirror uses).
     # ann_lsh_buckets / embedding_neardup moved to the SQL-oracle registry

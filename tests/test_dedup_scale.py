@@ -255,3 +255,31 @@ def test_part_candidate_pairs_cap_and_coverage(ray_session, monkeypatch):
         exp.update(itertools.combinations(ids.tolist(), 2))
     exp = pd.DataFrame(sorted(exp), columns=["doc_a", "doc_b"])
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_embedding_pca_matches_numpy_reference(ray_session):
+    """Distributed two-moment PCA must reproduce the single-process numpy
+    eigenvalues (the Gram partials are exact per batch; only float reduce
+    order differs, so eigenvalues agree to ~1e-9 relative)."""
+    import pyarrow.parquet as pq
+
+    from cov_tiles_ray.pipelines.rows_only import PCA_COMPONENTS, q_embedding_pca
+
+    sf = "/root/testdata/sf0.001"
+    got = q_embedding_pca(sf).sort_values("component", ignore_index=True)
+
+    v = np.stack(
+        pq.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
+        .to_pandas()["embedding"]
+        .to_numpy()
+    ).astype(np.float64)
+    cov = np.cov(v, rowvar=False, bias=True)
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1][:PCA_COMPONENTS]
+
+    assert got["n_rows"].iloc[0] == len(v)
+    np.testing.assert_allclose(
+        got["eigenvalue_x1e9"].to_numpy() / 1e9, evals, rtol=1e-6, atol=1e-9
+    )
+    ratios = got["explained_x1e6"].to_numpy() / 1e6
+    assert (np.diff(got["eigenvalue_x1e9"].to_numpy()) <= 0).all()
+    assert (ratios > 0).all() and ratios.sum() < 1.0 + 1e-9
