@@ -1248,6 +1248,42 @@ def _sql_phash_dedup(sf: float = 0.01) -> str:
     """
 
 
+def _sql_geo_grid_dbscan(sf: float = 0.01) -> str:
+    """SQL mirror of rows_only.q_geo_grid_dbscan: same 0.5-degree grid and
+    core threshold; connected components via a recursive transitive-closure
+    CTE seeded with (cid, cid) so singleton core cells keep their label."""
+    from ..sources import synth
+    from .rows_only import DBSCAN_CELL_DEG, DBSCAN_MIN_PTS
+
+    return f"""
+    WITH RECURSIVE pts AS (
+      SELECT CAST(floor(lon / {DBSCAN_CELL_DEG!r}) AS BIGINT) AS cx,
+             CAST(floor(lat / {DBSCAN_CELL_DEG!r}) AS BIGINT) AS cy
+      FROM read_parquet('{synth.images_dir(sf)}/*.parquet')
+    ), cells AS (
+      SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS c FROM pts GROUP BY cx, cy
+    ), core AS (
+      SELECT (cx + 360) * 1024 + (cy + 180) AS cid, cx, cy, c
+      FROM cells WHERE c >= {DBSCAN_MIN_PTS}
+    ), edges AS (
+      SELECT a.cid AS u, b.cid AS v
+      FROM core a JOIN core b
+        ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1 AND a.cid <> b.cid
+    ), reach(u, v) AS (
+      SELECT cid, cid FROM core
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ), lbl AS (
+      SELECT u AS cid, MIN(v) AS cluster_id FROM reach GROUP BY u
+    )
+    SELECT l.cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(c.c) AS BIGINT) AS n_points
+    FROM lbl l JOIN core c USING (cid)
+    GROUP BY l.cluster_id
+    """
+
+
 def _sql_phash_neardup(sf: float = 0.01) -> str:
     """SQL mirror of rows_only.q_phash_neardup: the stored int64 phash
     wraps to u64 HUGEINT, splits into 4x16-bit band keys, bucket cap by
@@ -6348,6 +6384,7 @@ def _register_promoted() -> None:
             ),
             "simhash_neardup": (_ro.q_simhash_neardup, _sql_simhash_neardup()),
             "neardup_clusters": (_ro.q_neardup_clusters, _sql_neardup_clusters()),
+            "geo_grid_dbscan": (_ro.q_geo_grid_dbscan, _sql_geo_grid_dbscan()),
         }
     )
 

@@ -1308,6 +1308,90 @@ def q_image_quality(sf_dir: str):
     )
 
 
+DBSCAN_CELL_DEG = 0.5
+DBSCAN_MIN_PTS = 8
+
+
+def q_geo_grid_dbscan(sf_dir: str):
+    """Grid-based density clustering (grid DBSCAN) of the image corpus:
+    core cells = 0.5-degree grid cells holding >= 8 points; clusters =
+    connected components over Chebyshev-adjacent core cells; cluster id =
+    the component's minimum packed cell id.  Finds the synthetic corpus's
+    five geographic hotspots against the uniform background.
+
+    Scale shape: the corpus-sized work is ONE (cx, cy) count groupby with
+    per-batch combiners; everything after operates on the occupied-cell
+    table, which is DOMAIN-bounded (<= 720 x 360 cells at this resolution
+    regardless of corpus size — the same boundedness argument as the
+    histogram queries), so the driver union-find is O(cells), never
+    O(rows).  SQL-oracle via a recursive transitive-closure CTE
+    (sf-parametrized like the phash oracles)."""
+    from ray.data.aggregate import Sum
+
+    from . import tiling
+
+    images = tiling.read_images(sf_dir, columns=["lon", "lat"])
+
+    def cell_counts(b: pa.Table) -> pa.Table:
+        lon = b["lon"].to_numpy(zero_copy_only=False)
+        lat = b["lat"].to_numpy(zero_copy_only=False)
+        cx = np.floor(lon / DBSCAN_CELL_DEG).astype(np.int64)
+        cy = np.floor(lat / DBSCAN_CELL_DEG).astype(np.int64)
+        cid = (cx + 360) * 1024 + (cy + 180)
+        u, c = np.unique(cid, return_counts=True)
+        return pa.table({"cid": pa.array(u), "c": pa.array(c.astype(np.int64))})
+
+    cells = (
+        images.map_batches(cell_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cid")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # domain-bounded: occupied 0.5-degree cells
+    )
+    core = cells[cells["c"] >= DBSCAN_MIN_PTS].reset_index(drop=True)
+    cid = core["cid"].to_numpy(np.int64)
+    cnt = core["c"].to_numpy(np.int64)
+
+    # union-find over Chebyshev-adjacent core cells (bounded cell table)
+    index = {int(v): i for i, v in enumerate(cid)}
+    parent = np.arange(len(cid))
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i, v in enumerate(cid):
+        cx, cy = v // 1024 - 360, v % 1024 - 180
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                j = index.get(int((cx + dx + 360) * 1024 + (cy + dy + 180)))
+                if j is not None and j != i:
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parent[max(ri, rj)] = min(ri, rj)
+
+    root = np.array([find(i) for i in range(len(cid))])
+    # component label = min cid in component (cid ascending from groupby
+    # makes root already the argmin, but recompute defensively)
+    label = np.full(len(cid), np.iinfo(np.int64).max, np.int64)
+    np.minimum.at(label, root, cid)
+    lbl = label[root]
+    out = (
+        pd.DataFrame({"cluster_id": lbl, "n_cells": 1, "n_points": cnt})
+        .groupby("cluster_id", as_index=False)
+        .agg(n_cells=("n_cells", "sum"), n_points=("n_points", "sum"))
+        .sort_values("cluster_id", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "cluster_id": pa.array(out["cluster_id"].to_numpy(np.int64)),
+            "n_cells": pa.array(out["n_cells"].to_numpy(np.int64)),
+            "n_points": pa.array(out["n_points"].to_numpy(np.int64)),
+        }
+    )
+
+
 _MOSAIC_Z = 5
 _MOSAIC_GRID = 4  # 4x4 thumbs per mosaic
 _MOSAIC_THUMB = 8  # 8x8 grayscale thumbs

@@ -56,6 +56,7 @@ def test_sql_query_matches_oracle(name, con, ray_session):
     from cov_tiles_ray.pipelines.queries import (
         SQL_QUERIES,
         _sql_caption_word_stats,
+        _sql_geo_grid_dbscan,
         _sql_image_exact_dedup,
         _sql_image_size_stats,
         _sql_phash_dedup,
@@ -69,6 +70,7 @@ def test_sql_query_matches_oracle(name, con, ray_session):
         "image_exact_dedup": _sql_image_exact_dedup,
         "image_size_stats": _sql_image_size_stats,
         "caption_word_stats": _sql_caption_word_stats,
+        "geo_grid_dbscan": _sql_geo_grid_dbscan,
     }
     if name in corpus_sql:
         # registered SQL targets the driver's sf0.01 corpus; rebuild for
