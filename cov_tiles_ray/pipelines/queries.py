@@ -3793,6 +3793,142 @@ def _sql_bm25_topk() -> str:
     """
 
 
+def q_local_supplier_revenue(sf_dir: str):
+    """TPC-H Q5 shape (local supplier volume): revenue per nation from
+    lineitems whose SUPPLIER and CUSTOMER share a nation, orders from
+    1996-1997 — the classic star-schema multi-way join: two broadcast
+    dimensions + one LARGE x LARGE fact co-partition + a selective
+    post-join predicate.
+
+    Scale shape: the only shuffle is the hash co-partition
+    orders x lineitem (probe side pre-filtered by date at the read task);
+    customer/supplier nation maps broadcast once via ray.put; the
+    same-nation predicate and the revenue combiner run inside the join
+    part, so only |nations| x parts rows reach the final groupby."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    lo_day = np.datetime64("1996-01-01").astype("datetime64[D]").astype(np.int64)
+    hi_day = np.datetime64("1998-01-01").astype("datetime64[D]").astype(np.int64)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    c2n_ref = ray.put(cust.set_index("c_custkey")["c_nationkey"])
+    s2n_ref = ray.put(supp.set_index("s_suppkey")["s_nationkey"])
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    lines = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    n_parts = int(max(8, min(4096, lines.count() // 200_000 + 1)))
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        day = (
+            b["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[D]").astype(np.int64)
+        )
+        m = (day >= lo_day) & (day < hi_day)  # filter at the read task
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)[m]
+        return pa.table(
+            {
+                "key": pa.array(k),
+                "val": pa.array(b["o_custkey"].to_numpy(zero_copy_only=False)[m]),
+                "cents": pa.array(np.zeros(len(k), np.int64)),
+                "is_build": pa.array(np.ones(len(k), bool)),
+                "part": pa.array(
+                    (synth._splitmix64(k.astype(np.uint64)) % np.uint64(n_parts)).astype(np.int64)
+                ),
+            }
+        )
+
+    def tag_lines(b: pa.Table) -> pa.Table:
+        k = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": pa.array(k),
+                "val": pa.array(b["l_suppkey"].to_numpy(zero_copy_only=False)),
+                "cents": pa.array(np.floor(price * (1.0 - disc) * 100.0).astype(np.int64)),
+                "is_build": pa.array(np.zeros(len(k), bool)),
+                "part": pa.array(
+                    (synth._splitmix64(k.astype(np.uint64)) % np.uint64(n_parts)).astype(np.int64)
+                ),
+            }
+        )
+
+    _empty = pa.table(
+        {"nationkey": pa.array([], pa.int64()), "revenue_cents": pa.array([], pa.int64())}
+    )
+
+    def join_part(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        isb = t["is_build"].to_numpy(zero_copy_only=False)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        val = t["val"].to_numpy(zero_copy_only=False)
+        b_idx = np.flatnonzero(isb)
+        p_idx = np.flatnonzero(~isb)
+        if len(b_idx) == 0 or len(p_idx) == 0:
+            return _empty
+        order = np.argsort(key[b_idx])
+        bks = key[b_idx][order]
+        pos = np.minimum(np.searchsorted(bks, key[p_idx]), len(bks) - 1)
+        found = bks[pos] == key[p_idx]
+        p_hit = p_idx[found]
+        custkey = val[b_idx[order[pos[found]]]]
+        suppkey = val[p_hit]
+        cn = _ray.get(c2n_ref).reindex(custkey).to_numpy(np.int64)
+        sn = _ray.get(s2n_ref).reindex(suppkey).to_numpy(np.int64)
+        local = cn == sn
+        cents = t["cents"].to_numpy(zero_copy_only=False)[p_hit][local]
+        nk = cn[local]
+        u, inv = np.unique(nk, return_inverse=True)
+        return pa.table(
+            {
+                "nationkey": pa.array(u.astype(np.int64)),
+                "revenue_cents": pa.array(
+                    np.bincount(inv, weights=cents, minlength=len(u)).astype(np.int64)
+                ),
+            }
+        )
+
+    agg = (
+        orders.map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True)
+        .union(lines.map_batches(tag_lines, batch_format="pyarrow", zero_copy_batch=True))
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(join_part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby("nationkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        .to_pandas()
+    )
+    out = agg.merge(nation, left_on="nationkey", right_on="n_nationkey").sort_values(
+        "nationkey", ignore_index=True
+    )
+    return pa.table(
+        {
+            "n_name": pa.array(out["n_name"].astype(str).to_numpy(object), pa.string()),
+            "revenue_cents": pa.array(out["revenue_cents"].to_numpy(np.int64)),
+        }
+    )
+
+
+def _sql_local_supplier_revenue() -> str:
+    return """
+    SELECT n_name,
+           CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE s_nationkey = c_nationkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """
+
+
 _FUZZY_MAX_EDIT = 2
 
 
@@ -6343,6 +6479,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "vocab_fuzzy_pairs": (q_vocab_fuzzy_pairs, _sql_vocab_fuzzy_pairs()),
     "orders_skyline": (q_orders_skyline, _sql_orders_skyline()),
     "user_event_entropy": (q_user_event_entropy, _sql_user_event_entropy()),
+    "local_supplier_revenue": (q_local_supplier_revenue, _sql_local_supplier_revenue()),
     "corpus_sample_topk": (q_corpus_sample_topk, _sql_corpus_sample_topk()),
     "event_gaps": (q_event_gaps, _sql_event_gaps()),
     "nation_setops": (q_nation_setops, _sql_nation_setops()),
