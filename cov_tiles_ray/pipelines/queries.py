@@ -3929,6 +3929,123 @@ def _sql_local_supplier_revenue() -> str:
     """
 
 
+_PMI_MIN_COUNT = 5
+
+
+def q_bigram_pmi(sf_dir: str):
+    """Collocation mining: pointwise mutual information of adjacent token
+    bigrams over the corpus (the phrase-detection pass word2vec-style
+    pipelines run before training) — PMI = ln(n * c_ab / (c_a * c_b)) for
+    bigrams seen >= 5 times.
+
+    Scale shape: bigram counts are a per-batch combiner + one groupby
+    (the corpus-sized exchange); unigram counts are vocabulary-bounded
+    and broadcast (same argument as q_unigram_logprob); PMI attaches
+    map-only.  Each PMI is ONE fixed-arity IEEE expression over four
+    integers, quantized floor(x*1e6), so both engines agree; products are
+    kept in doubles so nothing overflows at corpus scale."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def bigram_partial(df: pd.DataFrame) -> pa.Table:
+        was: list[np.ndarray] = []
+        wbs: list[np.ndarray] = []
+        for t in df["text"].astype(str):
+            toks = np.asarray(t.split(" "), object)
+            if len(toks) >= 2:
+                was.append(toks[:-1])
+                wbs.append(toks[1:])
+        if not was:
+            return pa.table(
+                {
+                    "wa": pa.array([], pa.string()),
+                    "wb": pa.array([], pa.string()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        g = pd.DataFrame(
+            {"wa": np.concatenate(was).astype(str), "wb": np.concatenate(wbs).astype(str)}
+        ).groupby(["wa", "wb"], sort=False).size().reset_index(name="c")
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    bigrams = (
+        ds.map_batches(bigram_partial, batch_format="pandas")
+        .groupby(["wa", "wb"])
+        .aggregate(Sum("c", alias_name="c_ab"))
+    )
+
+    def unigram_partial(df: pd.DataFrame) -> pa.Table:
+        flat = np.concatenate(
+            [np.asarray(t.split(" "), object) for t in df["text"].astype(str)]
+        )
+        w, c = np.unique(flat.astype(str), return_counts=True)
+        return pa.table({"w": pa.array(w), "c": pa.array(c.astype(np.int64))})
+
+    uni = (
+        ds.map_batches(unigram_partial, batch_format="pandas")
+        .groupby("w")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # vocabulary-bounded driver pull
+    )
+    n = float(uni["c"].sum())
+    lut = uni.set_index("w")["c"]
+
+    def attach_pmi(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["c_ab"] >= _PMI_MIN_COUNT]
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "word_a": pd.Series([], dtype=str),
+                    "word_b": pd.Series([], dtype=str),
+                    "c_ab": pd.Series([], dtype=np.int64),
+                    "pmi_micro": pd.Series([], dtype=np.int64),
+                }
+            )
+        ca = lut.reindex(df["wa"]).to_numpy(np.float64)
+        cb = lut.reindex(df["wb"]).to_numpy(np.float64)
+        cab = df["c_ab"].to_numpy(np.int64)
+        pmi = np.floor(np.log((n * cab) / (ca * cb)) * 1000000.0).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "word_a": df["wa"].to_numpy(object),
+                "word_b": df["wb"].to_numpy(object),
+                "c_ab": cab,
+                "pmi_micro": pmi,
+            }
+        )
+
+    return bigrams.map_batches(attach_pmi, batch_format="pandas")
+
+
+def _sql_bigram_pmi() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS t FROM documents
+    ), bg AS (
+      SELECT t[s.i] AS word_a, t[s.i + 1] AS word_b
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s
+      WHERE len(t) >= 2
+    ), cab AS (
+      SELECT word_a, word_b, CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM bg GROUP BY word_a, word_b
+      HAVING COUNT(*) >= {_PMI_MIN_COUNT}
+    ), uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+    ), tot AS (
+      SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uni
+    )
+    SELECT word_a, word_b, c_ab,
+           CAST(floor(ln((tot.n * c_ab) / (CAST(ua.c AS DOUBLE) * ub.c)) * 1000000.0) AS BIGINT)
+             AS pmi_micro
+    FROM cab
+    JOIN uni ua ON ua.w = cab.word_a
+    JOIN uni ub ON ub.w = cab.word_b
+    CROSS JOIN tot
+    """
+
+
 _FUZZY_MAX_EDIT = 2
 
 
@@ -6480,6 +6597,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "orders_skyline": (q_orders_skyline, _sql_orders_skyline()),
     "user_event_entropy": (q_user_event_entropy, _sql_user_event_entropy()),
     "local_supplier_revenue": (q_local_supplier_revenue, _sql_local_supplier_revenue()),
+    "bigram_pmi": (q_bigram_pmi, _sql_bigram_pmi()),
     "corpus_sample_topk": (q_corpus_sample_topk, _sql_corpus_sample_topk()),
     "event_gaps": (q_event_gaps, _sql_event_gaps()),
     "nation_setops": (q_nation_setops, _sql_nation_setops()),
