@@ -3929,6 +3929,72 @@ def _sql_local_supplier_revenue() -> str:
     """
 
 
+_SFC_BBOX = (-80.0, 30.0, 20.0, 60.0)  # lon0, lat0, lon1, lat1
+_SFC_BITS = 6  # 64 x 64 index grid
+
+
+def q_sfc_range_query(sf_dir: str):
+    """Spatial range (bbox) selection accelerated by space-filling-curve
+    range decomposition — the index-side counterpart of the engine's SFC
+    tile keys: the driver decomposes the query bbox into merged Morton
+    code ranges over a 64x64 grid (a bounded, data-independent plan),
+    every batch prunes with ONE vectorized searchsorted against the range
+    starts, and only pruned survivors pay the exact bbox refine.
+
+    The result is EXACT (prune is a superset, refine is the precise
+    predicate), so the oracle is the naive full-scan WHERE clause —
+    demonstrating that the index path and the scan agree row-for-row.
+    At corpus scale the prune also becomes a parquet row-group filter
+    when points are stored Morton-sorted (the engine's tile layout)."""
+    from ..functions import sfc
+
+    lon0, lat0, lon1, lat1 = _SFC_BBOX
+    n = 1 << _SFC_BITS
+
+    # bbox -> covering grid cells -> merged morton ranges (driver, bounded)
+    gx0 = max(int((lon0 + 180.0) / 360.0 * n), 0)
+    gx1 = min(int((lon1 + 180.0) / 360.0 * n), n - 1)
+    gy0 = max(int((lat0 + 90.0) / 180.0 * n), 0)
+    gy1 = min(int((lat1 + 90.0) / 180.0 * n), n - 1)
+    gx, gy = np.meshgrid(np.arange(gx0, gx1 + 1), np.arange(gy0, gy1 + 1))
+    codes = np.sort(sfc.morton_encode(gx.ravel().astype(np.uint64), gy.ravel().astype(np.uint64)))
+    brk = np.flatnonzero(np.diff(codes.astype(np.int64)) > 1)
+    starts = np.r_[codes[0], codes[brk + 1]].astype(np.int64)
+    ends = np.r_[codes[brk], codes[-1]].astype(np.int64)  # inclusive
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def bbox_filter(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = _event_lonlat(eid)
+        cx = np.clip(((lon + 180.0) / 360.0 * n).astype(np.int64), 0, n - 1)
+        cy = np.clip(((lat + 90.0) / 180.0 * n).astype(np.int64), 0, n - 1)
+        code = sfc.morton_encode(cx.astype(np.uint64), cy.astype(np.uint64)).astype(np.int64)
+        # index prune: inside some [start, end] morton range
+        pos = np.searchsorted(starts, code, side="right") - 1
+        cand = (pos >= 0) & (code <= ends[np.maximum(pos, 0)])
+        # exact refine on the survivors only
+        keep = np.flatnonzero(cand)
+        lon, lat = lon[keep], lat[keep]
+        ok = (lon >= lon0) & (lon <= lon1) & (lat >= lat0) & (lat <= lat1)
+        return pa.table({"event_id": pa.array(eid[keep][ok])})
+
+    return ds.map_batches(bbox_filter, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_sfc_range_query() -> str:
+    lon0, lat0, lon1, lat1 = _SFC_BBOX
+    return f"""
+    SELECT event_id FROM (
+      SELECT event_id,
+             {_LON_SQL} AS lon,
+             {_LAT_SQL} AS lat
+      FROM events
+    )
+    WHERE lon >= {lon0!r} AND lon <= {lon1!r} AND lat >= {lat0!r} AND lat <= {lat1!r}
+    """
+
+
 _PMI_MIN_COUNT = 5
 
 
@@ -6598,6 +6664,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "user_event_entropy": (q_user_event_entropy, _sql_user_event_entropy()),
     "local_supplier_revenue": (q_local_supplier_revenue, _sql_local_supplier_revenue()),
     "bigram_pmi": (q_bigram_pmi, _sql_bigram_pmi()),
+    "sfc_range_query": (q_sfc_range_query, _sql_sfc_range_query()),
     "corpus_sample_topk": (q_corpus_sample_topk, _sql_corpus_sample_topk()),
     "event_gaps": (q_event_gaps, _sql_event_gaps()),
     "nation_setops": (q_nation_setops, _sql_nation_setops()),
