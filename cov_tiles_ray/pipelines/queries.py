@@ -4014,48 +4014,57 @@ def q_bigram_pmi(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["text"])
 
-    def bigram_partial(df: pd.DataFrame) -> pa.Table:
+    def gram_partial(df: pd.DataFrame) -> pa.Table:
+        """ONE text scan emits tagged unigram (kind=0, wb='') and bigram
+        (kind=1) partial counts."""
         was: list[np.ndarray] = []
         wbs: list[np.ndarray] = []
+        flats: list[np.ndarray] = []
         for t in df["text"].astype(str):
             toks = np.asarray(t.split(" "), object)
+            flats.append(toks)
             if len(toks) >= 2:
                 was.append(toks[:-1])
                 wbs.append(toks[1:])
-        if not was:
-            return pa.table(
-                {
-                    "wa": pa.array([], pa.string()),
-                    "wb": pa.array([], pa.string()),
-                    "c": pa.array([], pa.int64()),
-                }
+        uw, uc = np.unique(np.concatenate(flats).astype(str), return_counts=True)
+        parts = [pd.DataFrame({"kind": 0, "wa": uw, "wb": "", "c": uc.astype(np.int64)})]
+        if was:
+            g = (
+                pd.DataFrame(
+                    {
+                        "wa": np.concatenate(was).astype(str),
+                        "wb": np.concatenate(wbs).astype(str),
+                    }
+                )
+                .groupby(["wa", "wb"], sort=False)
+                .size()
+                .reset_index(name="c")
             )
-        g = pd.DataFrame(
-            {"wa": np.concatenate(was).astype(str), "wb": np.concatenate(wbs).astype(str)}
-        ).groupby(["wa", "wb"], sort=False).size().reset_index(name="c")
+            g.insert(0, "kind", 1)
+            parts.append(g)
+        out = pd.concat(parts, ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    def recombine(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby(["kind", "wa", "wb"], sort=False)["c"].sum().reset_index()
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
-    bigrams = (
-        ds.map_batches(bigram_partial, batch_format="pandas")
-        .groupby(["wa", "wb"])
+    # two-level combine: the per-batch partials are key-bounded (uni+bigram
+    # vocab), so collapsing 60+ read blocks into 4 re-combined blocks
+    # before the groupby removes ~5 s of per-block aggregate fixed cost at
+    # sf0.1 (measured 7.7 s -> 2.0 s on the bigram pass, same output)
+    counts = (
+        ds.map_batches(gram_partial, batch_format="pandas")
+        .repartition(4)
+        .map_batches(recombine, batch_format="pyarrow", batch_size=None)
+        .groupby(["kind", "wa", "wb"])
         .aggregate(Sum("c", alias_name="c_ab"))
+        .materialize()  # tiny: vocab + bigram-vocab rows
     )
-
-    def unigram_partial(df: pd.DataFrame) -> pa.Table:
-        flat = np.concatenate(
-            [np.asarray(t.split(" "), object) for t in df["text"].astype(str)]
-        )
-        w, c = np.unique(flat.astype(str), return_counts=True)
-        return pa.table({"w": pa.array(w), "c": pa.array(c.astype(np.int64))})
-
-    uni = (
-        ds.map_batches(unigram_partial, batch_format="pandas")
-        .groupby("w")
-        .aggregate(Sum("c", alias_name="c"))
-        .to_pandas()  # vocabulary-bounded driver pull
-    )
-    n = float(uni["c"].sum())
-    lut = uni.set_index("w")["c"]
+    uni = counts.filter(lambda r: r["kind"] == 0).to_pandas()  # vocab-bounded pull
+    bigrams = counts.filter(lambda r: r["kind"] == 1).select_columns(["wa", "wb", "c_ab"])
+    n = float(uni["c_ab"].sum())
+    lut = uni.set_index("wa")["c_ab"]
 
     def attach_pmi(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["c_ab"] >= _PMI_MIN_COUNT]
