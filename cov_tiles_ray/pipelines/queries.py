@@ -5548,6 +5548,93 @@ def _sql_user_event_entropy() -> str:
     """
 
 
+def q_events_anomaly(sf_dir: str):
+    """Per-user anomaly detection: count events whose value is a 3-sigma
+    outlier against the USER'S OWN distribution — the per-entity outlier
+    screen a data-quality stage runs before training.
+
+    Exactness: the z-score test is cross-multiplied into a pure INTEGER
+    predicate — (v*n - s)^2 > 9*(ss*n - s^2) with v in cents — so no
+    sqrt, no division, no float ever enters and both engines agree
+    bit-for-bit (population sigma; sigma=0 users flag nothing).  Within
+    int64 while n * max|v - mean| < 3e9 (documented bound; the SQL side
+    computes in HUGEINT regardless).
+
+    Scale shape: ONE user-hash part-exchange; each part computes its
+    users' moments with reduceat and flags its events vectorized — the
+    same one-shuffle co-group as q_user_event_entropy, no driver state."""
+    n_parts = 64
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        v = np.floor(b["value"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid.astype(np.int64)),
+                "v": pa.array(v),
+                "part": pa.array(
+                    (synth._splitmix64(uid.astype(np.uint64)) % np.uint64(n_parts)).astype(np.int64)
+                ),
+            }
+        )
+
+    def flag_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "n_outliers": pa.array([], pa.int64()),
+                }
+            )
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        order = np.argsort(uid, kind="stable")
+        uid, v = uid[order], v[order]
+        new = np.r_[True, uid[1:] != uid[:-1]]
+        seg = np.cumsum(new) - 1
+        n = np.bincount(seg)
+        s = np.bincount(seg, weights=v).astype(np.int64)
+        ss = np.bincount(seg, weights=v * v).astype(np.int64)
+        lhs = v * n[seg] - s[seg]
+        out = lhs * lhs > 9 * (ss[seg] * n[seg] - s[seg] * s[seg])
+        return pa.table(
+            {
+                "user_id": pa.array(uid[new]),
+                "n_events": pa.array(n.astype(np.int64)),
+                "n_outliers": pa.array(np.bincount(seg, weights=out).astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(flag_part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+
+
+def _sql_events_anomaly() -> str:
+    return """
+    WITH e AS (
+      SELECT user_id, CAST(floor(value * 100.0) AS BIGINT) AS v FROM events
+    ), m AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS s,
+             CAST(SUM(v * v) AS BIGINT) AS ss
+      FROM e GROUP BY user_id
+    )
+    SELECT e.user_id,
+           ANY_VALUE(m.n) AS n_events,
+           CAST(SUM(CASE WHEN CAST(e.v * m.n - m.s AS HUGEINT) * (e.v * m.n - m.s)
+                              > 9 * (CAST(m.ss AS HUGEINT) * m.n - CAST(m.s AS HUGEINT) * m.s)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM e JOIN m USING (user_id)
+    GROUP BY e.user_id
+    """
+
+
 def q_hll_by_event_type(sf_dir: str):
     """HLL sketch algebra: one HyperLogLog per event type PLUS their
     register-wise union merged into an 'ALL' row — demonstrating that
@@ -6674,6 +6761,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "local_supplier_revenue": (q_local_supplier_revenue, _sql_local_supplier_revenue()),
     "bigram_pmi": (q_bigram_pmi, _sql_bigram_pmi()),
     "sfc_range_query": (q_sfc_range_query, _sql_sfc_range_query()),
+    "events_anomaly": (q_events_anomaly, _sql_events_anomaly()),
     "corpus_sample_topk": (q_corpus_sample_topk, _sql_corpus_sample_topk()),
     "event_gaps": (q_event_gaps, _sql_event_gaps()),
     "nation_setops": (q_nation_setops, _sql_nation_setops()),
