@@ -3552,8 +3552,56 @@ def q_dup_ngram_spans(sf_dir: str):
     Karp-Rabin rolling hash (O(tokens), not O(tokens*W)) drops in with an
     identical pipeline shape.  Tokenization is split-on-single-space to
     mirror DuckDB string_split exactly."""
+    return _dup_ngram_spans_impl(sf_dir, "md5")
+
+
+def _md5_window_hashes(toks: list, W: int) -> np.ndarray:
+    """Oracle-parity window hashes: md5 of the joined window text, low 8
+    LE bytes (DuckDB md5_number_lower).  O(tokens * W) string work."""
     import hashlib
 
+    nw = len(toks) - W + 1
+    return np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.md5(" ".join(toks[i : i + W]).encode()).digest()[8:],
+                "little",
+                signed=True,
+            )
+            for i in range(nw)
+        ),
+        np.int64,
+        nw,
+    )
+
+
+def _kr_explode_batch(dids: np.ndarray, texts, W: int) -> tuple[np.ndarray, np.ndarray]:
+    """Karp-Rabin scale-path window hashes for a WHOLE batch: one
+    vectorized string hash over every token in the batch, per-token
+    splitmix64, then a degree-W polynomial fold (uint64 wraparound) over
+    a flat sliding window, keeping only windows that stay inside one doc
+    — O(tokens) with exactly one hash_array call per batch, no
+    per-window strings.  Same duplicated-window OUTPUT as md5 absent
+    64-bit collisions (tests assert equality)."""
+    B = np.uint64(0x100000001B3)  # FNV prime as the polynomial base
+    tok_lists = [t.split(" ") for t in texts]
+    n_toks = np.fromiter((len(t) for t in tok_lists), np.int64, len(tok_lists))
+    if not len(tok_lists) or int(n_toks.sum()) < W:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    flat = np.concatenate([np.asarray(t, object) for t in tok_lists])
+    th = synth._splitmix64(pd.util.hash_array(flat).astype(np.uint64))
+    if len(th) < W:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(th, W)
+    acc = np.zeros(len(win), np.uint64)
+    for k in range(W):
+        acc = acc * B + win[:, k]
+    doc_ix = np.repeat(np.arange(len(tok_lists)), n_toks)
+    keep = doc_ix[: len(win)] == doc_ix[W - 1 :]  # window stays inside a doc
+    return dids[doc_ix[: len(win)][keep]], acc[keep].astype(np.int64)
+
+
+def _dup_ngram_spans_impl(sf_dir: str, hash_kind: str):
     from ray.data.aggregate import Sum
 
     W = _NGRAM_W
@@ -3562,44 +3610,40 @@ def q_dup_ngram_spans(sf_dir: str):
     n_parts = int(max(8, min(4096, est_windows // 50_000 + 1)))
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    _empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "h": pa.array([], pa.int64()),
+            "part": pa.array([], pa.int64()),
+        }
+    )
 
     def explode(df: pd.DataFrame) -> pa.Table:
-        dids: list[np.ndarray] = []
-        hs: list[np.ndarray] = []
-        for did, txt in zip(df["doc_id"].to_numpy(np.int64), df["text"].astype(str)):
-            toks = txt.split(" ")
-            nw = len(toks) - W + 1
-            if nw <= 0:
-                continue
-            h = np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.md5(" ".join(toks[i : i + W]).encode()).digest()[8:],
-                        "little",
-                        signed=True,
-                    )
-                    for i in range(nw)
-                ),
-                np.int64,
-                nw,
-            )
-            dids.append(np.full(nw, did, np.int64))
-            hs.append(h)
-        if not hs:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "h": pa.array([], pa.int64()),
-                    "part": pa.array([], pa.int64()),
-                }
-            )
-        h = np.concatenate(hs)
+        batch_dids = df["doc_id"].to_numpy(np.int64)
+        texts = df["text"].astype(str)
+        if hash_kind == "kr":
+            out_dids, h = _kr_explode_batch(batch_dids, texts, W)
+            if not len(h):
+                return _empty
+        else:
+            dids: list[np.ndarray] = []
+            hs: list[np.ndarray] = []
+            for did, txt in zip(batch_dids, texts):
+                toks = txt.split(" ")
+                nw = len(toks) - W + 1
+                if nw <= 0:
+                    continue
+                hs.append(_md5_window_hashes(toks, W))
+                dids.append(np.full(nw, did, np.int64))
+            if not hs:
+                return _empty
+            out_dids, h = np.concatenate(dids), np.concatenate(hs)
         part = (synth._splitmix64(h.astype(np.uint64)) % np.uint64(n_parts)).astype(
             np.int64
         )
         return pa.table(
             {
-                "doc_id": pa.array(np.concatenate(dids)),
+                "doc_id": pa.array(out_dids),
                 "h": pa.array(h),
                 "part": pa.array(part),
             }
@@ -3641,6 +3685,16 @@ def q_dup_ngram_spans(sf_dir: str):
         .aggregate(Sum("nw", alias_name="n_windows"), Sum("nd", alias_name="n_dup_windows"))
     )
     return out
+
+
+def q_dup_ngram_spans_kr(sf_dir: str):
+    """The Karp-Rabin scale-path variant of dup_ngram_spans: identical
+    pipeline shape, window hashes from a vectorized O(tokens) polynomial
+    fold instead of per-window md5 (see _kr_window_hashes).  Rows-only:
+    its oracle is the pytest equality check against the md5 variant's
+    output (the duplicated-window counts are hash-agnostic absent 64-bit
+    collisions)."""
+    return _dup_ngram_spans_impl(sf_dir, "kr")
 
 
 def _sql_dup_ngram_spans() -> str:

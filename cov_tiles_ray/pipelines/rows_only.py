@@ -19,6 +19,15 @@ from ..functions import text as text_f
 from ..sources import synth
 
 
+def _q_dup_ngram_spans_kr(sf_dir: str):
+    """Karp-Rabin scale-path variant of the SQL-oracle dup_ngram_spans
+    (implementation lives beside it in pipelines.queries; its oracle is
+    the pytest equality check against the md5 variant)."""
+    from .queries import q_dup_ngram_spans_kr
+
+    return q_dup_ngram_spans_kr(sf_dir)
+
+
 def q_covt_tiles(sf_dir: str):
     """Flagship COVT tile packing over the synthetic image corpus at this
     scale factor: returns the verified tile table (tile ids, sizes,
@@ -2041,4 +2050,5 @@ ROWS_ONLY_QUERIES = {
     "image_quality": q_image_quality,
     "image_tile_mosaic": q_image_tile_mosaic,
     "covt_feature_scan": q_covt_feature_scan,
+    "dup_ngram_spans_kr": _q_dup_ngram_spans_kr,
 }

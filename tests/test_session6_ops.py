@@ -136,3 +136,14 @@ def test_fuzzy_pairs_brute_force(ray_session):
         if _levenshtein(a, b) <= _FUZZY_MAX_EDIT
     }
     assert {tuple(r) for r in got[["word_a", "word_b", "lev"]].itertuples(index=False)} == expect
+
+
+def test_dup_ngram_kr_equals_md5(ray_session):
+    """The Karp-Rabin scale-path variant must produce the identical
+    duplicated-window counts as the oracle-parity md5 variant (the
+    output is hash-agnostic absent 64-bit collisions)."""
+    from cov_tiles_ray.pipelines.queries import q_dup_ngram_spans, q_dup_ngram_spans_kr
+
+    a = q_dup_ngram_spans(SF).to_pandas().sort_values("doc_id", ignore_index=True)
+    b = q_dup_ngram_spans_kr(SF).to_pandas().sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(a.astype("int64"), b.astype("int64"))
