@@ -4115,8 +4115,13 @@ def q_bigram_pmi(sf_dir: str):
         .aggregate(Sum("c", alias_name="c_ab"))
         .materialize()  # tiny: vocab + bigram-vocab rows
     )
-    uni = counts.filter(lambda r: r["kind"] == 0).to_pandas()  # vocab-bounded pull
-    bigrams = counts.filter(lambda r: r["kind"] == 1).select_columns(["wa", "wb", "c_ab"])
+    def _kind(k: int):
+        return lambda t: t.filter(pc.equal(t["kind"], k))
+
+    uni = counts.map_batches(_kind(0), batch_format="pyarrow").to_pandas()  # vocab-bounded pull
+    bigrams = counts.map_batches(_kind(1), batch_format="pyarrow").select_columns(
+        ["wa", "wb", "c_ab"]
+    )
     n = float(uni["c_ab"].sum())
     lut = uni.set_index("wa")["c_ab"]
 
