@@ -2888,6 +2888,27 @@ def _sql_signup_conversion() -> str:
     """
 
 
+def _join_part_key(t: pa.Table):
+    """The shared inner-join probe for one hash-co-partitioned part: the
+    part's rows carry a bool ``is_build`` and an int64 ``key``; the build
+    side is argsorted once and every probe key resolves with one
+    searchsorted.  Returns (build_row_idx, probe_row_idx) of the matched
+    pairs, or None when either side is empty — used by
+    q_order_line_join, q_nation_pagerank and q_local_supplier_revenue so
+    the probe edge cases live in exactly one place."""
+    isb = t["is_build"].to_numpy(zero_copy_only=False)
+    key = t["key"].to_numpy(zero_copy_only=False)
+    b_idx = np.flatnonzero(isb)
+    p_idx = np.flatnonzero(~isb)
+    if len(b_idx) == 0 or len(p_idx) == 0:
+        return None
+    order = np.argsort(key[b_idx])
+    bks = key[b_idx][order]
+    pos = np.minimum(np.searchsorted(bks, key[p_idx]), len(bks) - 1)
+    found = bks[pos] == key[p_idx]
+    return b_idx[order[pos[found]]], p_idx[found]
+
+
 def q_order_line_join(sf_dir: str):
     """Generic LARGE x LARGE inner hash join (orders x lineitem on
     orderkey), aggregated to revenue per order priority.
@@ -2945,20 +2966,12 @@ def q_order_line_join(sf_dir: str):
     )
 
     def join_part(t: pa.Table) -> pa.Table:
-        isb = t["is_build"].to_numpy(zero_copy_only=False)
-        key = t["key"].to_numpy(zero_copy_only=False)
-        b_idx = np.flatnonzero(isb)
-        p_idx = np.flatnonzero(~isb)
-        if len(b_idx) == 0 or len(p_idx) == 0:
+        hit = _join_part_key(t)
+        if hit is None:
             return _empty
-        bk = key[b_idx]
-        order = np.argsort(bk)
-        bks = bk[order]
-        pos = np.minimum(np.searchsorted(bks, key[p_idx]), len(bks) - 1)
-        found = bks[pos] == key[p_idx]
-        p_idx = p_idx[found]
-        prio = t["priority"].to_numpy(zero_copy_only=False)[b_idx[order[pos[found]]]]
-        cents = t["rev_cents"].to_numpy(zero_copy_only=False)[p_idx]
+        b_hit, p_hit = hit
+        prio = t["priority"].to_numpy(zero_copy_only=False)[b_hit]
+        cents = t["rev_cents"].to_numpy(zero_copy_only=False)[p_hit]
         # per-part combiner: |priority| rows leave the part, not |rows|
         g = pd.DataFrame({"priority": prio, "rev_cents": cents}).groupby(
             "priority", sort=False
@@ -3590,8 +3603,6 @@ def _kr_explode_batch(dids: np.ndarray, texts, W: int) -> tuple[np.ndarray, np.n
         return np.empty(0, np.int64), np.empty(0, np.int64)
     flat = np.concatenate([np.asarray(t, object) for t in tok_lists])
     th = synth._splitmix64(pd.util.hash_array(flat).astype(np.uint64))
-    if len(th) < W:
-        return np.empty(0, np.int64), np.empty(0, np.int64)
     win = np.lib.stride_tricks.sliding_window_view(th, W)
     acc = np.zeros(len(win), np.uint64)
     for k in range(W):
@@ -3738,8 +3749,6 @@ def q_bm25_topk(sf_dir: str):
     <=1e9 quantization rule (BASELINE.md session-5)."""
     import math
 
-    from ray.data.aggregate import Count, Sum
-
     terms = _BM25_TERMS
     k1, b = _BM25_K1, _BM25_B
 
@@ -3779,7 +3788,7 @@ def q_bm25_topk(sf_dir: str):
 
     def score_block(t: pa.Table) -> pa.Table:
         dl = t["dl"].to_numpy(zero_copy_only=False)
-        den = k1 * (0.25 + 0.75 * dl / avgdl)
+        den = k1 * ((1.0 - b) + b * dl / avgdl)
         score = None
         any_tf = np.zeros(len(dl), bool)
         for j in range(len(terms)):
@@ -3810,6 +3819,7 @@ def q_bm25_topk(sf_dir: str):
 def _sql_bm25_topk() -> str:
     terms = _BM25_TERMS
     k1, b = _BM25_K1, _BM25_B
+    one_minus_b = 1.0 - b  # exact: b is an exact binary fraction
     tf_cols = ",\n        ".join(
         f"len(list_filter(t, x -> x = '{term}')) AS tf{j}" for j, term in enumerate(terms)
     )
@@ -3838,8 +3848,8 @@ def _sql_bm25_topk() -> str:
     ), scored AS (
       SELECT doc_id,
              CAST(floor({score} * 1000000.0) AS BIGINT) AS score_micro
-      FROM (SELECT s.*, g.*, {k1!r} * (0.25 + 0.75 * dl / avgdl) AS den FROM s, g)
-      WHERE tf0 + tf1 + tf2 > 0
+      FROM (SELECT s.*, g.*, {k1!r} * ({one_minus_b!r} + {b!r} * dl / avgdl) AS den FROM s, g)
+      WHERE {" + ".join(f"tf{j}" for j in range(len(terms)))} > 0
     )
     SELECT doc_id, score_micro FROM scored
     ORDER BY score_micro DESC, doc_id
@@ -3917,19 +3927,12 @@ def q_local_supplier_revenue(sf_dir: str):
     def join_part(t: pa.Table) -> pa.Table:
         import ray as _ray
 
-        isb = t["is_build"].to_numpy(zero_copy_only=False)
-        key = t["key"].to_numpy(zero_copy_only=False)
-        val = t["val"].to_numpy(zero_copy_only=False)
-        b_idx = np.flatnonzero(isb)
-        p_idx = np.flatnonzero(~isb)
-        if len(b_idx) == 0 or len(p_idx) == 0:
+        hit = _join_part_key(t)
+        if hit is None:
             return _empty
-        order = np.argsort(key[b_idx])
-        bks = key[b_idx][order]
-        pos = np.minimum(np.searchsorted(bks, key[p_idx]), len(bks) - 1)
-        found = bks[pos] == key[p_idx]
-        p_hit = p_idx[found]
-        custkey = val[b_idx[order[pos[found]]]]
+        b_hit, p_hit = hit
+        val = t["val"].to_numpy(zero_copy_only=False)
+        custkey = val[b_hit]
         suppkey = val[p_hit]
         cn = _ray.get(c2n_ref).reindex(custkey).to_numpy(np.int64)
         sn = _ray.get(s2n_ref).reindex(suppkey).to_numpy(np.int64)
@@ -4389,19 +4392,13 @@ def q_nation_pagerank(sf_dir: str):
     def join_part(t: pa.Table) -> pa.Table:
         import ray as _ray
 
-        isb = t["is_build"].to_numpy(zero_copy_only=False)
-        key = t["key"].to_numpy(zero_copy_only=False)
-        val = t["val"].to_numpy(zero_copy_only=False)
-        b_idx = np.flatnonzero(isb)
-        p_idx = np.flatnonzero(~isb)
-        if len(b_idx) == 0 or len(p_idx) == 0:
+        hit = _join_part_key(t)
+        if hit is None:
             return _empty
-        order = np.argsort(key[b_idx])
-        bks = key[b_idx][order]
-        pos = np.minimum(np.searchsorted(bks, key[p_idx]), len(bks) - 1)
-        found = bks[pos] == key[p_idx]
-        custkey = val[b_idx[order[pos[found]]]]
-        suppkey = val[p_idx[found]]
+        b_hit, p_hit = hit
+        val = t["val"].to_numpy(zero_copy_only=False)
+        custkey = val[b_hit]
+        suppkey = val[p_hit]
         c2n = _ray.get(c2n_ref)  # plasma-local after first fetch per worker
         s2n = _ray.get(s2n_ref)
         src = c2n.reindex(custkey).to_numpy(np.int64)
@@ -4521,8 +4518,17 @@ def q_unigram_logprob(sf_dir: str):
         w, c = np.unique(flat.astype(str), return_counts=True)
         return pa.table({"w": pa.array(w), "c": pa.array(c.astype(np.int64))})
 
+    def recombine(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("w", sort=False)["c"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    # key-bounded partials over many read blocks: collapse through a
+    # re-combine level before the groupby (per-block aggregate fixed-cost
+    # finding, BASELINE session-6)
     counts = (
         ds.map_batches(partial_counts, batch_format="pandas")
+        .repartition(4)
+        .map_batches(recombine, batch_format="pyarrow", batch_size=None)
         .groupby("w")
         .aggregate(Sum("c", alias_name="c"))
         .to_pandas()
@@ -5655,15 +5661,22 @@ def q_events_anomaly(sf_dir: str):
         new = np.r_[True, uid[1:] != uid[:-1]]
         seg = np.cumsum(new) - 1
         n = np.bincount(seg)
-        s = np.bincount(seg, weights=v).astype(np.int64)
-        ss = np.bincount(seg, weights=v * v).astype(np.int64)
+        # np.add.at keeps the moment sums in EXACT int64 — bincount's
+        # float64 weights would round ss above 2^53 and break the
+        # bit-for-bit oracle claim inside the documented int64 bound
+        s = np.zeros(len(n), np.int64)
+        np.add.at(s, seg, v)
+        ss = np.zeros(len(n), np.int64)
+        np.add.at(ss, seg, v * v)
         lhs = v * n[seg] - s[seg]
         out = lhs * lhs > 9 * (ss[seg] * n[seg] - s[seg] * s[seg])
+        n_out = np.zeros(len(n), np.int64)
+        np.add.at(n_out, seg, out.astype(np.int64))
         return pa.table(
             {
                 "user_id": pa.array(uid[new]),
                 "n_events": pa.array(n.astype(np.int64)),
-                "n_outliers": pa.array(np.bincount(seg, weights=out).astype(np.int64)),
+                "n_outliers": pa.array(n_out),
             }
         )
 

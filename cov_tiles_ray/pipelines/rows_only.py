@@ -1292,7 +1292,7 @@ def q_image_quality(sf_dir: str):
     sample, aggregated to per-(fmt, verdict) counts — the drop-rate
     report a filtering stage ships to its dashboard.  Bytes never cross
     a shuffle; verdicts are deterministic integer-quantized features."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     from . import imaging, tiling
 
