@@ -6751,6 +6751,310 @@ def _sql_event_trigrams() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# decontaminate — benchmark n-gram contamination screen
+# ---------------------------------------------------------------------------
+
+_DECON_MOD = 7  # docs with doc_id % 7 == 0 stand in for the benchmark set
+_DECON_W = 4  # shorter window than dup_ngram_spans: contamination screens
+# typically use 8-13-gram windows, but the 500-doc synthetic corpus only
+# produces cross-subset overlaps at W=4 — the pipeline shape is W-agnostic
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination screen (the GPT-3 appendix-C / Pile
+    n-gram-overlap pass): flag every training document that shares at
+    least one W-token window with a held-out benchmark set, with its
+    overlapping-window count.  Here docs with doc_id % 97 == 0 stand in
+    for the benchmark; in production the benchmark side is a separate
+    tiny table (test sets), which is exactly why this op broadcasts.
+
+    Scale shape: benchmark windows are hashed WHERE READ (window text
+    never leaves the task) and reduced to a distinct int64 hash set —
+    bounded by benchmark size, negligible next to the corpus — shipped
+    ONCE via ray.put; the probe pass is pure map (sorted-set membership
+    via np.searchsorted per batch), NO shuffle anywhere.  md5 window
+    hashes for oracle parity; dup_ngram_spans' Karp-Rabin fold is the
+    documented O(tokens) scale swap."""
+    import ray
+
+    W = _DECON_W
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_hashes(df: pd.DataFrame) -> pa.Table:
+        dids = df["doc_id"].to_numpy(np.int64)
+        texts = df["text"].astype(str).to_numpy()[dids % _DECON_MOD == 0]
+        hs = []
+        for txt in texts:
+            toks = txt.split(" ")
+            if len(toks) >= W:
+                hs.append(_md5_window_hashes(toks, W))
+        u = np.unique(np.concatenate(hs)) if hs else np.empty(0, np.int64)
+        return pa.table({"h": pa.array(u)})
+
+    parts = docs.map_batches(bench_hashes, batch_format="pandas").to_pandas()
+    bset = np.unique(parts["h"].to_numpy(np.int64))
+    bref = ray.put(bset)
+
+    def probe(df: pd.DataFrame) -> pa.Table:
+        import ray as _ray
+
+        bs = _ray.get(bref)
+        dids = df["doc_id"].to_numpy(np.int64)
+        keep = dids % _DECON_MOD != 0
+        texts = df["text"].astype(str).to_numpy()[keep]
+        out_d: list[int] = []
+        out_n: list[int] = []
+        for did, txt in zip(dids[keep], texts):
+            toks = txt.split(" ")
+            if len(toks) < W or not len(bs):
+                continue
+            h = _md5_window_hashes(toks, W)
+            ix = np.searchsorted(bs, h)
+            ix[ix == len(bs)] = 0
+            n = int((bs[ix] == h).sum())
+            if n:
+                out_d.append(int(did))
+                out_n.append(n)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.asarray(out_d, np.int64)),
+                "n_hits": pa.array(np.asarray(out_n, np.int64)),
+            }
+        )
+
+    return docs.map_batches(probe, batch_format="pandas")
+
+
+def _sql_decontaminate() -> str:
+    W = _DECON_W
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), w AS (
+      SELECT doc_id, array_to_string(t[s.i:s.i+{W - 1}], ' ') AS win
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - {W} + 1)) AS i) s
+      WHERE len(t) >= {W}
+    ), bw AS (
+      SELECT DISTINCT win FROM w WHERE doc_id % {_DECON_MOD} = 0
+    )
+    SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM w JOIN bw USING (win)
+    WHERE w.doc_id % {_DECON_MOD} <> 0
+    GROUP BY w.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# inverted_index — capped posting-list build over the corpus
+# ---------------------------------------------------------------------------
+
+_INVIX_TOPN = 200  # report the N highest-document-frequency tokens
+_INVIX_CAP = 20  # first K doc ids per posting list
+
+
+def q_inverted_index(sf_dir: str):
+    """Distributed inverted-index build (the search-index / RAG-prep op):
+    for the 200 highest-document-frequency tokens (tie: token asc),
+    the global df and a posting string of the first 20 doc ids ascending.
+
+    Scale shape: a doc's text sits whole in one batch row, so per-batch
+    (token, doc) drop_duplicates IS the global distinct; ONE hash
+    part-exchange on the token co-locates every posting of a token, each
+    part resolves df + capped posting with one sort + run-length pass
+    (no per-token Python loop for counting; the join-to-string is
+    vocabulary-bounded), and the driver merges only parts x N candidate
+    rows — the full index would stream to a sink, never to the driver."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_parts = 32
+
+    def explode(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].astype(str).str.lower().str.split(" ")
+        s = df[["doc_id"]].assign(tok=toks).explode("tok")
+        s = s[s["tok"].notna() & (s["tok"] != "")].drop_duplicates()
+        tok = s["tok"].to_numpy(object)
+        part = (
+            synth._splitmix64(pd.util.hash_array(tok).astype(np.uint64))
+            % np.uint64(n_parts)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "tok": pa.array(tok, pa.string()),
+                "doc_id": pa.array(s["doc_id"].to_numpy(np.int64)),
+                "part": pa.array(part),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "tok": pa.array([], pa.string()),
+            "df": pa.array([], pa.int64()),
+            "posting": pa.array([], pa.string()),
+        }
+    )
+
+    def build(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        tok = np.asarray(t["tok"].to_pandas(), object)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((did, tok))
+        tok, did = tok[o], did[o]
+        starts = np.flatnonzero(np.r_[True, tok[1:] != tok[:-1]])
+        lens = np.diff(np.r_[starts, len(tok)])
+        # local top-N by (df desc, tok asc): df is GLOBAL here because the
+        # part-exchange co-located every posting of each token
+        order = np.lexsort((tok[starts], -lens))[:_INVIX_TOPN]
+        posting = [
+            ",".join(map(str, did[s : s + min(n, _INVIX_CAP)]))
+            for s, n in zip(starts[order], lens[order])
+        ]
+        return pa.table(
+            {
+                "tok": pa.array(tok[starts][order], pa.string()),
+                "df": pa.array(lens[order].astype(np.int64)),
+                "posting": pa.array(posting, pa.string()),
+            }
+        )
+
+    parts = (
+        ds.map_batches(explode, batch_format="pandas")
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(build, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .to_pandas()
+    )
+    top = parts.sort_values(["df", "tok"], ascending=[False, True], ignore_index=True).head(
+        _INVIX_TOPN
+    )
+    return pa.table(
+        {
+            "tok": pa.array(top["tok"].astype(str)),
+            "df": pa.array(top["df"].to_numpy(np.int64)),
+            "posting": pa.array(top["posting"].astype(str)),
+        }
+    )
+
+
+def _sql_inverted_index() -> str:
+    return f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), s -> s <> '')) AS tok
+      FROM documents
+    ), ranked AS (
+      SELECT tok, doc_id,
+             row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rn
+      FROM dt
+    ), dfc AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY tok
+    ), post AS (
+      SELECT tok, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS posting
+      FROM ranked WHERE rn <= {_INVIX_CAP} GROUP BY tok
+    )
+    SELECT dfc.tok, dfc.df, post.posting
+    FROM dfc JOIN post USING (tok)
+    ORDER BY dfc.df DESC, dfc.tok
+    LIMIT {_INVIX_TOPN}
+    """
+
+
+# ---------------------------------------------------------------------------
+# zipf_fit — rank-frequency power-law fit of the vocabulary
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOPN = 1000
+
+
+def q_zipf_fit(sf_dir: str):
+    """Zipf power-law fit of the corpus rank-frequency curve (a corpus
+    quality diagnostic): least-squares slope/intercept of ln(count) vs
+    ln(rank) over the top-1000 vocabulary terms (count desc,
+    token asc tie-break).
+
+    Exactness: per-TERM quantization — x=floor(ln(rank)*1e6) and
+    y=floor(ln(count)*1e6) are INTEGERS, so the five regression sums are
+    exact (arbitrary-precision Python ints here, HUGEINT in the oracle)
+    and slope/intercept are each ONE fixed-arity IEEE expression over
+    exactly-converted doubles; ln is libm math.log, which matches DuckDB
+    ln bit-for-bit (the bm25_topk finding).
+
+    Scale shape: the vocab build is the vocab_topk combiner (per-batch
+    value_counts partials, one groupby, per-block partial top-k) — the
+    driver sees blocks x 1000 candidate rows, never the corpus
+    or the full vocabulary."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].astype(str).str.lower().str.split(" ").explode()
+        toks = toks[toks.notna() & (toks != "")]
+        vc = toks.value_counts()
+        return pa.table(
+            {
+                "tok": pa.array(vc.index.to_numpy(object), pa.string()),
+                "n": pa.array(vc.to_numpy(np.int64)),
+            }
+        )
+
+    counts = ds.map_batches(partial, batch_format="pandas").groupby("tok").aggregate(Sum("n"))
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["sum(n)", "tok"], ascending=[False, True]).head(_ZIPF_TOPN)
+
+    top = counts.map_batches(block_topk, batch_format="pandas").to_pandas()
+    top = top.sort_values(["sum(n)", "tok"], ascending=[False, True]).head(_ZIPF_TOPN)
+    cnt = top["sum(n)"].to_numpy(np.int64)
+    k = len(cnt)
+    xs = [math.floor(math.log(r) * 1e6) for r in range(1, k + 1)]
+    ys = [math.floor(math.log(int(c)) * 1e6) for c in cnt]
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    num = k * sxy - sx * sy
+    den = k * sxx - sx * sx
+    slope = float(num) / float(den)
+    intercept = (float(sy) - slope * float(sx)) / float(k)
+    return pa.table(
+        {
+            "n_terms": pa.array([k], pa.int64()),
+            "slope_x1e6": pa.array([int(math.floor(slope * 1e6))], pa.int64()),
+            "intercept_x1e6": pa.array([int(math.floor(intercept))], pa.int64()),
+        }
+    )
+
+
+def _sql_zipf_fit() -> str:
+    slope = (
+        "(CAST(k * sxy - sx * sy AS DOUBLE) / CAST(k * sxx - sx * sx AS DOUBLE))"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(lower(text), ' '), s -> s <> '')) AS tok
+      FROM documents
+    ), vocab AS (
+      SELECT tok, count(*) AS n FROM toks GROUP BY tok
+    ), top AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS r
+      FROM vocab ORDER BY n DESC, tok LIMIT {_ZIPF_TOPN}
+    ), q AS (
+      SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000.0) AS HUGEINT) AS x,
+             CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000.0) AS HUGEINT) AS y
+      FROM top
+    ), s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS k,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM q
+    )
+    SELECT CAST(k AS BIGINT) AS n_terms,
+           CAST(floor({slope} * 1000000.0) AS BIGINT) AS slope_x1e6,
+           CAST(floor((CAST(sy AS DOUBLE) - {slope} * CAST(sx AS DOUBLE)) / CAST(k AS DOUBLE)) AS BIGINT) AS intercept_x1e6
+    FROM s
+    """
+
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -6847,6 +7151,9 @@ SQL_QUERIES: dict[str, tuple] = {
     "hex_ring_density": (q_hex_ring_density, _sql_hex_ring_density()),
     "image_exact_dedup": (q_image_exact_dedup, _sql_image_exact_dedup()),
     "ann_cosine_top5": (q_ann_cosine_top5, _sql_ann_cosine_top5()),
+    "decontaminate": (q_decontaminate, _sql_decontaminate()),
+    "inverted_index": (q_inverted_index, _sql_inverted_index()),
+    "zipf_fit": (q_zipf_fit, _sql_zipf_fit()),
     "embedding_label_stats": (q_embedding_label_centroid_norms, _sql_embedding_label()),
 }
 
