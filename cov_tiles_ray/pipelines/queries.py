@@ -7055,6 +7055,247 @@ def _sql_zipf_fit() -> str:
     """
 
 
+
+# ---------------------------------------------------------------------------
+# chi2_terms — token-vs-language chi-square feature selection
+# ---------------------------------------------------------------------------
+
+_CHI2_TOPN = 20
+
+
+def q_chi2_terms(sf_dir: str):
+    """Chi-square feature selection (the classic text-classification
+    feature scorer): for each of the 20 highest-document-frequency tokens
+    and each language, the 2x2 presence-vs-language chi-square statistic.
+
+    Exactness: all four cell counts are exact integers from distributed
+    combiners; the chi2 value is ONE fixed-arity IEEE expression over
+    exactly-converted doubles (products kept in doubles so corpus scale
+    never overflows), floor(chi2 * 1e3)-quantized, with a CASE guard
+    emitting 0 whenever a marginal is empty.
+
+    Scale shape: a doc sits whole in one batch row, so per-batch
+    (token, lang) distinct-presence counting IS a global-correct partial;
+    one groupby sums the vocabulary-bounded (tok, lang) partials and a
+    second tiny groupby counts docs per lang — the driver touches only
+    vocab x langs rows, never the corpus."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].astype(str).str.lower().str.split(" ")
+        s = df[["doc_id", "lang"]].assign(tok=toks).explode("tok")
+        s = s[s["tok"].notna() & (s["tok"] != "")].drop_duplicates()
+        vc = s.groupby(["tok", "lang"], sort=False).size()
+        ix = vc.index
+        return pa.table(
+            {
+                "tok": pa.array(ix.get_level_values(0).to_numpy(object), pa.string()),
+                "lang": pa.array(ix.get_level_values(1).to_numpy(object), pa.string()),
+                "n": pa.array(vc.to_numpy(np.int64)),
+            }
+        )
+
+    tl = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["tok", "lang"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+
+    def lang_partial(df: pd.DataFrame) -> pa.Table:
+        vc = df["lang"].value_counts()
+        return pa.table(
+            {
+                "lang": pa.array(vc.index.to_numpy(object), pa.string()),
+                "nd": pa.array(vc.to_numpy(np.int64)),
+            }
+        )
+
+    ld = (
+        _read(sf_dir, "documents", ["lang"])
+        .map_batches(lang_partial, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(Sum("nd", alias_name="nd"))
+        .to_pandas()
+    )
+    langs = sorted(ld["lang"].astype(str))
+    nd = dict(zip(ld["lang"].astype(str), ld["nd"].to_numpy(np.int64)))
+    n_total = int(sum(nd.values()))
+
+    dfc = tl.groupby("tok")["n"].sum().sort_values(ascending=False)
+    # (df desc, tok asc) deterministic top-N
+    dfc = dfc.reset_index().sort_values(["n", "tok"], ascending=[False, True])
+    top = list(dfc["tok"].astype(str).head(_CHI2_TOPN))
+    cell = {
+        (str(r.tok), str(r.lang)): int(r.n) for r in tl.itertuples() if str(r.tok) in set(top)
+    }
+    df_tok = dict(zip(dfc["tok"].astype(str), dfc["n"].to_numpy(np.int64)))
+
+    out_tok, out_lang, out_n11, out_chi2 = [], [], [], []
+    for tok in top:
+        for lang in langs:
+            n11 = cell.get((tok, lang), 0)
+            n10 = int(df_tok[tok]) - n11
+            n01 = int(nd[lang]) - n11
+            n00 = n_total - int(nd[lang]) - n10
+            m1, m2, m3, m4 = n11 + n10, n01 + n00, n11 + n01, n10 + n00
+            if m1 == 0 or m2 == 0 or m3 == 0 or m4 == 0:
+                chi2_q = 0
+            else:
+                num = float(n11) * float(n00) - float(n10) * float(n01)
+                den = ((float(m1) * float(m2)) * float(m3)) * float(m4)
+                chi2 = ((float(n_total) * num) * num) / den
+                import math
+
+                chi2_q = int(math.floor(chi2 * 1000.0))
+            out_tok.append(tok)
+            out_lang.append(lang)
+            out_n11.append(n11)
+            out_chi2.append(chi2_q)
+    return pa.table(
+        {
+            "tok": pa.array(out_tok, pa.string()),
+            "lang": pa.array(out_lang, pa.string()),
+            "n11": pa.array(np.asarray(out_n11, np.int64)),
+            "chi2_x1e3": pa.array(np.asarray(out_chi2, np.int64)),
+        }
+    )
+
+
+def _sql_chi2_terms() -> str:
+    num = (
+        "(CAST(n11 AS DOUBLE) * CAST(n00 AS DOUBLE)"
+        " - CAST(n10 AS DOUBLE) * CAST(n01 AS DOUBLE))"
+    )
+    den = (
+        "(((CAST(n11 + n10 AS DOUBLE) * CAST(n01 + n00 AS DOUBLE))"
+        " * CAST(n11 + n01 AS DOUBLE)) * CAST(n10 + n00 AS DOUBLE))"
+    )
+    return f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, lang,
+             unnest(list_filter(string_split(lower(text), ' '), s -> s <> '')) AS tok
+      FROM documents
+    ), tl AS (
+      SELECT tok, lang, count(*) AS n FROM dt GROUP BY 1, 2
+    ), dfc AS (
+      SELECT tok, SUM(n) AS df FROM tl GROUP BY 1
+    ), top AS (
+      SELECT tok, df FROM dfc ORDER BY df DESC, tok LIMIT {_CHI2_TOPN}
+    ), ld AS (
+      SELECT lang, count(*) AS nd FROM documents GROUP BY 1
+    ), tot AS (
+      SELECT count(*) AS n FROM documents
+    ), cells AS (
+      SELECT t.tok, l.lang,
+             CAST(COALESCE(tl.n, 0) AS BIGINT) AS n11,
+             CAST(t.df - COALESCE(tl.n, 0) AS BIGINT) AS n10,
+             CAST(l.nd - COALESCE(tl.n, 0) AS BIGINT) AS n01,
+             CAST(tot.n - l.nd - (t.df - COALESCE(tl.n, 0)) AS BIGINT) AS n00,
+             CAST(tot.n AS BIGINT) AS nt
+      FROM top t CROSS JOIN ld l CROSS JOIN tot
+      LEFT JOIN tl ON tl.tok = t.tok AND tl.lang = l.lang
+    )
+    SELECT tok, lang, n11,
+           CASE WHEN n11 + n10 = 0 OR n01 + n00 = 0 OR n11 + n01 = 0 OR n10 + n00 = 0
+                THEN 0
+                ELSE CAST(floor(((CAST(nt AS DOUBLE) * {num}) * {num}) / {den} * 1000.0) AS BIGINT)
+           END AS chi2_x1e3
+    FROM cells
+    """
+
+
+# ---------------------------------------------------------------------------
+# tile_compaction — quadtree compaction of the occupied-tile set
+# ---------------------------------------------------------------------------
+
+_COMPACT_BASE_Z = 6
+_COMPACT_MIN_Z = 2
+
+
+def q_tile_compaction(sf_dir: str):
+    """Quadtree compaction of an occupied-tile set (the H3 `compact`
+    analogue over web-mercator tiles): starting from the distinct
+    occupied z6 tiles of the event corpus, every aligned 2x2 sibling
+    block that is FULLY occupied is replaced by its parent, recursively
+    up to z2; output the compacted cover as (z, x, y) rows.
+
+    Scale shape: the only corpus-sized work is the distinct-tile
+    reduction (per-batch np.unique combiner + Dataset.unique); the level
+    loop then runs on the occupied-tile DOMAIN — at most 4^6 = 4096 keys
+    at the base zoom regardless of corpus size (domain-bounded like the
+    histogram quantile ops), so driver-side numpy is the right venue."""
+    ds = _events_points(sf_dir)
+    bz = _COMPACT_BASE_Z
+
+    def assign(b: pa.Table) -> pa.Table:
+        lon = b["lon"].to_numpy(zero_copy_only=False)
+        lat = b["lat"].to_numpy(zero_copy_only=False)
+        tx, ty = S.lonlat_to_tile(lon, lat, bz)
+        k = (tx.astype(np.int64) << 32) | ty.astype(np.int64)
+        return pa.table({"k": pa.array(np.unique(k))})
+
+    keys = np.unique(
+        np.asarray(
+            ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True).unique("k"),
+            np.int64,
+        )
+    )
+
+    out_z: list[np.ndarray] = []
+    out_x: list[np.ndarray] = []
+    out_y: list[np.ndarray] = []
+    cur = keys
+    for z in range(bz, _COMPACT_MIN_Z, -1):
+        x, y = cur >> 32, cur & np.int64(0xFFFFFFFF)
+        parents = ((x >> 1) << 32) | (y >> 1)
+        pk, cnt = np.unique(parents, return_counts=True)
+        fullp = pk[cnt == 4]
+        keep = ~np.isin(parents, fullp)
+        out_z.append(np.full(int(keep.sum()), z, np.int64))
+        out_x.append(x[keep])
+        out_y.append(y[keep])
+        cur = fullp
+    out_z.append(np.full(len(cur), _COMPACT_MIN_Z, np.int64))
+    out_x.append(cur >> 32)
+    out_y.append(cur & np.int64(0xFFFFFFFF))
+    return pa.table(
+        {
+            "z": pa.array(np.concatenate(out_z)),
+            "x": pa.array(np.concatenate(out_x)),
+            "y": pa.array(np.concatenate(out_y)),
+        }
+    )
+
+
+def _sql_tile_compaction() -> str:
+    bz, mz = _COMPACT_BASE_Z, _COMPACT_MIN_Z
+    n = 1 << bz
+    mx, my = _mercator_sql("lon", "lat")
+    tx = f"cast(least(greatest(floor(({mx}) * {n}.0), 0.0), {n - 1}.0) as bigint)"
+    ty = f"cast(least(greatest(floor(({my}) * {n}.0), 0.0), {n - 1}.0) as bigint)"
+    ctes = [
+        f"pts AS (SELECT {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events)",
+        f"f{bz} AS (SELECT DISTINCT {tx} AS x, {ty} AS y FROM pts)",
+    ]
+    for z in range(bz - 1, mz - 1, -1):
+        ctes.append(
+            f"f{z} AS (SELECT x // 2 AS x, y // 2 AS y FROM f{z + 1} "
+            f"GROUP BY 1, 2 HAVING count(*) = 4)"
+        )
+    selects = []
+    for z in range(bz, mz, -1):
+        selects.append(
+            f"SELECT CAST({z} AS BIGINT) AS z, f{z}.x, f{z}.y FROM f{z} "
+            f"LEFT JOIN f{z - 1} p ON p.x = f{z}.x // 2 AND p.y = f{z}.y // 2 "
+            f"WHERE p.x IS NULL"
+        )
+    selects.append(f"SELECT CAST({mz} AS BIGINT) AS z, x, y FROM f{mz}")
+    return "WITH " + ",\n    ".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -7154,6 +7395,8 @@ SQL_QUERIES: dict[str, tuple] = {
     "decontaminate": (q_decontaminate, _sql_decontaminate()),
     "inverted_index": (q_inverted_index, _sql_inverted_index()),
     "zipf_fit": (q_zipf_fit, _sql_zipf_fit()),
+    "chi2_terms": (q_chi2_terms, _sql_chi2_terms()),
+    "tile_compaction": (q_tile_compaction, _sql_tile_compaction()),
     "embedding_label_stats": (q_embedding_label_centroid_norms, _sql_embedding_label()),
 }
 
