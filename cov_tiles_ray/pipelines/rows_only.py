@@ -2019,6 +2019,88 @@ def q_covt_ref_write(sf_dir: str):
     )
 
 
+
+_BPE_N_MERGES = 10
+
+
+def _bpe_train(words: dict[str, int], n_merges: int) -> list[tuple[int, str, str, int]]:
+    """Reference BPE merge-learning loop (Sennrich et al. 2016) over a
+    word-frequency table: each round counts adjacent symbol pairs weighted
+    by word count, merges the most frequent pair (tie-break: count desc,
+    then lexicographically smallest (left, right)), and rewrites the
+    symbol sequences.  Vocabulary-bounded by construction."""
+    seqs = {w: tuple(w) + ("</w>",) for w in words}
+    merges: list[tuple[int, str, str, int]] = []
+    for i in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for w, cnt in words.items():
+            s = seqs[w]
+            for a, b in zip(s, s[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + cnt
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((i, a, b, cnt))
+        new_sym = a + b
+        for w, s in seqs.items():
+            j, out = 0, []
+            while j < len(s):
+                if j < len(s) - 1 and s[j] == a and s[j + 1] == b:
+                    out.append(new_sym)
+                    j += 2
+                else:
+                    out.append(s[j])
+                    j += 1
+            seqs[w] = tuple(out)
+    return merges
+
+
+def q_bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer training (the Sennrich et al. 2016
+    merge-learning loop at the core of GPT-2/RoBERTa tokenizer builds):
+    learn the first 10 merges over the document corpus.
+
+    Scale shape: BPE training operates on the WORD-FREQUENCY table, not
+    the corpus — the distributed work is exactly one vocabulary build
+    (per-batch value_counts combiner + one groupby, the vocab_topk
+    shape); the merge loop then runs on the vocabulary-bounded
+    (word, count) table on the driver, as every production BPE trainer
+    does.  Rows-only: the oracle is the pytest exact-equality check
+    against an independent single-process recompute from the raw
+    parquet (tests/test_session7_ops.py)."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].astype(str).str.lower().str.split(" ").explode()
+        toks = toks[toks.notna() & (toks != "")]
+        vc = toks.value_counts()
+        return pa.table(
+            {
+                "w": pa.array(vc.index.to_numpy(object), pa.string()),
+                "n": pa.array(vc.to_numpy(np.int64)),
+            }
+        )
+
+    vocab = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("w")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    words = {str(w): int(n) for w, n in zip(vocab["w"], vocab["n"])}
+    merges = _bpe_train(words, _BPE_N_MERGES)
+    return pa.table(
+        {
+            "merge_idx": pa.array(np.asarray([m[0] for m in merges], np.int64)),
+            "left": pa.array([m[1] for m in merges], pa.string()),
+            "right": pa.array([m[2] for m in merges], pa.string()),
+            "pair_count": pa.array(np.asarray([m[3] for m in merges], np.int64)),
+        }
+    )
+
+
 # simhash_docs / langid_detect / quality_scores / doc_fingerprints moved to
 # the SQL-oracle registry (pipelines.queries.SQL_QUERIES, VERDICT r1 #4).
 ROWS_ONLY_QUERIES = {
@@ -2051,4 +2133,5 @@ ROWS_ONLY_QUERIES = {
     "image_tile_mosaic": q_image_tile_mosaic,
     "covt_feature_scan": q_covt_feature_scan,
     "dup_ngram_spans_kr": _q_dup_ngram_spans_kr,
+    "bpe_merges": q_bpe_merges,
 }

@@ -1,0 +1,141 @@
+"""Property/invariant tests for the session-7 operators.
+
+The SQL-oracle ops (decontaminate, inverted_index, zipf_fit, chi2_terms,
+tile_compaction) are value-checked against DuckDB by the parametrized
+test_queries_oracle suite; this module adds the semantic invariants the
+oracle can't express and the rows-only bpe_merges reference equality.
+"""
+
+import collections
+
+import numpy as np
+import pyarrow.parquet as pq
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_tile_compaction_expands_back_to_occupied_set(ray_session):
+    """The compacted cover, expanded back down to the base zoom, must
+    reproduce EXACTLY the occupied z6 tile set — no tile lost, none
+    invented, no overlap between cover members (each base tile has one
+    unique covering ancestor)."""
+    from cov_tiles_ray.functions import spatial as S
+    from cov_tiles_ray.pipelines.queries import (
+        _COMPACT_BASE_Z,
+        _event_lonlat,
+        q_tile_compaction,
+    )
+
+    cover = q_tile_compaction(SF_DIR).to_pandas()
+    assert (cover["z"] <= _COMPACT_BASE_Z).all()
+
+    # independent occupied set straight from the parquet
+    eid = pq.read_table(f"{SF_DIR}/events.parquet", columns=["event_id"])[
+        "event_id"
+    ].to_numpy()
+    lon, lat = _event_lonlat(eid)
+    tx, ty = S.lonlat_to_tile(lon, lat, _COMPACT_BASE_Z)
+    occupied = set(zip(tx.tolist(), ty.tolist()))
+
+    expanded: list[tuple[int, int]] = []
+    for z, x, y in cover.itertuples(index=False):
+        d = _COMPACT_BASE_Z - int(z)
+        for dx in range(1 << d):
+            for dy in range(1 << d):
+                expanded.append(((int(x) << d) + dx, (int(y) << d) + dy))
+    assert len(expanded) == len(set(expanded)), "cover members overlap"
+    assert set(expanded) == occupied
+
+
+def test_bpe_merges_matches_single_process_reference(ray_session):
+    """bpe_merges (distributed word-count + driver merge loop) must equal
+    an independent single-process recompute from the raw parquet text."""
+    from cov_tiles_ray.pipelines.rows_only import _BPE_N_MERGES, q_bpe_merges
+
+    got = q_bpe_merges(SF_DIR).to_pandas()
+
+    texts = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"])[
+        "text"
+    ].to_pylist()
+    words = collections.Counter(
+        w for t in texts for w in str(t).lower().split(" ") if w
+    )
+    # independent merge loop (deliberately different data structures than
+    # rows_only._bpe_train: list-of-(seq, count) instead of dicts)
+    seqs = [(list(w) + ["</w>"], c) for w, c in sorted(words.items())]
+    expect = []
+    for i in range(_BPE_N_MERGES):
+        pc = collections.Counter()
+        for s, c in seqs:
+            for j in range(len(s) - 1):
+                pc[(s[j], s[j + 1])] += c
+        if not pc:
+            break
+        best_cnt = max(pc.values())
+        a, b = min(p for p, c in pc.items() if c == best_cnt)
+        expect.append((i, a, b, best_cnt))
+        for k, (s, c) in enumerate(seqs):
+            out, j = [], 0
+            while j < len(s):
+                if j < len(s) - 1 and s[j] == a and s[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(s[j])
+                    j += 1
+            seqs[k] = (out, c)
+
+    assert len(got) == len(expect)
+    for row, (i, a, b, c) in zip(got.itertuples(index=False), expect):
+        assert (row.merge_idx, row.left, row.right, row.pair_count) == (i, a, b, c)
+
+
+def test_decontaminate_benchmark_docs_never_flagged(ray_session):
+    """No benchmark doc (doc_id % MOD == 0) may appear in the output, and
+    every reported hit count is positive."""
+    from cov_tiles_ray.pipelines.queries import _DECON_MOD, q_decontaminate
+
+    out = q_decontaminate(SF_DIR).to_pandas()
+    assert len(out) > 0, "decontaminate degenerate: no hits at sf0.001"
+    assert (out["doc_id"] % _DECON_MOD != 0).all()
+    assert (out["n_hits"] > 0).all()
+
+
+def test_inverted_index_postings_sorted_and_capped(ray_session):
+    from cov_tiles_ray.pipelines.queries import (
+        _INVIX_CAP,
+        _INVIX_TOPN,
+        q_inverted_index,
+    )
+
+    out = q_inverted_index(SF_DIR).to_pandas()
+    assert 0 < len(out) <= _INVIX_TOPN
+    # df desc, tok asc ordering
+    df = out["df"].to_numpy()
+    assert (df[:-1] >= df[1:]).all()
+    for _, row in out.iterrows():
+        ids = [int(x) for x in row["posting"].split(",")]
+        assert ids == sorted(ids)
+        assert len(ids) == min(int(row["df"]), _INVIX_CAP)
+
+
+def test_zipf_fit_slope_is_negative(ray_session):
+    """A rank-frequency curve always has non-increasing counts, so the
+    fitted slope must be negative."""
+    from cov_tiles_ray.pipelines.queries import q_zipf_fit
+
+    out = q_zipf_fit(SF_DIR).to_pandas()
+    assert len(out) == 1
+    assert int(out["slope_x1e6"].iloc[0]) < 0
+    assert int(out["n_terms"].iloc[0]) >= 2
+
+
+def test_chi2_terms_rows_and_nonnegative(ray_session):
+    from cov_tiles_ray.pipelines.queries import q_chi2_terms
+
+    out = q_chi2_terms(SF_DIR).to_pandas()
+    langs = out["lang"].nunique()
+    toks = out["tok"].nunique()
+    assert len(out) == langs * toks
+    assert (out["chi2_x1e3"] >= 0).all()
+    assert (out["n11"] >= 0).all()
