@@ -7296,6 +7296,277 @@ def _sql_tile_compaction() -> str:
     return "WITH " + ",\n    ".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+
+# ---------------------------------------------------------------------------
+# bigram_logprob — smoothed bigram-LM perplexity-filter scoring
+# ---------------------------------------------------------------------------
+
+
+def q_bigram_logprob(sf_dir: str):
+    """Bigram language-model scoring with add-one smoothing (the KenLM-ish
+    upgrade of unigram_logprob's perplexity filter): every document scored
+    by the sum of ln((c_ab + 1) / (c_a. + V)) over its adjacent-token
+    bigrams, where c_ab is the corpus bigram count, c_a. the count of a as
+    a bigram LEFT, and V the corpus vocabulary size.
+
+    Float parity is EXACT by the per-TERM quantization rule: the driver
+    computes floor(ln(...) * 1e6) once per distinct BIGRAM with libm
+    (math.log matches DuckDB ln bit-for-bit); per-doc scores are then
+    pure integer sums, immune to float summation order.
+
+    Scale shape: pass 1 is a combiner'd bigram-count groupby — its result
+    is bigram-vocabulary-bounded (the one driver pull; the open-web
+    variant keeps top-V^2 contexts + an OOV bucket, the same caveat
+    unigram_logprob documents); pass 2 is map-only — per-batch bigram
+    explode, one searchsorted against the broadcast packed-key table, one
+    exact int64 segment sum (np.add.at, not float bincount).  Every doc
+    bigram exists in the table (counts come from the same corpus), so no
+    miss path is needed."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    _empty = pa.table(
+        {
+            "a": pa.array([], pa.string()),
+            "b": pa.array([], pa.string()),
+            "kind": pa.array([], pa.int64()),
+            "c": pa.array([], pa.int64()),
+        }
+    )
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        # ONE tagged text scan (the bigram_pmi fusion finding): kind=0 rows
+        # are bigram-count partials; kind=1 rows mark tokens of 1-token
+        # docs, which are the only positions no bigram covers — together
+        # with the bigram endpoints they span the full vocabulary, so no
+        # second corpus scan is needed for V
+        la, lb, singles = [], [], []
+        for t in df["text"].astype(str):
+            toks = t.split(" ")
+            if len(toks) >= 2:
+                arr = np.asarray(toks, object)
+                la.append(arr[:-1])
+                lb.append(arr[1:])
+            else:
+                singles.extend(toks)
+        tabs = []
+        if la:
+            g = (
+                pd.DataFrame({"a": np.concatenate(la), "b": np.concatenate(lb)})
+                .groupby(["a", "b"], sort=False)
+                .size()
+            )
+            ix = g.index
+            tabs.append(
+                pa.table(
+                    {
+                        "a": pa.array(ix.get_level_values(0).to_numpy(object), pa.string()),
+                        "b": pa.array(ix.get_level_values(1).to_numpy(object), pa.string()),
+                        "kind": pa.array(np.zeros(len(g), np.int64)),
+                        "c": pa.array(g.to_numpy(np.int64)),
+                    }
+                )
+            )
+        if singles:
+            u = np.unique(np.asarray(singles, object).astype(str))
+            tabs.append(
+                pa.table(
+                    {
+                        "a": pa.array(u, pa.string()),
+                        "b": pa.array(np.full(len(u), "", object), pa.string()),
+                        "kind": pa.array(np.ones(len(u), np.int64)),
+                        "c": pa.array(np.zeros(len(u), np.int64)),
+                    }
+                )
+            )
+        return pa.concat_tables(tabs) if tabs else _empty
+
+    def recombine(t: pa.Table) -> pa.Table:
+        g = (
+            t.to_pandas()
+            .groupby(["a", "b", "kind"], sort=False)["c"]
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .repartition(4)
+        .map_batches(recombine, batch_format="pyarrow", batch_size=None)
+        .groupby(["a", "b", "kind"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    cab = agg[agg["kind"] == 0]
+    # V = distinct tokens over ALL positions: bigram endpoints cover every
+    # position of >=2-token docs; kind=1 rows add the singleton-doc tokens
+    vocab = np.unique(
+        np.concatenate(
+            [
+                cab["a"].to_numpy(str),
+                cab["b"].to_numpy(str),
+                agg.loc[agg["kind"] == 1, "a"].to_numpy(str),
+            ]
+        )
+    )
+    nv = len(vocab)
+
+    a_s = cab["a"].to_numpy(str)
+    b_s = cab["b"].to_numpy(str)
+    c = cab["c"].to_numpy(np.int64)
+    li = np.searchsorted(vocab, a_s)
+    ri = np.searchsorted(vocab, b_s)
+    key = li.astype(np.int64) * np.int64(nv) + ri.astype(np.int64)
+    order = np.argsort(key)
+    key, c, li_o = key[order], c[order], li[order]
+    # c_a. = sum of c over the left token (bigram-left marginal)
+    ca = np.zeros(nv, np.int64)
+    np.add.at(ca, li_o, c)
+    lp = np.fromiter(
+        (
+            int(math.floor(math.log(int(cc + 1) / int(ca_l + nv)) * 1000000.0))
+            for cc, ca_l in zip(c, ca[li_o])
+        ),
+        np.int64,
+        len(c),
+    )
+    table_ref = ray.put((key, lp, vocab))
+
+    def score(df: pd.DataFrame) -> pa.Table:
+        import ray as _ray
+
+        keys, lps, voc = _ray.get(table_ref)
+        nvv = np.int64(len(voc))
+        dids, la, lb, nbg = [], [], [], []
+        for did, t in zip(df["doc_id"].to_numpy(np.int64), df["text"].astype(str)):
+            toks = t.split(" ")
+            if len(toks) < 2:
+                continue
+            arr = np.asarray(toks, object)
+            la.append(arr[:-1])
+            lb.append(arr[1:])
+            dids.append(did)
+            nbg.append(len(toks) - 1)
+        if not dids:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_bigrams": pa.array([], pa.int64()),
+                    "sum_lp_micro": pa.array([], pa.int64()),
+                }
+            )
+        a = np.searchsorted(voc, np.concatenate(la).astype(str)).astype(np.int64)
+        b = np.searchsorted(voc, np.concatenate(lb).astype(str)).astype(np.int64)
+        k = a * nvv + b
+        ix = np.searchsorted(keys, k)
+        vals = lps[ix]
+        nbg_arr = np.asarray(nbg, np.int64)
+        doc_ix = np.repeat(np.arange(len(dids)), nbg_arr)
+        sums = np.zeros(len(dids), np.int64)
+        np.add.at(sums, doc_ix, vals)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.asarray(dids, np.int64)),
+                "n_bigrams": pa.array(nbg_arr),
+                "sum_lp_micro": pa.array(sums),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+def _sql_bigram_logprob() -> str:
+    return """
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), bg AS (
+      SELECT doc_id, t[s.i] AS a, t[s.i + 1] AS b
+      FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s
+      WHERE len(t) >= 2
+    ), cab AS (
+      SELECT a, b, count(*) AS c FROM bg GROUP BY 1, 2
+    ), ca AS (
+      SELECT a, SUM(c) AS ct FROM cab GROUP BY 1
+    ), v AS (
+      SELECT count(DISTINCT w) AS nv
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    ), lp AS (
+      SELECT a, b,
+             CAST(floor(ln(CAST(c + 1 AS DOUBLE) / CAST(ct + nv AS DOUBLE)) * 1000000.0) AS BIGINT) AS lp_micro
+      FROM cab JOIN ca USING (a), v
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(lp_micro) AS BIGINT) AS sum_lp_micro
+    FROM bg JOIN lp USING (a, b)
+    GROUP BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# tile_pyramid_counts — one-pass square-tile pyramid aggregate (z2..z10)
+# ---------------------------------------------------------------------------
+
+TILE_PYRAMID_ZOOMS = tuple(range(2, 11))
+
+
+def q_tile_pyramid_counts(sf_dir: str):
+    """Square-tile analogue of hex_pyramid: per-tile event counts at ALL
+    zooms 2..10 in ONE pass over the table.
+
+    Scale shape: the base-zoom (tx, ty) is computed once per batch and
+    coarser zooms are pure right-shifts (floor(mx*2^z) == tx10 >> (10-z)
+    for non-negative mx, clamping included); the per-batch np.unique
+    combiner bounds the shuffle at one row per (z, tile) per batch, and
+    the zoom rides inside the packed tile_id so one groupby covers the
+    whole pyramid."""
+    from ray.data.aggregate import Sum
+
+    ds = _events_points(sf_dir)
+    base_z = TILE_PYRAMID_ZOOMS[-1]
+
+    def assign(b: pa.Table) -> pa.Table:
+        lon = b["lon"].to_numpy(zero_copy_only=False)
+        lat = b["lat"].to_numpy(zero_copy_only=False)
+        tx, ty = S.lonlat_to_tile(lon, lat, base_z)
+        ids, counts = [], []
+        for z in TILE_PYRAMID_ZOOMS:
+            sh = base_z - z
+            u, cnt = np.unique(S.pack_tile_id(z, tx >> sh, ty >> sh), return_counts=True)
+            ids.append(u)
+            counts.append(cnt.astype(np.int64))
+        return pa.table(
+            {
+                "tile_id": pa.array(np.concatenate(ids)),
+                "partial": pa.array(np.concatenate(counts)),
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tile_id")
+        .aggregate(Sum("partial", alias_name="n"))
+    )
+
+
+def _sql_tile_pyramid_counts() -> str:
+    unions = "\n      UNION ALL\n      ".join(
+        f"SELECT {_tile_sql(z)} AS tile_id FROM pts" for z in TILE_PYRAMID_ZOOMS
+    )
+    return f"""
+    WITH pts AS (SELECT {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events),
+    alltiles AS (
+      {unions}
+    )
+    SELECT tile_id, count(*) AS n FROM alltiles GROUP BY tile_id
+    """
+
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -7397,6 +7668,8 @@ SQL_QUERIES: dict[str, tuple] = {
     "zipf_fit": (q_zipf_fit, _sql_zipf_fit()),
     "chi2_terms": (q_chi2_terms, _sql_chi2_terms()),
     "tile_compaction": (q_tile_compaction, _sql_tile_compaction()),
+    "bigram_logprob": (q_bigram_logprob, _sql_bigram_logprob()),
+    "tile_pyramid_counts": (q_tile_pyramid_counts, _sql_tile_pyramid_counts()),
     "embedding_label_stats": (q_embedding_label_centroid_norms, _sql_embedding_label()),
 }
 
