@@ -262,3 +262,40 @@ def haversine_km(lon1, lat1, lon2, lat2) -> np.ndarray:
     dlat = lat2 - lat1
     h = np.sin(dlat / 2.0) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2.0) ** 2
     return 6371.0088 * 2.0 * np.arcsin(np.sqrt(h))
+
+
+def douglas_peucker_mask(x: np.ndarray, y: np.ndarray, eps: float) -> np.ndarray:
+    """Douglas-Peucker polyline simplification: boolean keep-mask over the
+    input vertex order.  Iterative stack form of the classic recursion;
+    distance is the perpendicular distance to the LINE through the
+    segment endpoints (the textbook DP metric), falling back to point
+    distance when the endpoints coincide.  Ties on the max distance keep
+    the earliest index (np.argmax), so the output is deterministic."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n = len(x)
+    keep = np.zeros(n, dtype=bool)
+    if n == 0:
+        return keep
+    keep[0] = keep[n - 1] = True
+    if n <= 2:
+        return keep
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        dx, dy = x[j] - x[i], y[j] - y[i]
+        px, py = x[i + 1 : j], y[i + 1 : j]
+        norm = float(np.hypot(dx, dy))
+        if norm == 0.0:
+            d = np.hypot(px - x[i], py - y[i])
+        else:
+            d = np.abs(dx * (py - y[i]) - dy * (px - x[i])) / norm
+        k = int(np.argmax(d))
+        if float(d[k]) > eps:
+            m = i + 1 + k
+            keep[m] = True
+            stack.append((i, m))
+            stack.append((m, j))
+    return keep

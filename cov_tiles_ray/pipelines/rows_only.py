@@ -2101,6 +2101,94 @@ def q_bpe_merges(sf_dir: str):
     )
 
 
+
+_TRAJ_EPS = 0.01  # normalized-mercator tolerance (~1% of the world span)
+
+
+def q_trajectory_simplify(sf_dir: str):
+    """Douglas-Peucker trajectory simplification (the map-rendering /
+    GPS-trace compaction op): each user's time-ordered event trajectory in
+    the normalized mercator plane is simplified at eps=0.01; output one
+    row per user with the raw and kept vertex counts plus the sum of kept
+    event ids (a partitioning/retry-invariant identity checksum).
+
+    Scale shape: ONE user-hash part-exchange (sort with exact integer
+    boundaries, whole parts per batch); inside a part each user's DP runs
+    on its own bounded trajectory with vectorized distance kernels — DP
+    is inherently sequential per polyline, so per-user is exactly the
+    right parallel grain.  Rows-only: the oracle is the pytest equality
+    check against an independent recursive recompute
+    (tests/test_session7_ops.py)."""
+    from ..functions import spatial as S
+    from .queries import _event_lonlat
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts", "user_id"]
+    )
+    n_parts = int(max(8, min(4096, ds.count() // 100_000 + 1)))
+
+    def prep(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        us = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        lon, lat = _event_lonlat(eid)
+        mx, my = S.mercator_xy(lon, lat)
+        part = (synth._splitmix64(uid.astype(np.uint64)) % np.uint64(n_parts)).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "event_id": pa.array(eid),
+                "us": pa.array(us),
+                "mx": pa.array(mx),
+                "my": pa.array(my),
+                "part": pa.array(part),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "n_raw": pa.array([], pa.int64()),
+            "n_kept": pa.array([], pa.int64()),
+            "kept_id_sum": pa.array([], pa.int64()),
+        }
+    )
+
+    def simplify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        us = t["us"].to_numpy(zero_copy_only=False)
+        mx = t["mx"].to_numpy(zero_copy_only=False)
+        my = t["my"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((eid, us, uid))
+        uid, eid, mx, my = uid[o], eid[o], mx[o], my[o]
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)]
+        out_u, out_raw, out_kept, out_sum = [], [], [], []
+        for s0, s1 in zip(starts, ends):
+            keep = S.douglas_peucker_mask(mx[s0:s1], my[s0:s1], _TRAJ_EPS)
+            out_u.append(uid[s0])
+            out_raw.append(s1 - s0)
+            out_kept.append(int(keep.sum()))
+            out_sum.append(int(eid[s0:s1][keep].sum()))
+        return pa.table(
+            {
+                "user_id": pa.array(np.asarray(out_u, np.int64)),
+                "n_raw": pa.array(np.asarray(out_raw, np.int64)),
+                "n_kept": pa.array(np.asarray(out_kept, np.int64)),
+                "kept_id_sum": pa.array(np.asarray(out_sum, np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(simplify, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+
+
 # simhash_docs / langid_detect / quality_scores / doc_fingerprints moved to
 # the SQL-oracle registry (pipelines.queries.SQL_QUERIES, VERDICT r1 #4).
 ROWS_ONLY_QUERIES = {
@@ -2134,4 +2222,5 @@ ROWS_ONLY_QUERIES = {
     "covt_feature_scan": q_covt_feature_scan,
     "dup_ngram_spans_kr": _q_dup_ngram_spans_kr,
     "bpe_merges": q_bpe_merges,
+    "trajectory_simplify": q_trajectory_simplify,
 }

@@ -139,3 +139,68 @@ def test_chi2_terms_rows_and_nonnegative(ray_session):
     assert len(out) == langs * toks
     assert (out["chi2_x1e3"] >= 0).all()
     assert (out["n11"] >= 0).all()
+
+
+def test_trajectory_simplify_matches_recursive_reference(ray_session):
+    """trajectory_simplify (part-exchange + iterative DP) must equal an
+    independent per-user recursive Douglas-Peucker recompute from the raw
+    parquet."""
+    import math
+
+    from cov_tiles_ray.functions import spatial as S
+    from cov_tiles_ray.pipelines.queries import _event_lonlat
+    from cov_tiles_ray.pipelines.rows_only import _TRAJ_EPS, q_trajectory_simplify
+
+    got = (
+        q_trajectory_simplify(SF_DIR)
+        .to_pandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+
+    ev = pq.read_table(
+        f"{SF_DIR}/events.parquet", columns=["event_id", "ts", "user_id"]
+    ).to_pandas()
+    lon, lat = _event_lonlat(ev["event_id"].to_numpy())
+    mx, my = S.mercator_xy(lon, lat)
+    ev["mx"], ev["my"] = mx, my
+    ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+
+    def dp_rec(x, y, keep, i, j):
+        if j <= i + 1:
+            return
+        dx, dy = x[j] - x[i], y[j] - y[i]
+        norm = math.hypot(dx, dy)
+        best_d, best_k = -1.0, -1
+        for k in range(i + 1, j):
+            if norm == 0.0:
+                d = math.hypot(x[k] - x[i], y[k] - y[i])
+            else:
+                d = abs(dx * (y[k] - y[i]) - dy * (x[k] - x[i])) / norm
+            if d > best_d:
+                best_d, best_k = d, k
+        if best_d > _TRAJ_EPS:
+            keep[best_k] = True
+            dp_rec(x, y, keep, i, best_k)
+            dp_rec(x, y, keep, best_k, j)
+
+    rows = {}
+    for uid, g in ev.sort_values(["user_id", "us", "event_id"]).groupby("user_id"):
+        x = g["mx"].to_list()
+        y = g["my"].to_list()
+        keep = [False] * len(x)
+        keep[0] = keep[-1] = True
+        dp_rec(x, y, keep, 0, len(x) - 1)
+        ids = g["event_id"].to_numpy()
+        rows[int(uid)] = (
+            len(x),
+            sum(keep),
+            int(ids[np.asarray(keep)].sum()),
+        )
+
+    assert len(got) == len(rows)
+    for r in got.itertuples(index=False):
+        n_raw, n_kept, ksum = rows[int(r.user_id)]
+        assert (r.n_raw, r.n_kept, r.kept_id_sum) == (n_raw, n_kept, ksum), r.user_id
+    # the op must actually simplify something at this epsilon
+    assert (got["n_kept"] < got["n_raw"]).any()
+    assert (got["n_kept"] >= 2).all() or (got["n_raw"] == 1).any()
