@@ -4334,25 +4334,13 @@ _PR_ITERS = 10
 _PR_SCALE = 10**12
 
 
-def q_nation_pagerank(sf_dir: str):
-    """Weighted PageRank over the nation trade-flow graph: edge
-    cust_nation -> supp_nation weighted by lineitem count (who buys from
-    whom), 10 damped iterations (d=0.85) — the canonical iterative graph
-    workload, here fed by a distributed LARGE x LARGE join.
-
-    Exactness: ranks are FIXED-POINT integers (1e12 scale); every
-    iteration computes floor((r_u * 85 * w_uv) / (100 * W_u)) in
-    arbitrary-precision ints (Python) / HUGEINT (DuckDB), so ten
-    iterations stay bit-identical across engines — no float ever enters.
-
-    Scale shape: the heavy stage is the hash co-partition join
-    lineitem x orders (same part-exchange probe as order_line_join) with
-    the tiny customer/supplier nation maps broadcast via ray.put
-    (fetch-once per worker); per-part combiners reduce to <=625
-    (src, dst) edge rows, so the driver-side 25-node iteration loop is
-    O(nations^2) — at web scale (large node sets) the loop swaps for the
-    per-round co-group shuffle already demonstrated by
-    rows_only.q_neardup_clusters' hash-min propagation."""
+def _nation_trade_edges(sf_dir: str) -> pd.DataFrame:
+    """Directed nation trade-flow edge list (cust_nation -> supp_nation,
+    weight = lineitem count), built by the hash co-partition
+    lineitem x orders join with the tiny customer/supplier nation maps
+    broadcast via ray.put — the shared feed of q_nation_pagerank and
+    q_trade_triangles.  Returns the <= nations^2-bounded (src, dst, w)
+    frame."""
     import ray
 
     from ray.data.aggregate import Sum
@@ -4430,6 +4418,30 @@ def q_nation_pagerank(sf_dir: str):
         .aggregate(Sum("w", alias_name="w"))
         .to_pandas()
     )
+
+    return edges
+
+
+def q_nation_pagerank(sf_dir: str):
+    """Weighted PageRank over the nation trade-flow graph: edge
+    cust_nation -> supp_nation weighted by lineitem count (who buys from
+    whom), 10 damped iterations (d=0.85) — the canonical iterative graph
+    workload, here fed by a distributed LARGE x LARGE join.
+
+    Exactness: ranks are FIXED-POINT integers (1e12 scale); every
+    iteration computes floor((r_u * 85 * w_uv) / (100 * W_u)) in
+    arbitrary-precision ints (Python) / HUGEINT (DuckDB), so ten
+    iterations stay bit-identical across engines — no float ever enters.
+
+    Scale shape: the heavy stage is the hash co-partition join
+    lineitem x orders (same part-exchange probe as order_line_join) with
+    the tiny customer/supplier nation maps broadcast via ray.put
+    (fetch-once per worker); per-part combiners reduce to <=625
+    (src, dst) edge rows, so the driver-side 25-node iteration loop is
+    O(nations^2) — at web scale (large node sets) the loop swaps for the
+    per-round co-group shuffle already demonstrated by
+    rows_only.q_neardup_clusters' hash-min propagation."""
+    edges = _nation_trade_edges(sf_dir)
 
     # driver-side fixed-point iteration over the tiny nation graph
     nodes = sorted(set(edges["src"]) | set(edges["dst"]))
@@ -7567,6 +7579,231 @@ def _sql_tile_pyramid_counts() -> str:
     """
 
 
+
+# ---------------------------------------------------------------------------
+# trade_triangles — triangle enumeration over the nation trade graph
+# ---------------------------------------------------------------------------
+
+
+def q_trade_triangles(sf_dir: str):
+    """Triangle enumeration over the nation trade graph (the
+    clustering-coefficient primitive of graph analytics): undirected
+    edges are the symmetrized cust-nation <-> supp-nation trade flows;
+    only ABOVE-MEAN edges survive (w * n_edges > total_w — an exact
+    integer cross-multiply, so the cut is scale-free and float-free);
+    output every triangle (n1 < n2 < n3) with its minimum edge weight.
+
+    Scale shape: the corpus-sized work is the same distributed
+    lineitem x orders co-partition join as nation_pagerank
+    (_nation_trade_edges, <= nations^2 rows out); the triangle loop runs
+    on that domain-bounded edge list on the driver.  At web-scale node
+    sets the standard swap is the two-round edge-iterator co-group; here
+    the domain bound makes driver numpy the right venue."""
+    e = _nation_trade_edges(sf_dir)
+    src = e["src"].to_numpy(np.int64)
+    dst = e["dst"].to_numpy(np.int64)
+    und = (
+        pd.DataFrame(
+            {
+                "a": np.minimum(src, dst),
+                "b": np.maximum(src, dst),
+                "w": e["w"].to_numpy(np.int64),
+            }
+        )
+        .query("a != b")
+        .groupby(["a", "b"], as_index=False)["w"]
+        .sum()
+    )
+    n_e = len(und)
+    tot = int(und["w"].sum())
+    keep = und["w"].to_numpy(np.int64) * n_e > tot
+    ek = und[keep]
+    wmap = {(int(r.a), int(r.b)): int(r.w) for r in ek.itertuples()}
+    nbrs: dict[int, set] = {}
+    for x, y in wmap:
+        nbrs.setdefault(x, set()).add(y)  # only y > x by construction
+    rows = []
+    for x in sorted(nbrs):
+        for y in sorted(nbrs[x]):
+            for z in sorted(nbrs[x] & nbrs.get(y, set())):
+                rows.append(
+                    (x, y, z, min(wmap[(x, y)], wmap[(y, z)], wmap[(x, z)]))
+                )
+    return pa.table(
+        {
+            "n1": pa.array(np.asarray([r[0] for r in rows], np.int64)),
+            "n2": pa.array(np.asarray([r[1] for r in rows], np.int64)),
+            "n3": pa.array(np.asarray([r[2] for r in rows], np.int64)),
+            "wmin": pa.array(np.asarray([r[3] for r in rows], np.int64)),
+        }
+    )
+
+
+def _sql_trade_triangles() -> str:
+    return """
+    WITH e0 AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ), und AS (
+      SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, SUM(w) AS w
+      FROM e0 WHERE src <> dst GROUP BY 1, 2
+    ), m AS (
+      SELECT count(*) AS ne, SUM(w) AS tot FROM und
+    ), ek AS (
+      SELECT a, b, w FROM und, m WHERE w * ne > tot
+    )
+    SELECT CAST(e1.a AS BIGINT) AS n1, CAST(e1.b AS BIGINT) AS n2,
+           CAST(e2.b AS BIGINT) AS n3,
+           CAST(LEAST(e1.w, e2.w, e3.w) AS BIGINT) AS wmin
+    FROM ek e1
+    JOIN ek e2 ON e2.a = e1.b
+    JOIN ek e3 ON e3.a = e1.a AND e3.b = e2.b
+    """
+
+
+# ---------------------------------------------------------------------------
+# tile_downsample — deterministic per-tile density cap
+# ---------------------------------------------------------------------------
+
+_DS_Z = 8
+_DS_K = 20
+
+
+def q_tile_downsample(sf_dir: str):
+    """Deterministic per-tile density cap (the map-rendering spatial
+    downsampling stage): keep at most K=20 events per z8 tile, selected
+    as the K smallest splitmix64(event_id) values — splitmix64 is a
+    bijection, so there are no ties and the kept set is retry-,
+    partitioning- and cluster-size-invariant (sequential reservoir
+    sampling is none of those).  Output per tile: raw count, kept count,
+    kept-id sum (an identity checksum).
+
+    Scale shape: a per-batch combiner emits the bottom-K candidates plus
+    one count partial per tile (bottom-k of a union == bottom-k of
+    merged bottom-k's, so the merge is associative); ONE tile-hash
+    part-exchange then ships <= K+1 rows per (tile, batch), and each
+    part resolves counts + the final bottom-K with one lexsort."""
+    ds = _events_points(sf_dir)
+    n_parts = 32
+
+    def combine(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        lon = b["lon"].to_numpy(zero_copy_only=False)
+        lat = b["lat"].to_numpy(zero_copy_only=False)
+        tx, ty = S.lonlat_to_tile(lon, lat, _DS_Z)
+        tid = S.pack_tile_id(_DS_Z, tx, ty)
+        h = synth._splitmix64(eid.astype(np.uint64))
+        o = np.lexsort((h, tid))
+        tid_s, h_s, eid_s = tid[o], h[o], eid[o]
+        starts = np.flatnonzero(np.r_[True, tid_s[1:] != tid_s[:-1]])
+        seg = np.cumsum(np.r_[True, tid_s[1:] != tid_s[:-1]]) - 1
+        rank = np.arange(len(tid_s)) - starts[seg]
+        cand = rank < _DS_K
+        lens = np.diff(np.r_[starts, len(tid_s)])
+        return pa.table(
+            {
+                "tile_id": pa.array(np.r_[tid_s[cand], tid_s[starts]]),
+                "h": pa.array(
+                    np.r_[h_s[cand], np.zeros(len(starts), np.uint64)].astype(np.uint64)
+                ),
+                "eid": pa.array(np.r_[eid_s[cand], np.zeros(len(starts), np.int64)]),
+                "c": pa.array(
+                    np.r_[np.zeros(int(cand.sum()), np.int64), lens.astype(np.int64)]
+                ),
+                "kind": pa.array(
+                    np.r_[
+                        np.zeros(int(cand.sum()), np.int64),
+                        np.ones(len(starts), np.int64),
+                    ]
+                ),
+                "part": pa.array(
+                    (
+                        synth._splitmix64(
+                            np.r_[tid_s[cand], tid_s[starts]].astype(np.uint64)
+                        )
+                        % np.uint64(n_parts)
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "tile_id": pa.array([], pa.int64()),
+            "n_raw": pa.array([], pa.int64()),
+            "n_kept": pa.array([], pa.int64()),
+            "kept_id_sum": pa.array([], pa.int64()),
+        }
+    )
+
+    def resolve(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        tid = t["tile_id"].to_numpy(zero_copy_only=False)
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        h = t["h"].to_numpy(zero_copy_only=False)
+        eid = t["eid"].to_numpy(zero_copy_only=False)
+        # raw counts per tile from the kind=1 partials
+        cnt_t, cnt_inv = np.unique(tid[kind == 1], return_inverse=True)
+        n_raw = np.zeros(len(cnt_t), np.int64)
+        np.add.at(n_raw, cnt_inv, c[kind == 1])
+        # final bottom-K over the candidate union
+        m = kind == 0
+        tid_c, h_c, eid_c = tid[m], h[m], eid[m]
+        o = np.lexsort((h_c, tid_c))
+        tid_c, h_c, eid_c = tid_c[o], h_c[o], eid_c[o]
+        new = np.r_[True, tid_c[1:] != tid_c[:-1]]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        rank = np.arange(len(tid_c)) - starts[seg]
+        kept = rank < _DS_K
+        n_kept = np.zeros(len(starts), np.int64)
+        np.add.at(n_kept, seg[kept], 1)
+        ksum = np.zeros(len(starts), np.int64)
+        np.add.at(ksum, seg[kept], eid_c[kept])
+        # candidate tiles == counted tiles (every tile emits both kinds)
+        assert len(starts) == len(cnt_t)
+        return pa.table(
+            {
+                "tile_id": pa.array(cnt_t),
+                "n_raw": pa.array(n_raw),
+                "n_kept": pa.array(n_kept),
+                "kept_id_sum": pa.array(ksum),
+            }
+        )
+
+    return (
+        ds.map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(resolve, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+
+
+def _sql_tile_downsample() -> str:
+    return f"""
+    WITH pts AS (SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events),
+    t AS (
+      SELECT event_id, {_tile_sql(_DS_Z)} AS tile_id,
+             {_sql_splitmix64("event_id")} AS h
+      FROM pts
+    ), r AS (
+      SELECT tile_id, event_id,
+             row_number() OVER (PARTITION BY tile_id ORDER BY h) AS rn
+      FROM t
+    )
+    SELECT tile_id,
+           CAST(count(*) AS BIGINT) AS n_raw,
+           CAST(count(*) FILTER (WHERE rn <= {_DS_K}) AS BIGINT) AS n_kept,
+           CAST(SUM(event_id) FILTER (WHERE rn <= {_DS_K}) AS BIGINT) AS kept_id_sum
+    FROM r GROUP BY tile_id
+    """
+
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -7670,6 +7907,8 @@ SQL_QUERIES: dict[str, tuple] = {
     "tile_compaction": (q_tile_compaction, _sql_tile_compaction()),
     "bigram_logprob": (q_bigram_logprob, _sql_bigram_logprob()),
     "tile_pyramid_counts": (q_tile_pyramid_counts, _sql_tile_pyramid_counts()),
+    "trade_triangles": (q_trade_triangles, _sql_trade_triangles()),
+    "tile_downsample": (q_tile_downsample, _sql_tile_downsample()),
     "embedding_label_stats": (q_embedding_label_centroid_norms, _sql_embedding_label()),
 }
 
