@@ -7804,6 +7804,155 @@ def _sql_tile_downsample() -> str:
     """
 
 
+
+# ---------------------------------------------------------------------------
+# embedding_sq8 — int8 scalar quantization of the embedding corpus
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_sq8(sf_dir: str):
+    """Int8 scalar quantization of the embedding corpus (the vector-store
+    compression stage: FAISS SQ8 / Milvus SQ): symmetric quantization
+    q = round(x / scale * 127) against ONE global scale = max |x| over
+    the corpus, reporting each vector's reconstruction error.
+
+    Exactness: scale is an exact double (abs/max of float32 inputs cast
+    exactly to double, reduced by max — no summation); the quantize /
+    dequantize / error chain is one fixed-arity IEEE expression per
+    element with floor(x+0.5) rounding, and the per-element squared
+    error is floor-quantized at 1e15 so per-vector sums are exact
+    integers on both engines.
+
+    Scale shape: pass 1 is a map-only abs-max reduce (one double per
+    batch to the driver); pass 2 is pure map — each batch quantizes its
+    own vectors against the broadcast scalar.  No shuffle anywhere."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def batch_max(b: pa.Table) -> pa.Table:
+        flat = np.abs(
+            np.concatenate(b["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        )
+        return pa.table({"m": pa.array([float(flat.max()) if len(flat) else 0.0])})
+
+    scale = float(
+        ds.map_batches(batch_max, batch_format="pyarrow", zero_copy_batch=True).max("m")
+    )
+
+    def quantize(b: pa.Table) -> pa.Table:
+        vid = b["vec_id"].to_numpy(zero_copy_only=False)
+        embs = b["embedding"].to_pandas().to_numpy()
+        dims = np.fromiter((len(e) for e in embs), np.int64, len(embs))
+        x = np.concatenate(embs).astype(np.float64)
+        qv = np.maximum(-127.0, np.minimum(127.0, np.floor((x / scale) * 127.0 + 0.5)))
+        err = x - ((qv / 127.0) * scale)
+        eq = np.floor((err * err) * 1000000000000000.0).astype(np.int64)
+        seg = np.repeat(np.arange(len(embs)), dims)
+        sums = np.zeros(len(embs), np.int64)
+        np.add.at(sums, seg, eq)
+        return pa.table(
+            {
+                "vec_id": pa.array(vid.astype(np.int64)),
+                "dim": pa.array(dims),
+                "sq_err_q": pa.array(sums),
+            }
+        )
+
+    return ds.map_batches(quantize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_embedding_sq8() -> str:
+    return """
+    WITH s AS (
+      SELECT MAX(m) AS scale FROM (
+        SELECT list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS m
+        FROM embeddings
+      )
+    ), el AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+    ), q AS (
+      SELECT vec_id, x, scale,
+             GREATEST(-127.0, LEAST(127.0, floor((x / scale) * 127.0 + 0.5))) AS qv
+      FROM el, s
+    ), e AS (
+      SELECT vec_id, (x - ((qv / 127.0) * scale)) AS err FROM q
+    )
+    SELECT vec_id,
+           CAST(count(*) AS BIGINT) AS dim,
+           CAST(SUM(CAST(floor((err * err) * 1000000000000000.0) AS BIGINT)) AS BIGINT) AS sq_err_q
+    FROM e GROUP BY vec_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# lang_length_median — per-group exact median (grouped order statistic)
+# ---------------------------------------------------------------------------
+
+
+def q_lang_length_median(sf_dir: str):
+    """Per-language exact lower-median document length (the grouped
+    order-statistic companion of the global mad_prices): median_lo is the
+    value at rank ceil(n/2) of each language's n_chars multiset.
+
+    Scale shape: ONE histogram exchange bounded by the (lang, n_chars)
+    VALUE DOMAIN, not the row count — per-batch np.unique combiner, one
+    groupby, driver rank-pick over the compressed histogram (the
+    price_quantiles/mad_prices shape applied per group)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["lang", "n_chars"], sort=False).size()
+        ix = g.index
+        return pa.table(
+            {
+                "lang": pa.array(ix.get_level_values(0).to_numpy(object), pa.string()),
+                "n_chars": pa.array(ix.get_level_values(1).to_numpy(np.int64)),
+                "c": pa.array(g.to_numpy(np.int64)),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values(["lang", "n_chars"], ignore_index=True)
+    )
+    out_lang, out_n, out_med = [], [], []
+    for lang, g in hist.groupby("lang", sort=True):
+        c = g["c"].to_numpy(np.int64)
+        v = g["n_chars"].to_numpy(np.int64)
+        n = int(c.sum())
+        rank = (n + 1) // 2
+        med = int(v[np.searchsorted(np.cumsum(c), rank)])
+        out_lang.append(str(lang))
+        out_n.append(n)
+        out_med.append(med)
+    return pa.table(
+        {
+            "lang": pa.array(out_lang, pa.string()),
+            "n_docs": pa.array(np.asarray(out_n, np.int64)),
+            "median_lo": pa.array(np.asarray(out_med, np.int64)),
+        }
+    )
+
+
+def _sql_lang_length_median() -> str:
+    return """
+    WITH r AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT lang,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS BIGINT) AS median_lo
+    FROM r GROUP BY lang
+    """
+
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -7909,6 +8058,8 @@ SQL_QUERIES: dict[str, tuple] = {
     "tile_pyramid_counts": (q_tile_pyramid_counts, _sql_tile_pyramid_counts()),
     "trade_triangles": (q_trade_triangles, _sql_trade_triangles()),
     "tile_downsample": (q_tile_downsample, _sql_tile_downsample()),
+    "embedding_sq8": (q_embedding_sq8, _sql_embedding_sq8()),
+    "lang_length_median": (q_lang_length_median, _sql_lang_length_median()),
     "embedding_label_stats": (q_embedding_label_centroid_norms, _sql_embedding_label()),
 }
 
