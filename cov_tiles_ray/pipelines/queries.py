@@ -7953,6 +7953,208 @@ def _sql_lang_length_median() -> str:
     """
 
 
+
+# ---------------------------------------------------------------------------
+# llm_data_prep — the end-to-end training-data composition
+# ---------------------------------------------------------------------------
+
+_PREP_MIN_TOKENS = 50  # quality floor (C4-style minimum length)
+_PREP_PREFIX = 8  # leading-boilerplate dedup key: first 8 raw tokens
+_PREP_BUDGET = 1024  # tokens per packed training sequence
+_PREP_BUCKET = 64  # docs per ordered scan bucket
+
+
+def q_llm_data_prep(sf_dir: str):
+    """The end-to-end LLM training-data preparation pipeline, composed
+    from this engine's stage kernels into ONE flow: quality filter
+    (minimum length + mean-token-length guard) → benchmark exclusion +
+    n-gram decontamination (the decontaminate screen) → deterministic
+    train-split selection (the train_split hash) → leading-boilerplate
+    dedup (keep the min doc_id per 8-token prefix) → concat-and-chunk
+    sequence packing (the pack_sequences two-phase prefix scan).  Output:
+    one row per packed sequence with its starting-doc count and token
+    total — the shape a pretraining loader consumes.
+
+    Scale shape (the reason this composition exists): the corpus text is
+    read ONCE — a single map pass computes every per-doc signal (token
+    count, quality verdict, contamination flag via the broadcast
+    benchmark window set, split bucket, prefix fingerprint) so text
+    never enters a shuffle; everything downstream moves only slim int
+    rows.  Dedup is one prefix-hash part-exchange (run heads after a
+    lexsort = argmin per key); packing is the scan-of-block-sums with
+    bucket-bounded groups.  Retry/partitioning/cluster-size invariant
+    end to end (hash split, bijective fingerprints, ordered id
+    buckets)."""
+    import hashlib
+
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    W, MOD = _DECON_W, _DECON_MOD
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    # pass 0: benchmark window hash set (bounded by benchmark size)
+    def bench_hashes(df: pd.DataFrame) -> pa.Table:
+        dids = df["doc_id"].to_numpy(np.int64)
+        texts = df["text"].astype(str).to_numpy()[dids % MOD == 0]
+        hs = []
+        for txt in texts:
+            toks = txt.split(" ")
+            if len(toks) >= W:
+                hs.append(_md5_window_hashes(toks, W))
+        u = np.unique(np.concatenate(hs)) if hs else np.empty(0, np.int64)
+        return pa.table({"h": pa.array(u)})
+
+    bset = np.unique(
+        docs.map_batches(bench_hashes, batch_format="pandas").to_pandas()["h"].to_numpy(np.int64)
+    )
+    bref = ray.put(bset)
+    n_parts = 16
+
+    # pass 1: the ONLY full text scan — every signal in one map
+    def profile(df: pd.DataFrame) -> pa.Table:
+        import ray as _ray
+
+        bs = _ray.get(bref)
+        out_k, out_d, out_n = [], [], []
+        dids = df["doc_id"].to_numpy(np.int64)
+        hh = dids.astype(np.uint64) * np.uint64(_FIB64)
+        hh ^= hh >> np.uint64(31)
+        hh *= np.uint64(_SPLIT_MULT2)
+        permille = (hh % np.uint64(1000)).astype(np.int64)
+        for did, pm, txt in zip(dids, permille, df["text"].astype(str)):
+            if did % MOD == 0 or pm >= _SPLIT_TRAIN:
+                continue
+            toks_raw = txt.split(" ")
+            n_tokens = sum(1 for t in txt.lower().split(" ") if t)
+            if n_tokens < _PREP_MIN_TOKENS or len(txt) > n_tokens * 9:
+                continue
+            wh = _md5_window_hashes(toks_raw, W)
+            ix = np.searchsorted(bs, wh)
+            ix[ix == len(bs)] = 0
+            if len(bs) and bool((bs[ix] == wh).any()):
+                continue
+            pre = " ".join(toks_raw[:_PREP_PREFIX]).encode()
+            pkey = int.from_bytes(hashlib.md5(pre).digest()[8:], "little", signed=True)
+            out_k.append(pkey)
+            out_d.append(int(did))
+            out_n.append(n_tokens)
+        k = np.asarray(out_k, np.int64)
+        return pa.table(
+            {
+                "pkey": pa.array(k),
+                "doc_id": pa.array(np.asarray(out_d, np.int64)),
+                "n_tokens": pa.array(np.asarray(out_n, np.int64)),
+                "part": pa.array(
+                    (synth._splitmix64(k.astype(np.uint64)) % np.uint64(n_parts)).astype(np.int64)
+                ),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "bucket": pa.array([], pa.int64()),
+        }
+    )
+
+    def dedup_heads(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        k = t["pkey"].to_numpy(zero_copy_only=False)
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = t["n_tokens"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((d, k))
+        k, d, n = k[o], d[o], n[o]
+        head = np.r_[True, k[1:] != k[:-1]]  # min doc_id per prefix key
+        return pa.table(
+            {
+                "doc_id": pa.array(d[head]),
+                "n_tokens": pa.array(n[head]),
+                "bucket": pa.array(d[head] // _PREP_BUCKET),
+            }
+        )
+
+    surv = (
+        docs.map_batches(profile, batch_format="pandas")
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(dedup_heads, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .materialize()  # slim int table; feeds both scan phases
+    )
+
+    totals = (
+        surv.groupby("bucket")
+        .aggregate(Sum("n_tokens", alias_name="t"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    totals["base"] = (totals["t"].cumsum() - totals["t"]).astype(np.int64)
+    base_ref = ray.put(totals[["bucket", "base"]].set_index("bucket")["base"])
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        base = _ray.get(base_ref)
+        g = g.sort_values("doc_id")
+        nt = g["n_tokens"].to_numpy(np.int64)
+        start = (np.cumsum(nt) - nt) + int(base.loc[int(g["bucket"].iloc[0])])
+        return pd.DataFrame({"seq_id": start // _PREP_BUDGET, "n_tokens": nt})
+
+    return (
+        surv.groupby("bucket")
+        .map_groups(pack, batch_format="pandas")
+        .groupby("seq_id")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_tokens", alias_name="n_tokens"))
+    )
+
+
+def _sql_llm_data_prep() -> str:
+    W, MOD = _DECON_W, _DECON_MOD
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '), s -> s <> '')) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             string_split(text, ' ') AS rt
+      FROM documents
+    ), w AS (
+      SELECT doc_id, array_to_string(rt[s.i:s.i+{W - 1}], ' ') AS win
+      FROM base, LATERAL (SELECT unnest(generate_series(1, len(rt) - {W} + 1)) AS i) s
+      WHERE len(rt) >= {W}
+    ), bw AS (
+      SELECT DISTINCT win FROM w WHERE doc_id % {MOD} = 0
+    ), cont AS (
+      SELECT DISTINCT w.doc_id FROM w JOIN bw USING (win) WHERE w.doc_id % {MOD} <> 0
+    ), h1 AS (
+      SELECT doc_id, (CAST(doc_id AS HUGEINT) * {_FIB64}) % {_U64} AS h FROM base
+    ), h2 AS (
+      SELECT doc_id, (xor(h, h // 2147483648) * {_SPLIT_MULT2}) % {_U64} AS h FROM h1
+    ), train AS (
+      SELECT b.doc_id, b.n_tokens, array_to_string(b.rt[1:{_PREP_PREFIX}], ' ') AS pre
+      FROM base b JOIN h2 USING (doc_id)
+      WHERE b.doc_id % {MOD} <> 0
+        AND h2.h % 1000 < {_SPLIT_TRAIN}
+        AND b.n_tokens >= {_PREP_MIN_TOKENS}
+        AND b.n_chars <= b.n_tokens * 9
+        AND b.doc_id NOT IN (SELECT doc_id FROM cont)
+    ), surv AS (
+      SELECT t.doc_id, t.n_tokens
+      FROM train t JOIN (SELECT pre, MIN(doc_id) AS doc_id FROM train GROUP BY pre) k
+        ON t.doc_id = k.doc_id
+    ), sc AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM surv
+    )
+    SELECT CAST(cum // {_PREP_BUDGET} AS BIGINT) AS seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM sc GROUP BY 1
+    """
+
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -8060,6 +8262,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "tile_downsample": (q_tile_downsample, _sql_tile_downsample()),
     "embedding_sq8": (q_embedding_sq8, _sql_embedding_sq8()),
     "lang_length_median": (q_lang_length_median, _sql_lang_length_median()),
+    "llm_data_prep": (q_llm_data_prep, _sql_llm_data_prep()),
     "embedding_label_stats": (q_embedding_label_centroid_norms, _sql_embedding_label()),
 }
 
