@@ -8155,6 +8155,193 @@ def _sql_llm_data_prep() -> str:
     """
 
 
+
+# ---------------------------------------------------------------------------
+# event_lateness — out-of-order arrival (watermark) diagnostics
+# ---------------------------------------------------------------------------
+
+_LATE_US = 0  # an event is late if its ts precedes the running max
+
+
+def q_event_lateness(sf_dir: str):
+    """Out-of-order arrival profile (the watermark-lateness diagnostic a
+    streaming ingest needs): an event is LATE if its timestamp precedes
+    the running max of earlier-ARRIVED events for the same user; report
+    per user the late count and the maximum lateness (µs, exact
+    integers).  Arrival order is simulated as splitmix64(event_id) — a
+    deterministic bijective network-shuffle permutation — because the
+    synthetic feed is ts-ordered by construction (zero lateness under
+    id order would make the op degenerate).
+
+    Scale shape: ONE user-hash part-exchange; per part a single lexsort
+    (user, arrival) + grouped cummax (pandas C kernel) answers every
+    user — no per-user Python loop."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    n_parts = int(max(8, min(4096, ds.count() // 100_000 + 1)))
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "arrival": pa.array(synth._splitmix64(eid.astype(np.uint64)).astype(np.uint64)),
+                "t": pa.array(
+                    b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+                ),
+                "part": pa.array(
+                    (synth._splitmix64(uid.astype(np.uint64)) % np.uint64(n_parts)).astype(np.int64)
+                ),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "n_late": pa.array([], pa.int64()),
+            "max_late_us": pa.array([], pa.int64()),
+        }
+    )
+
+    def late(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        df = t.to_pandas().sort_values(["user_id", "arrival"], ignore_index=True)
+        g = df.groupby("user_id", sort=True)
+        prevmax = g["t"].cummax().groupby(df["user_id"]).shift(1)
+        lateness = (prevmax - df["t"]).fillna(0).astype(np.int64).clip(lower=0)
+        is_late = lateness > _LATE_US
+        agg = pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "one": np.ones(len(df), np.int64),
+                "is_late": is_late.astype(np.int64),
+                "lateness": lateness,
+            }
+        ).groupby("user_id", sort=True).agg(
+            n_events=("one", "sum"), n_late=("is_late", "sum"), max_late_us=("lateness", "max")
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(agg.index.to_numpy(np.int64)),
+                "n_events": pa.array(agg["n_events"].to_numpy(np.int64)),
+                "n_late": pa.array(agg["n_late"].to_numpy(np.int64)),
+                "max_late_us": pa.array(agg["max_late_us"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(late, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+
+
+def _sql_event_lateness() -> str:
+    return f"""
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             MAX(epoch_us(ts)) OVER (PARTITION BY user_id
+                 ORDER BY {_sql_splitmix64("event_id")}
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN prevmax > t THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(COALESCE(MAX(CASE WHEN prevmax > t THEN prevmax - t END), 0) AS BIGINT) AS max_late_us
+    FROM s GROUP BY user_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# user_coverage_time — gaps-and-islands interval union length
+# ---------------------------------------------------------------------------
+
+_COVER_US = 1_800_000_000  # each event covers [ts, ts + 30 min)
+
+
+def q_user_coverage_time(sf_dir: str):
+    """Interval-union length per user (the gaps-and-islands classic):
+    each event covers [ts, ts+30min); report the total covered time with
+    overlaps merged — exact integer µs via the sorted sweep identity
+    contribution_i = max(0, end_i - max(prev_running_max_end, t_i)).
+
+    Scale shape: ONE user-hash part-exchange; per part a lexsort
+    (user, t, event_id) + grouped cummax + one vectorized expression —
+    no island loop."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    n_parts = int(max(8, min(4096, ds.count() // 100_000 + 1)))
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "t": pa.array(
+                    b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+                ),
+                "part": pa.array(
+                    (synth._splitmix64(uid.astype(np.uint64)) % np.uint64(n_parts)).astype(np.int64)
+                ),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "covered_us": pa.array([], pa.int64()),
+        }
+    )
+
+    def cover(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        df = t.to_pandas().sort_values(["user_id", "t", "event_id"], ignore_index=True)
+        end = df["t"].to_numpy(np.int64) + _COVER_US
+        prevmax = (
+            pd.Series(end).groupby(df["user_id"]).cummax().groupby(df["user_id"]).shift(1)
+        )
+        tt = df["t"].to_numpy(np.int64)
+        floor_end = np.maximum(prevmax.fillna(np.iinfo(np.int64).min).to_numpy(np.int64), tt)
+        contrib = np.maximum(0, end - floor_end)
+        agg = pd.DataFrame(
+            {"user_id": df["user_id"], "one": np.ones(len(df), np.int64), "c": contrib}
+        ).groupby("user_id", sort=True).agg(n_events=("one", "sum"), covered_us=("c", "sum"))
+        return pa.table(
+            {
+                "user_id": pa.array(agg.index.to_numpy(np.int64)),
+                "n_events": pa.array(agg["n_events"].to_numpy(np.int64)),
+                "covered_us": pa.array(agg["covered_us"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(cover, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+
+
+def _sql_user_coverage_time() -> str:
+    return f"""
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) AS t, epoch_us(ts) + {_COVER_US} AS e,
+             MAX(epoch_us(ts) + {_COVER_US}) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(GREATEST(0, e - GREATEST(COALESCE(prevmax, t), t))) AS BIGINT) AS covered_us
+    FROM s GROUP BY user_id
+    """
+
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -8263,6 +8450,8 @@ SQL_QUERIES: dict[str, tuple] = {
     "embedding_sq8": (q_embedding_sq8, _sql_embedding_sq8()),
     "lang_length_median": (q_lang_length_median, _sql_lang_length_median()),
     "llm_data_prep": (q_llm_data_prep, _sql_llm_data_prep()),
+    "event_lateness": (q_event_lateness, _sql_event_lateness()),
+    "user_coverage_time": (q_user_coverage_time, _sql_user_coverage_time()),
     "embedding_label_stats": (q_embedding_label_centroid_norms, _sql_embedding_label()),
 }
 
