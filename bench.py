@@ -184,6 +184,10 @@ def _run_bench(headline_only: bool = False) -> dict:
         "bloom_membership",
         "dup_ngram_spans",
         "nation_pagerank",
+        "llm_data_prep",
+        "bigram_logprob",
+        "tile_pyramid_counts",
+        "tile_downsample",
     ]
     qtimes: dict[str, float] = {}
     for name in bench_queries:

@@ -8342,6 +8342,347 @@ def _sql_user_coverage_time() -> str:
     """
 
 
+
+# ---------------------------------------------------------------------------
+# dq_orphans — referential-integrity audit (data-quality checks)
+# ---------------------------------------------------------------------------
+
+
+def q_dq_orphans(sf_dir: str):
+    """Data-quality audit (the gate a production ingest runs first): one
+    row per check with total and violation counts — referential checks
+    (lineitem rows without an order, orders without a customer, events
+    from users outside the customer table) and value-level checks (a
+    lineitem shipped before its order date, customers with negative
+    balances).
+
+    Scale shape: the BIG x BIG checks (lineitem vs orders: both the anti
+    probe and the ship-before-order comparison) share ONE hash
+    co-partition — only (key, epoch-day) pairs move; the dimension
+    checks broadcast the distinct parent key set once via ray.put; the
+    value checks are per-batch combiners.  Output is five rows
+    regardless of corpus size."""
+    import ray
+
+    # --- big x big: lineitem vs orders (anti probe + ship-date check) ---
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    lines = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    n_parts = int(max(8, min(4096, lines.count() // 200_000 + 1)))
+
+    def tag(b: pa.Table, key_col: str, date_col: str, is_build: bool) -> pa.Table:
+        k = b[key_col].to_numpy(zero_copy_only=False)
+        d = (
+            b[date_col]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "key": b[key_col],
+                "day": pa.array(d),
+                "is_build": pa.array(np.full(len(k), is_build)),
+                "part": pa.array(
+                    (synth._splitmix64(k.astype(np.uint64)) % np.uint64(n_parts)).astype(np.int64)
+                ),
+            }
+        )
+
+    def li_checks(t: pa.Table) -> pa.Table:
+        isb = t["is_build"].to_numpy(zero_copy_only=False)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        day = t["day"].to_numpy(zero_copy_only=False)
+        n_probe = int((~isb).sum())
+        hit = _join_part_key(t)
+        if hit is None:
+            matched, early = 0, 0
+        else:
+            b_hit, p_hit = hit
+            matched = len(p_hit)
+            early = int((day[p_hit] < day[b_hit]).sum())
+        return pa.table(
+            {
+                "n_total": pa.array([n_probe], pa.int64()),
+                "n_orphan": pa.array([n_probe - matched], pa.int64()),
+                "n_early": pa.array([early], pa.int64()),
+            }
+        )
+
+    li = (
+        orders.map_batches(
+            lambda b: tag(b, "o_orderkey", "o_orderdate", True), batch_format="pyarrow"
+        )
+        .union(
+            lines.map_batches(
+                lambda b: tag(b, "l_orderkey", "l_shipdate", False), batch_format="pyarrow"
+            )
+        )
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(li_checks, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .to_pandas()
+        .sum()
+    )
+
+    # --- dimension checks: broadcast the distinct customer key set ---
+    ckeys = np.asarray(
+        _read(sf_dir, "customer", ["c_custkey"]).unique("c_custkey"), np.int64
+    )
+    cref = ray.put(np.sort(ckeys))
+
+    def miss_counter(col: str):
+        def count(b: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            ck = _ray.get(cref)
+            k = b[col].to_numpy(zero_copy_only=False)
+            ix = np.minimum(np.searchsorted(ck, k), len(ck) - 1)
+            miss = int((ck[ix] != k).sum()) if len(ck) else len(k)
+            return pa.table(
+                {
+                    "n_total": pa.array([len(k)], pa.int64()),
+                    "n_viol": pa.array([miss], pa.int64()),
+                }
+            )
+
+        return count
+
+    oc = (
+        _read(sf_dir, "orders", ["o_custkey"])
+        .map_batches(miss_counter("o_custkey"), batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .sum()
+    )
+    eu = (
+        _read(sf_dir, "events", ["user_id"])
+        .map_batches(miss_counter("user_id"), batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .sum()
+    )
+
+    # --- value check: negative customer balances (per-batch combiner) ---
+    def neg_bal(b: pa.Table) -> pa.Table:
+        bal = b["c_acctbal"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_total": pa.array([len(bal)], pa.int64()),
+                "n_viol": pa.array([int((bal < 0).sum())], pa.int64()),
+            }
+        )
+
+    nb = (
+        _read(sf_dir, "customer", ["c_acctbal"])
+        .map_batches(neg_bal, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .sum()
+    )
+
+    checks = [
+        ("customer_negative_balance", int(nb["n_total"]), int(nb["n_viol"])),
+        ("event_user_not_customer", int(eu["n_total"]), int(eu["n_viol"])),
+        ("lineitem_no_order", int(li["n_total"]), int(li["n_orphan"])),
+        ("lineitem_ship_before_order", int(li["n_total"]), int(li["n_early"])),
+        ("order_no_customer", int(oc["n_total"]), int(oc["n_viol"])),
+    ]
+    return pa.table(
+        {
+            "check": pa.array([c[0] for c in checks], pa.string()),
+            "n_total": pa.array(np.asarray([c[1] for c in checks], np.int64)),
+            "n_violations": pa.array(np.asarray([c[2] for c in checks], np.int64)),
+        }
+    )
+
+
+def _sql_dq_orphans() -> str:
+    return """
+    SELECT 'customer_negative_balance' AS check,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM customer
+    UNION ALL
+    SELECT 'event_user_not_customer',
+           CAST(count(*) AS BIGINT),
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem_no_order',
+           CAST(count(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem_ship_before_order',
+           CAST(count(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o.o_orderkey IS NOT NULL
+                          AND CAST(l.l_shipdate AS DATE) < CAST(o.o_orderdate AS DATE)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'order_no_customer',
+           CAST(count(*) AS BIGINT),
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """
+
+
+# ---------------------------------------------------------------------------
+# brand_hhi — market-concentration (Herfindahl) analytics
+# ---------------------------------------------------------------------------
+
+
+def q_brand_hhi(sf_dir: str):
+    """Market concentration by part brand: per-brand revenue (exact
+    integer cents via the broadcast part->brand dimension map) plus each
+    brand's squared market share, and an 'ALL' row carrying the
+    Herfindahl index.
+
+    Exactness: shares are per-TERM quantized — share_sq_q =
+    floor(((s_i * s_i) / (S * S)) * 1e12) with products in doubles (one
+    fixed-arity expression), so the HHI row is a pure integer sum of the
+    per-brand terms on both engines.
+
+    Scale shape: the part dimension ships once via ray.put; per-batch
+    cents combiner -> one brand groupby; the HHI math runs on the
+    brand-bounded result."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    bref = ray.put(part.set_index("p_partkey")["p_brand"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        p2b = _ray.get(bref)
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame({"brand": p2b.reindex(pk).to_numpy(object), "c": cents})
+        g = df.groupby("brand", sort=False)["c"].sum()
+        return pa.table(
+            {
+                "brand": pa.array(g.index.to_numpy(object), pa.string()),
+                "c": pa.array(g.to_numpy(np.int64)),
+            }
+        )
+
+    rev = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("brand")
+        .aggregate(Sum("c", alias_name="revenue_cents"))
+        .to_pandas()
+        .sort_values("brand", ignore_index=True)
+    )
+    si = rev["revenue_cents"].to_numpy(np.int64)
+    S = int(si.sum())
+    share_sq = np.asarray(
+        [
+            int(math.floor(((float(x) * float(x)) / (float(S) * float(S))) * 1e12))
+            for x in si
+        ],
+        np.int64,
+    )
+    return pa.table(
+        {
+            "brand": pa.array(list(rev["brand"].astype(str)) + ["ALL"], pa.string()),
+            "revenue_cents": pa.array(np.r_[si, np.int64(S)].astype(np.int64)),
+            "share_sq_q": pa.array(np.r_[share_sq, np.int64(share_sq.sum())].astype(np.int64)),
+        }
+    )
+
+
+def _sql_brand_hhi() -> str:
+    share = (
+        "CAST(floor(((CAST(c AS DOUBLE) * CAST(c AS DOUBLE))"
+        " / (CAST(S AS DOUBLE) * CAST(S AS DOUBLE))) * 1000000000000.0) AS BIGINT)"
+    )
+    return f"""
+    WITH rev AS (
+      SELECT p.p_brand AS brand,
+             SUM(CAST(floor(l.l_extendedprice * 100.0) AS BIGINT)) AS c
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1
+    ), tot AS (
+      SELECT SUM(c) AS S FROM rev
+    ), per AS (
+      SELECT brand, CAST(c AS BIGINT) AS revenue_cents, {share} AS share_sq_q
+      FROM rev, tot
+    )
+    SELECT brand, revenue_cents, share_sq_q FROM per
+    UNION ALL
+    SELECT 'ALL', CAST(S AS BIGINT), (SELECT CAST(SUM(share_sq_q) AS BIGINT) FROM per)
+    FROM tot
+    """
+
+
+# ---------------------------------------------------------------------------
+# image_aspect_stats — aspect-ratio profile of the image corpus
+# ---------------------------------------------------------------------------
+
+
+def q_image_aspect_stats(sf_dir: str):
+    """Aspect-ratio profile of the image corpus (the multimodal-metadata
+    bucketing a vision-data pipeline uses to route resize strategies):
+    per (fmt, shape-class) counts and total pixels, with the class
+    decided by integer cross-compares (w*3 > h*4 => wide,
+    h*3 > w*4 => tall, else square) — no float ratio anywhere.
+
+    Scale shape: a pruned (w, h, fmt) read — image bytes never leave
+    storage — with a per-batch combiner; one bounded groupby."""
+    from ray.data.aggregate import Sum
+
+    from . import tiling
+
+    images = tiling.read_images(sf_dir, columns=["fmt", "w", "h"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        w = b["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = b["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        shape = np.where(w * 3 > h * 4, "wide", np.where(h * 3 > w * 4, "tall", "square"))
+        df = pd.DataFrame(
+            {"fmt": b["fmt"].to_pylist(), "shape": shape, "px": w * h}
+        )
+        g = df.groupby(["fmt", "shape"], sort=False)["px"].agg(["count", "sum"])
+        ix = g.index
+        return pa.table(
+            {
+                "fmt": pa.array(ix.get_level_values(0).to_numpy(object), pa.string()),
+                "shape": pa.array(ix.get_level_values(1).to_numpy(object), pa.string()),
+                "n": pa.array(g["count"].to_numpy(np.int64)),
+                "total_px": pa.array(g["sum"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        images.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["fmt", "shape"])
+        .aggregate(Sum("n", alias_name="n"), Sum("total_px", alias_name="total_px"))
+    )
+
+
+def _sql_image_aspect_stats(sf: float = 0.01) -> str:
+    import os
+
+    from ..sources import synth as _synth
+
+    path = os.path.join(_synth.CACHE_DIR, f"images_sf{sf:g}", "*.parquet")
+    return f"""
+    WITH b AS (
+      SELECT fmt,
+             CASE WHEN w * 3 > h * 4 THEN 'wide'
+                  WHEN h * 3 > w * 4 THEN 'tall'
+                  ELSE 'square' END AS shape,
+             CAST(w AS BIGINT) * CAST(h AS BIGINT) AS px
+      FROM read_parquet('{path}')
+    )
+    SELECT fmt, shape, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(px) AS BIGINT) AS total_px
+    FROM b GROUP BY fmt, shape
+    """
+
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -8452,6 +8793,9 @@ SQL_QUERIES: dict[str, tuple] = {
     "llm_data_prep": (q_llm_data_prep, _sql_llm_data_prep()),
     "event_lateness": (q_event_lateness, _sql_event_lateness()),
     "user_coverage_time": (q_user_coverage_time, _sql_user_coverage_time()),
+    "dq_orphans": (q_dq_orphans, _sql_dq_orphans()),
+    "brand_hhi": (q_brand_hhi, _sql_brand_hhi()),
+    "image_aspect_stats": (q_image_aspect_stats, _sql_image_aspect_stats()),
     "embedding_label_stats": (q_embedding_label_centroid_norms, _sql_embedding_label()),
 }
 

@@ -64,11 +64,14 @@ def test_sql_query_matches_oracle(name, con, ray_session):
     )
 
     fn, sql = SQL_QUERIES[name]
+    from cov_tiles_ray.pipelines.queries import _sql_image_aspect_stats
+
     corpus_sql = {
         "phash_dedup": _sql_phash_dedup,
         "phash_neardup": _sql_phash_neardup,
         "image_exact_dedup": _sql_image_exact_dedup,
         "image_size_stats": _sql_image_size_stats,
+        "image_aspect_stats": _sql_image_aspect_stats,
         "caption_word_stats": _sql_caption_word_stats,
         "geo_grid_dbscan": _sql_geo_grid_dbscan,
     }
