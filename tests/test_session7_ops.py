@@ -204,3 +204,42 @@ def test_trajectory_simplify_matches_recursive_reference(ray_session):
     # the op must actually simplify something at this epsilon
     assert (got["n_kept"] < got["n_raw"]).any()
     assert (got["n_kept"] >= 2).all() or (got["n_raw"] == 1).any()
+
+
+def test_tiles_delta_matches_independent_recompute(ray_session):
+    """tiles_delta (one-pass dual-snapshot combiner) must equal a direct
+    recompute of both snapshots' per-tile memberships from the corpus
+    parquet."""
+    import collections
+
+    import duckdb
+
+    from cov_tiles_ray.functions import spatial as S
+    from cov_tiles_ray.pipelines.rows_only import _DELTA_MOD, _DELTA_Z, q_tiles_delta
+    from cov_tiles_ray.sources import synth
+
+    got = (
+        q_tiles_delta(SF_DIR)
+        .to_pandas()
+        .sort_values("tile_id", ignore_index=True)
+    )
+
+    path = synth.images_parquet_path(0.001)
+    con = duckdb.connect()
+    df = con.execute(
+        f"SELECT image_id, lon, lat FROM read_parquet('{path}/*.parquet')"
+    ).fetchdf()
+    con.close()
+    tx, ty = S.lonlat_to_tile(df["lon"].to_numpy(), df["lat"].to_numpy(), _DELTA_Z)
+    tid = S.pack_tile_id(_DELTA_Z, tx, ty)
+    a = collections.Counter(tid.tolist())
+    num = df["image_id"].str[3:].astype("int64")
+    keep = (num % _DELTA_MOD != 0).to_numpy()
+    b = collections.Counter(tid[keep].tolist())
+    changed = sorted(t for t in a if a[t] != b.get(t, 0))
+    assert len(changed) > 0, "delta degenerate at sf0.001"
+    assert got["tile_id"].tolist() == changed
+    for r in got.itertuples(index=False):
+        assert r.n_a == a[r.tile_id]
+        assert r.n_b == b.get(r.tile_id, 0)
+        assert r.n_removed == r.n_a - r.n_b
