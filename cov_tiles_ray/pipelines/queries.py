@@ -8686,6 +8686,103 @@ def _sql_image_aspect_stats(sf: float = 0.01) -> str:
     """
 
 
+
+# ---------------------------------------------------------------------------
+# balance_langs — deterministic class rebalancing of the corpus
+# ---------------------------------------------------------------------------
+
+
+def q_balance_langs(sf_dir: str):
+    """Deterministic class rebalancing (the training-mix equalizer): keep
+    each language with probability min_count/count(lang) so every class
+    lands at roughly the smallest class's size, decided per doc by the
+    EXACT integer cross-multiply splitmix64(doc_id) * n_lang <
+    min_n * 2^64 — no float rates, retry/partitioning/cluster-size
+    invariant (the stratified_sample guarantee with data-derived rates).
+    Output per language: counts before and after.
+
+    Scale shape: one tiny lang-count groupby (per-batch combiner), the
+    per-lang uint64 thresholds broadcast in the task closure (bounded by
+    |langs|), then a pure map + count combiner."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def count_partial(df: pd.DataFrame) -> pa.Table:
+        vc = df["lang"].value_counts()
+        return pa.table(
+            {
+                "lang": pa.array(vc.index.to_numpy(object), pa.string()),
+                "n": pa.array(vc.to_numpy(np.int64)),
+            }
+        )
+
+    cnt = (
+        ds.map_batches(count_partial, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("lang", ignore_index=True)
+    )
+    n_by_lang = dict(zip(cnt["lang"].astype(str), cnt["n"].to_numpy(np.int64)))
+    mn = int(min(n_by_lang.values()))
+    # h * n < mn * 2^64  <=>  h <= (mn * 2^64 - 1) // n  (exact int math;
+    # the threshold is 2^64-1 for the smallest class, i.e. keep-all)
+    thr = {
+        lang: np.uint64(((mn << 64) - 1) // int(n)) for lang, n in n_by_lang.items()
+    }
+
+    def keep_partial(df: pd.DataFrame) -> pa.Table:
+        h = synth._splitmix64(df["doc_id"].to_numpy(np.int64).astype(np.uint64))
+        t = np.asarray([thr[l] for l in df["lang"].astype(str)], np.uint64)
+        vc = df["lang"][h <= t].value_counts()
+        return pa.table(
+            {
+                "lang": pa.array(vc.index.to_numpy(object), pa.string()),
+                "k": pa.array(vc.to_numpy(np.int64)),
+            }
+        )
+
+    kept = (
+        ds.map_batches(keep_partial, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(Sum("k", alias_name="k"))
+        .to_pandas()
+    )
+    k_by_lang = dict(zip(kept["lang"].astype(str), kept["k"].to_numpy(np.int64)))
+    return pa.table(
+        {
+            "lang": pa.array(cnt["lang"].astype(str), pa.string()),
+            "n_before": pa.array(cnt["n"].to_numpy(np.int64)),
+            "n_after": pa.array(
+                np.asarray(
+                    [int(k_by_lang.get(l, 0)) for l in cnt["lang"].astype(str)], np.int64
+                )
+            ),
+        }
+    )
+
+
+def _sql_balance_langs() -> str:
+    return f"""
+    WITH cnt AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ), m AS (
+      SELECT MIN(n) AS mn FROM cnt
+    ), h AS (
+      SELECT lang, {_sql_splitmix64("doc_id")} AS h FROM documents
+    ), k AS (
+      SELECT h.lang
+      FROM h JOIN cnt USING (lang), m
+      WHERE CAST(h.h AS HUGEINT) * cnt.n < CAST(m.mn AS HUGEINT) * {1 << 64}
+    )
+    SELECT c.lang,
+           CAST(c.n AS BIGINT) AS n_before,
+           CAST(COALESCE(k2.n2, 0) AS BIGINT) AS n_after
+    FROM cnt c LEFT JOIN (SELECT lang, count(*) AS n2 FROM k GROUP BY lang) k2 USING (lang)
+    """
+
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -8799,6 +8896,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "dq_orphans": (q_dq_orphans, _sql_dq_orphans()),
     "brand_hhi": (q_brand_hhi, _sql_brand_hhi()),
     "image_aspect_stats": (q_image_aspect_stats, _sql_image_aspect_stats()),
+    "balance_langs": (q_balance_langs, _sql_balance_langs()),
     "embedding_label_stats": (q_embedding_label_centroid_norms, _sql_embedding_label()),
 }
 
