@@ -8783,6 +8783,176 @@ def _sql_balance_langs() -> str:
     """
 
 
+
+# ---------------------------------------------------------------------------
+# assoc_rules — market-basket association rules over event sessions
+# ---------------------------------------------------------------------------
+
+
+def q_assoc_rules(sf_dir: str):
+    """Association-rule mining (the market-basket / a-priori first level)
+    over 30-minute event sessions: for every ORDERED pair of event types
+    (a -> b), the co-occurrence session count, the confidence
+    n_ab / n_a and the lift n_ab * N / (n_a * n_b) — floor(x*1e6)
+    quantized, single fixed-arity IEEE expressions over exact integer
+    counts.
+
+    Scale shape: ONE user-hash part-exchange; per part a lexsort
+    (user, t, event_id) + vectorized gap/cumsum sessionization (the
+    q_sessionize rule), a (session, type) drop_duplicates, and a
+    self-merge per part produce ordered-pair partials; the driver sees
+    only types^2-bounded count tables."""
+    import math
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    n_parts = int(max(8, min(4096, ds.count() // 100_000 + 1)))
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "t": pa.array(
+                    b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[s]").astype(np.int64)
+                ),
+                "part": pa.array(
+                    (synth._splitmix64(uid.astype(np.uint64)) % np.uint64(n_parts)).astype(np.int64)
+                ),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "a": pa.array([], pa.string()),
+            "b": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "kind": pa.array([], pa.int64()),
+        }
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        df = t.to_pandas().sort_values(["user_id", "t", "event_id"], ignore_index=True)
+        uid = df["user_id"].to_numpy(np.int64)
+        tt = df["t"].to_numpy(np.int64)
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        gap = np.r_[0, tt[1:] - tt[:-1]]
+        brk = new_user | (gap > 1800)
+        sid = np.cumsum(brk)  # globally unique within the part
+        st = pd.DataFrame({"sid": sid, "ty": df["event_type"].to_numpy(object)}).drop_duplicates()
+        n_sessions = int(brk.sum())
+        ta = st.groupby("ty", sort=False).size()
+        pairs = st.merge(st, on="sid")
+        pairs = pairs[pairs["ty_x"] != pairs["ty_y"]]
+        pc2 = pairs.groupby(["ty_x", "ty_y"], sort=False).size()
+        tabs = [
+            pa.table(
+                {
+                    "a": pa.array(pc2.index.get_level_values(0).to_numpy(object), pa.string()),
+                    "b": pa.array(pc2.index.get_level_values(1).to_numpy(object), pa.string()),
+                    "n": pa.array(pc2.to_numpy(np.int64)),
+                    "kind": pa.array(np.zeros(len(pc2), np.int64)),
+                }
+            ),
+            pa.table(
+                {
+                    "a": pa.array(ta.index.to_numpy(object), pa.string()),
+                    "b": pa.array(np.full(len(ta), "", object), pa.string()),
+                    "n": pa.array(ta.to_numpy(np.int64)),
+                    "kind": pa.array(np.ones(len(ta), np.int64)),
+                }
+            ),
+            pa.table(
+                {
+                    "a": pa.array([""], pa.string()),
+                    "b": pa.array([""], pa.string()),
+                    "n": pa.array([n_sessions], pa.int64()),
+                    "kind": pa.array([2], pa.int64()),
+                }
+            ),
+        ]
+        return pa.concat_tables(tabs)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(partials, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby(["a", "b", "kind"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    N = int(agg.loc[agg["kind"] == 2, "n"].iloc[0])
+    na = dict(
+        zip(
+            agg.loc[agg["kind"] == 1, "a"].astype(str),
+            agg.loc[agg["kind"] == 1, "n"].to_numpy(np.int64),
+        )
+    )
+    pairs = agg[agg["kind"] == 0].sort_values(["a", "b"], ignore_index=True)
+    out_conf, out_lift = [], []
+    for r in pairs.itertuples():
+        n_ab, n_a, n_b = int(r.n), int(na[str(r.a)]), int(na[str(r.b)])
+        out_conf.append(int(math.floor((float(n_ab) / float(n_a)) * 1e6)))
+        out_lift.append(
+            int(
+                math.floor(
+                    ((float(n_ab) * float(N)) / (float(n_a) * float(n_b))) * 1e6
+                )
+            )
+        )
+    return pa.table(
+        {
+            "a": pa.array(pairs["a"].astype(str), pa.string()),
+            "b": pa.array(pairs["b"].astype(str), pa.string()),
+            "n_ab": pa.array(pairs["n"].to_numpy(np.int64)),
+            "conf_x1e6": pa.array(np.asarray(out_conf, np.int64)),
+            "lift_x1e6": pa.array(np.asarray(out_lift, np.int64)),
+        }
+    )
+
+
+def _sql_assoc_rules() -> str:
+    return """
+    WITH e AS (
+      SELECT user_id, event_type, event_id, epoch(ts) AS t FROM events
+    ), o AS (
+      SELECT user_id, event_type, t, event_id,
+             CASE WHEN lag(t) OVER w IS NULL THEN 1
+                  WHEN t - lag(t) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ), s AS (
+      SELECT user_id, event_type,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    ), st AS (
+      SELECT DISTINCT user_id, sid, event_type FROM s
+    ), nt AS (
+      SELECT count(*) AS n FROM (SELECT DISTINCT user_id, sid FROM s)
+    ), ta AS (
+      SELECT event_type, count(*) AS na FROM st GROUP BY 1
+    ), pr AS (
+      SELECT x.event_type AS a, y.event_type AS b, count(*) AS nab
+      FROM st x JOIN st y ON x.user_id = y.user_id AND x.sid = y.sid
+                         AND x.event_type <> y.event_type
+      GROUP BY 1, 2
+    )
+    SELECT pr.a, pr.b, CAST(pr.nab AS BIGINT) AS n_ab,
+           CAST(floor((CAST(pr.nab AS DOUBLE) / CAST(ta1.na AS DOUBLE)) * 1000000.0) AS BIGINT) AS conf_x1e6,
+           CAST(floor(((CAST(pr.nab AS DOUBLE) * CAST(nt.n AS DOUBLE))
+                       / (CAST(ta1.na AS DOUBLE) * CAST(ta2.na AS DOUBLE))) * 1000000.0) AS BIGINT) AS lift_x1e6
+    FROM pr
+    JOIN ta ta1 ON ta1.event_type = pr.a
+    JOIN ta ta2 ON ta2.event_type = pr.b
+    CROSS JOIN nt
+    """
+
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -8897,6 +9067,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "brand_hhi": (q_brand_hhi, _sql_brand_hhi()),
     "image_aspect_stats": (q_image_aspect_stats, _sql_image_aspect_stats()),
     "balance_langs": (q_balance_langs, _sql_balance_langs()),
+    "assoc_rules": (q_assoc_rules, _sql_assoc_rules()),
     "embedding_label_stats": (q_embedding_label_centroid_norms, _sql_embedding_label()),
 }
 
