@@ -8953,6 +8953,104 @@ def _sql_assoc_rules() -> str:
     """
 
 
+
+# ---------------------------------------------------------------------------
+# price_trend_by_flag — grouped least-squares trend (regression per group)
+# ---------------------------------------------------------------------------
+
+
+def q_price_trend_by_flag(sf_dir: str):
+    """Per-group least-squares trend (the grouped-regression companion of
+    corr_moments): for each return flag, the slope of price (cents) over
+    ship date (epoch days), plus the exact count.
+
+    Exactness: the five regression moments are EXACT integer sums from
+    per-batch combiners (x = epoch day ~2e4, y = cents; x*y partials stay
+    far inside int64 at any per-batch size, and the final sums are
+    re-summed in Python bigints so corpus scale cannot overflow); the
+    slope is one fixed-arity IEEE expression over exactly-converted
+    doubles, floor(slope*1e6)-quantized, HUGEINT-mirrored.
+
+    Scale shape: one |flags|-bounded groupby of 6 combiner columns."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_shipdate"])
+
+    def moments(b: pa.Table) -> pa.Table:
+        flag = b["l_returnflag"].to_pylist()
+        y = np.floor(b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0).astype(
+            np.int64
+        )
+        x = (
+            b["l_shipdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        df = pd.DataFrame(
+            {"flag": flag, "n": 1, "sx": x, "sy": y, "sxx": x * x, "sxy": x * y}
+        )
+        g = df.groupby("flag", sort=False).sum()
+        return pa.table(
+            {
+                "flag": pa.array(g.index.to_numpy(object), pa.string()),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+                "sx": pa.array(g["sx"].to_numpy(np.int64)),
+                "sy": pa.array(g["sy"].to_numpy(np.int64)),
+                "sxx": pa.array(g["sxx"].to_numpy(np.int64)),
+                "sxy": pa.array(g["sxy"].to_numpy(np.int64)),
+            }
+        )
+
+    m = (
+        ds.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("flag")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("sxy", alias_name="sxy"),
+        )
+        .to_pandas()
+        .sort_values("flag", ignore_index=True)
+    )
+    slopes = []
+    for r in m.itertuples():
+        n, sx, sy, sxx, sxy = (int(r.n), int(r.sx), int(r.sy), int(r.sxx), int(r.sxy))
+        num = n * sxy - sx * sy  # Python bigints: exact at any scale
+        den = n * sxx - sx * sx
+        slopes.append(int(math.floor((float(num) / float(den)) * 1e6)))
+    return pa.table(
+        {
+            "flag": pa.array(m["flag"].astype(str), pa.string()),
+            "n": pa.array(m["n"].to_numpy(np.int64)),
+            "slope_x1e6": pa.array(np.asarray(slopes, np.int64)),
+        }
+    )
+
+
+def _sql_price_trend_by_flag() -> str:
+    return """
+    WITH q AS (
+      SELECT l_returnflag AS flag,
+             CAST(epoch_ms(CAST(l_shipdate AS DATE)) // 86400000 AS HUGEINT) AS x,
+             CAST(floor(l_extendedprice * 100.0) AS HUGEINT) AS y
+      FROM lineitem
+    ), s AS (
+      SELECT flag, CAST(count(*) AS HUGEINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM q GROUP BY flag
+    )
+    SELECT flag, CAST(n AS BIGINT) AS n,
+           CAST(floor((CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE)) * 1000000.0) AS BIGINT) AS slope_x1e6
+    FROM s
+    """
+
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -9068,6 +9166,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "image_aspect_stats": (q_image_aspect_stats, _sql_image_aspect_stats()),
     "balance_langs": (q_balance_langs, _sql_balance_langs()),
     "assoc_rules": (q_assoc_rules, _sql_assoc_rules()),
+    "price_trend_by_flag": (q_price_trend_by_flag, _sql_price_trend_by_flag()),
     "embedding_label_stats": (q_embedding_label_centroid_norms, _sql_embedding_label()),
 }
 
