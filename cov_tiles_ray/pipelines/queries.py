@@ -9051,6 +9051,160 @@ def _sql_price_trend_by_flag() -> str:
     """
 
 
+
+# ---------------------------------------------------------------------------
+# embedding_norm_stats — vector-hygiene profile per label
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_norm_stats(sf_dir: str):
+    """Embedding-store hygiene profile: per label, vector count and the
+    exact-integer distribution of squared norms (sum / min / max of the
+    per-vector quantized |v|²) — the screen that catches zero, exploded
+    or unnormalized vectors before they poison an ANN index.
+
+    Exactness: |v|² is summed per ELEMENT as floor(x²*1e12) integers
+    (the per-term quantization rule), so vector values are identical
+    across engines no matter how each sums floats; all aggregates are
+    integer.
+
+    Scale shape: map-only per-batch combiner → one |labels|-bounded
+    groupby."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        lab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        embs = b["embedding"].to_pandas().to_numpy()
+        dims = np.fromiter((len(e) for e in embs), np.int64, len(embs))
+        x = np.concatenate(embs).astype(np.float64)
+        q = np.floor((x * x) * 1000000000000.0).astype(np.int64)
+        seg = np.repeat(np.arange(len(embs)), dims)
+        nq = np.zeros(len(embs), np.int64)
+        np.add.at(nq, seg, q)
+        df = pd.DataFrame({"label": lab, "nq": nq})
+        g = df.groupby("label", sort=False)["nq"].agg(["count", "sum", "min", "max"])
+        return pa.table(
+            {
+                "label": pa.array(g.index.to_numpy(np.int64)),
+                "n": pa.array(g["count"].to_numpy(np.int64)),
+                "sum_nq": pa.array(g["sum"].to_numpy(np.int64)),
+                "min_nq": pa.array(g["min"].to_numpy(np.int64)),
+                "max_nq": pa.array(g["max"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("label")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_nq", alias_name="sum_nq"),
+            Min("min_nq", alias_name="min_nq"),
+            Max("max_nq", alias_name="max_nq"),
+        )
+    )
+
+
+def _sql_embedding_norm_stats() -> str:
+    return """
+    WITH el AS (
+      SELECT label, vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+    ), nv AS (
+      SELECT label, vec_id,
+             SUM(CAST(floor((x * x) * 1000000000000.0) AS BIGINT)) AS nq
+      FROM el GROUP BY label, vec_id
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(nq) AS BIGINT) AS sum_nq,
+           CAST(MIN(nq) AS BIGINT) AS min_nq,
+           CAST(MAX(nq) AS BIGINT) AS max_nq
+    FROM nv GROUP BY label
+    """
+
+
+# ---------------------------------------------------------------------------
+# tile_skew_profile — per-zoom occupancy-skew diagnostic
+# ---------------------------------------------------------------------------
+
+
+def q_tile_skew_profile(sf_dir: str):
+    """Per-zoom skew diagnostic of the tile workload (the statistic that
+    motivates this engine's salting and plan-bounded merges): for every
+    zoom 2..10, the occupied-tile count, the max per-tile event count,
+    and the exact lower-median per-tile count.
+
+    Scale shape: reuses the one-pass pyramid exchange
+    (tile_pyramid_counts' combiner); the per-zoom order statistics run
+    on a (zoom, count) HISTOGRAM bounded by the distinct count values —
+    the mad_prices domain-bounded shape, never the tile list itself on
+    the driver beyond that histogram."""
+    from ray.data.aggregate import Sum
+
+    pyr = q_tile_pyramid_counts(sf_dir)
+
+    def hist(b: pa.Table) -> pa.Table:
+        tid = b["tile_id"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        z = (tid >> np.int64(58)).astype(np.int64)
+        df = pd.DataFrame({"z": z, "n": n})
+        g = df.groupby(["z", "n"], sort=False).size()
+        ix = g.index
+        return pa.table(
+            {
+                "z": pa.array(ix.get_level_values(0).to_numpy(np.int64)),
+                "n": pa.array(ix.get_level_values(1).to_numpy(np.int64)),
+                "c": pa.array(g.to_numpy(np.int64)),
+            }
+        )
+
+    h = (
+        pyr.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["z", "n"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values(["z", "n"], ignore_index=True)
+    )
+    out = []
+    for z, g in h.groupby("z", sort=True):
+        c = g["c"].to_numpy(np.int64)
+        v = g["n"].to_numpy(np.int64)
+        total = int(c.sum())
+        rank = (total + 1) // 2
+        med = int(v[np.searchsorted(np.cumsum(c), rank)])
+        out.append((int(z), total, int(v.max()), med))
+    return pa.table(
+        {
+            "z": pa.array(np.asarray([o[0] for o in out], np.int64)),
+            "n_tiles": pa.array(np.asarray([o[1] for o in out], np.int64)),
+            "max_n": pa.array(np.asarray([o[2] for o in out], np.int64)),
+            "median_n": pa.array(np.asarray([o[3] for o in out], np.int64)),
+        }
+    )
+
+
+def _sql_tile_skew_profile() -> str:
+    return f"""
+    WITH pts AS (SELECT {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events),
+    alltiles AS (
+      {chr(10).join("SELECT " + _tile_sql(z) + " AS tile_id FROM pts" + ("" if z == TILE_PYRAMID_ZOOMS[-1] else chr(10) + "      UNION ALL") for z in TILE_PYRAMID_ZOOMS)}
+    ), per AS (
+      SELECT tile_id, CAST(tile_id // {1 << 58} AS BIGINT) AS z, count(*) AS n
+      FROM alltiles GROUP BY tile_id
+    ), r AS (
+      SELECT z, n,
+             row_number() OVER (PARTITION BY z ORDER BY n) AS rn,
+             count(*) OVER (PARTITION BY z) AS nt
+      FROM per
+    )
+    SELECT z, CAST(MAX(nt) AS BIGINT) AS n_tiles, CAST(MAX(n) AS BIGINT) AS max_n,
+           CAST(MAX(CASE WHEN rn = (nt + 1) // 2 THEN n END) AS BIGINT) AS median_n
+    FROM r GROUP BY z
+    """
+
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -9167,6 +9321,8 @@ SQL_QUERIES: dict[str, tuple] = {
     "balance_langs": (q_balance_langs, _sql_balance_langs()),
     "assoc_rules": (q_assoc_rules, _sql_assoc_rules()),
     "price_trend_by_flag": (q_price_trend_by_flag, _sql_price_trend_by_flag()),
+    "embedding_norm_stats": (q_embedding_norm_stats, _sql_embedding_norm_stats()),
+    "tile_skew_profile": (q_tile_skew_profile, _sql_tile_skew_profile()),
     "embedding_label_stats": (q_embedding_label_centroid_norms, _sql_embedding_label()),
 }
 
