@@ -9205,6 +9205,185 @@ def _sql_tile_skew_profile() -> str:
     """
 
 
+
+# ---------------------------------------------------------------------------
+# geo_serving_prep — the geo-side end-to-end serving composition
+# ---------------------------------------------------------------------------
+
+
+_GSP_Z = 4  # serving zoom: coarse enough that the density cap binds
+_GSP_K = 5  # per-tile cap
+
+
+def q_geo_serving_prep(sf_dir: str):
+    """The geo-side counterpart of llm_data_prep: prepare a tile-serving
+    manifest in ONE flow — spatial filter (keep only events inside a
+    serving region), z4 tile assignment, then the deterministic per-tile
+    density cap (keep the 5 smallest splitmix64(event_id) per tile).
+    Output one row per (region, tile) with raw/kept counts and the
+    kept-id checksum — what a rendering service materializes per tile.
+
+    Scale shape: the region test, tile assignment, hash and bottom-K
+    combiner all run in the SAME map over the pruned event read (rows
+    outside every region die before any shuffle); ONE tile-hash
+    part-exchange ships <= K+1 rows per (tile, batch); regions are
+    lon-disjoint rectangles so each point has at most one region."""
+    ds = _events_points(sf_dir)
+    n_parts = 32
+    boxes = _region_boxes()
+    lon0 = boxes["lon0"].to_numpy()
+    lon1 = boxes["lon1"].to_numpy()
+    lat0 = boxes["lat0"].to_numpy()
+    lat1 = boxes["lat1"].to_numpy()
+    rkey = boxes["r_regionkey"].to_numpy(np.int64)
+
+    def combine(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        lon = b["lon"].to_numpy(zero_copy_only=False)
+        lat = b["lat"].to_numpy(zero_copy_only=False)
+        inside = (
+            (lon[:, None] > lon0)
+            & (lon[:, None] < lon1)
+            & (lat[:, None] > lat0)
+            & (lat[:, None] < lat1)
+        )
+        hit = inside.any(axis=1)
+        reg = rkey[np.argmax(inside, axis=1)][hit]
+        eid, lon, lat = eid[hit], lon[hit], lat[hit]
+        tx, ty = S.lonlat_to_tile(lon, lat, _GSP_Z)
+        tid = S.pack_tile_id(_GSP_Z, tx, ty)
+        h = synth._splitmix64(eid.astype(np.uint64))
+        o = np.lexsort((h, reg, tid))
+        tid, reg, h, eid = tid[o], reg[o], h[o], eid[o]
+        key_new = np.r_[True, (tid[1:] != tid[:-1]) | (reg[1:] != reg[:-1])]
+        starts = np.flatnonzero(key_new)
+        seg = np.cumsum(key_new) - 1
+        rank = np.arange(len(tid)) - starts[seg]
+        cand = rank < _GSP_K
+        lens = np.diff(np.r_[starts, len(tid)])
+        return pa.table(
+            {
+                "tile_id": pa.array(np.r_[tid[cand], tid[starts]]),
+                "region": pa.array(np.r_[reg[cand], reg[starts]].astype(np.int64)),
+                "h": pa.array(
+                    np.r_[h[cand], np.zeros(len(starts), np.uint64)].astype(np.uint64)
+                ),
+                "eid": pa.array(np.r_[eid[cand], np.zeros(len(starts), np.int64)]),
+                "c": pa.array(
+                    np.r_[np.zeros(int(cand.sum()), np.int64), lens.astype(np.int64)]
+                ),
+                "kind": pa.array(
+                    np.r_[
+                        np.zeros(int(cand.sum()), np.int64),
+                        np.ones(len(starts), np.int64),
+                    ]
+                ),
+                "part": pa.array(
+                    (
+                        synth._splitmix64(
+                            np.r_[tid[cand], tid[starts]].astype(np.uint64)
+                        )
+                        % np.uint64(n_parts)
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "region": pa.array([], pa.int64()),
+            "tile_id": pa.array([], pa.int64()),
+            "n_raw": pa.array([], pa.int64()),
+            "n_kept": pa.array([], pa.int64()),
+            "kept_id_sum": pa.array([], pa.int64()),
+        }
+    )
+
+    def resolve(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        tid = t["tile_id"].to_numpy(zero_copy_only=False)
+        reg = t["region"].to_numpy(zero_copy_only=False)
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        h = t["h"].to_numpy(zero_copy_only=False)
+        eid = t["eid"].to_numpy(zero_copy_only=False)
+        # NOTE: tile_id uses the top bits (z*2^58) so (tid << k | reg)
+        # packing would overflow int64 — run-length keys on the sorted
+        # (tid, region) pair instead
+        m1 = kind == 1
+        t1, r1, c1 = tid[m1], reg[m1], c[m1]
+        o1 = np.lexsort((r1, t1))
+        t1, r1, c1 = t1[o1], r1[o1], c1[o1]
+        new1 = np.r_[True, (t1[1:] != t1[:-1]) | (r1[1:] != r1[:-1])]
+        seg1 = np.cumsum(new1) - 1
+        starts1 = np.flatnonzero(new1)
+        n_raw = np.zeros(len(starts1), np.int64)
+        np.add.at(n_raw, seg1, c1)
+        m0 = kind == 0
+        t0, r0, h0, e0 = tid[m0], reg[m0], h[m0], eid[m0]
+        o = np.lexsort((h0, r0, t0))
+        t0, r0, h0, e0 = t0[o], r0[o], h0[o], e0[o]
+        new0 = np.r_[True, (t0[1:] != t0[:-1]) | (r0[1:] != r0[:-1])]
+        starts = np.flatnonzero(new0)
+        seg = np.cumsum(new0) - 1
+        rank = np.arange(len(t0)) - starts[seg]
+        kept = rank < _GSP_K
+        n_kept = np.zeros(len(starts), np.int64)
+        np.add.at(n_kept, seg[kept], 1)
+        ksum = np.zeros(len(starts), np.int64)
+        np.add.at(ksum, seg[kept], e0[kept])
+        assert len(starts) == len(starts1)
+        assert (t0[starts] == t1[starts1]).all() and (r0[starts] == r1[starts1]).all()
+        return pa.table(
+            {
+                "region": pa.array(r0[starts].astype(np.int64)),
+                "tile_id": pa.array(t0[starts].astype(np.int64)),
+                "n_raw": pa.array(n_raw),
+                "n_kept": pa.array(n_kept),
+                "kept_id_sum": pa.array(ksum),
+            }
+        )
+
+    return (
+        ds.map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(resolve, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+
+
+def _sql_geo_serving_prep() -> str:
+    return f"""
+    WITH pts AS (
+      SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events
+    ), boxes AS (
+      SELECT r_regionkey,
+             -160.0 + r_regionkey * 64.0 AS lon0,
+             -160.0 + r_regionkey * 64.0 + 52.0 AS lon1,
+             -70.0 + r_regionkey * 26.0 AS lat0,
+             -70.0 + r_regionkey * 26.0 + 36.0 AS lat1
+      FROM region
+    ), inside AS (
+      SELECT CAST(b.r_regionkey AS BIGINT) AS region, p.event_id, p.lon, p.lat
+      FROM pts p JOIN boxes b
+        ON p.lon > b.lon0 AND p.lon < b.lon1 AND p.lat > b.lat0 AND p.lat < b.lat1
+    ), t AS (
+      SELECT region, event_id, {_tile_sql(_GSP_Z)} AS tile_id,
+             {_sql_splitmix64("event_id")} AS h
+      FROM inside
+    ), r AS (
+      SELECT region, tile_id, event_id,
+             row_number() OVER (PARTITION BY region, tile_id ORDER BY h) AS rn
+      FROM t
+    )
+    SELECT region, tile_id,
+           CAST(count(*) AS BIGINT) AS n_raw,
+           CAST(count(*) FILTER (WHERE rn <= {_GSP_K}) AS BIGINT) AS n_kept,
+           CAST(SUM(event_id) FILTER (WHERE rn <= {_GSP_K}) AS BIGINT) AS kept_id_sum
+    FROM r GROUP BY region, tile_id
+    """
+
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -9323,6 +9502,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "price_trend_by_flag": (q_price_trend_by_flag, _sql_price_trend_by_flag()),
     "embedding_norm_stats": (q_embedding_norm_stats, _sql_embedding_norm_stats()),
     "tile_skew_profile": (q_tile_skew_profile, _sql_tile_skew_profile()),
+    "geo_serving_prep": (q_geo_serving_prep, _sql_geo_serving_prep()),
     "embedding_label_stats": (q_embedding_label_centroid_norms, _sql_embedding_label()),
 }
 
