@@ -9384,6 +9384,54 @@ def _sql_geo_serving_prep() -> str:
     """
 
 
+
+# ---------------------------------------------------------------------------
+# order_line_join_native — the same join via Ray Data's native Dataset.join
+# ---------------------------------------------------------------------------
+
+
+def q_order_line_join_native(sf_dir: str):
+    """The order_line_join semantics expressed through Ray Data's NATIVE
+    hash join operator (``Dataset.join``, new in Ray 2.4x) instead of the
+    engine's hand-built part-exchange — registered separately so both
+    shapes stay oracle-verified and A/B-able (timings in BASELINE.md).
+    The aggregate after the join is the usual per-batch cents combiner +
+    one |priority|-bounded groupby."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    lines = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    n_parts = int(max(8, min(64, lines.count() // 200_000 + 1)))
+
+    joined = lines.join(
+        orders,
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1.0 - disc) * 100.0).astype(np.int64)
+        g = pd.DataFrame(
+            {"priority": b["o_orderpriority"].to_pylist(), "rev_cents": cents}
+        ).groupby("priority", sort=False)["rev_cents"].sum()
+        return pa.table(
+            {
+                "priority": pa.array(g.index.to_numpy(object), pa.string()),
+                "rev_cents": pa.array(g.to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("priority")
+        .aggregate(Sum("rev_cents", alias_name="rev_cents"))
+    )
+
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -9503,6 +9551,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "embedding_norm_stats": (q_embedding_norm_stats, _sql_embedding_norm_stats()),
     "tile_skew_profile": (q_tile_skew_profile, _sql_tile_skew_profile()),
     "geo_serving_prep": (q_geo_serving_prep, _sql_geo_serving_prep()),
+    "order_line_join_native": (q_order_line_join_native, _sql_order_line_join()),
     "embedding_label_stats": (q_embedding_label_centroid_norms, _sql_embedding_label()),
 }
 
