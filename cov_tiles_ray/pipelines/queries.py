@@ -9432,6 +9432,100 @@ def q_order_line_join_native(sf_dir: str):
     )
 
 
+
+# ---------------------------------------------------------------------------
+# trailing_spend — RANGE-frame (time-interval) window aggregate
+# ---------------------------------------------------------------------------
+
+_TRAIL_DAYS = 30
+
+
+def q_trailing_spend(sf_dir: str):
+    """Time-RANGE window aggregate (the frame family moving_avg_spend's
+    ROWS frame does not cover): for every order, the customer's total
+    spend over the trailing 30 days INCLUSIVE of all same-day peers —
+    exactly SQL's RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT
+    ROW semantics, which are tie-order independent by construction.
+
+    Scale shape: ONE customer-hash part-exchange; per part a lexsort +
+    per-customer prefix-sum array answers every row with two
+    searchsorteds (window = P[hi(day, right)] - P[lo(day-30, left)]) —
+    no per-row loop, exact integer cents."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    n_parts = int(max(8, min(4096, ds.count() // 100_000 + 1)))
+
+    def prep(b: pa.Table) -> pa.Table:
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "cust": b["o_custkey"],
+                "day": pa.array(
+                    b["o_orderdate"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype("datetime64[D]")
+                    .astype(np.int64)
+                ),
+                "cents": pa.array(
+                    np.floor(
+                        b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+                    ).astype(np.int64)
+                ),
+                "part": pa.array(
+                    (synth._splitmix64(ck.astype(np.uint64)) % np.uint64(n_parts)).astype(np.int64)
+                ),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "o_orderkey": pa.array([], pa.int64()),
+            "trailing_cents": pa.array([], pa.int64()),
+        }
+    )
+
+    def window(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        cust = t["cust"].to_numpy(zero_copy_only=False)
+        day = t["day"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((day, cust))
+        cust, day, cents, ok = cust[o], day[o], cents[o], ok[o]
+        P = np.r_[0, np.cumsum(cents)]
+        # global (no per-customer loop): pack (cust, day) into one sorted
+        # key — epoch days < 2^20, so customer blocks never interleave and
+        # day-30 can't cross into the previous customer's key range
+        key = cust * np.int64(1 << 20) + day
+        lo = np.searchsorted(key, key - np.int64(_TRAIL_DAYS), side="left")
+        hi = np.searchsorted(key, key, side="right")
+        trail = P[hi] - P[lo]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok.astype(np.int64)),
+                "trailing_cents": pa.array(trail.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(window, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+
+
+def _sql_trailing_spend() -> str:
+    return f"""
+    SELECT o_orderkey,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) OVER (
+                PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+                RANGE BETWEEN INTERVAL {_TRAIL_DAYS} DAYS PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS trailing_cents
+    FROM orders
+    """
+
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -9552,6 +9646,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "tile_skew_profile": (q_tile_skew_profile, _sql_tile_skew_profile()),
     "geo_serving_prep": (q_geo_serving_prep, _sql_geo_serving_prep()),
     "order_line_join_native": (q_order_line_join_native, _sql_order_line_join()),
+    "trailing_spend": (q_trailing_spend, _sql_trailing_spend()),
     "embedding_label_stats": (q_embedding_label_centroid_norms, _sql_embedding_label()),
 }
 
