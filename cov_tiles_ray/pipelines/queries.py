@@ -6773,12 +6773,29 @@ _DECON_W = 4  # shorter window than dup_ngram_spans: contamination screens
 # produces cross-subset overlaps at W=4 — the pipeline shape is W-agnostic
 
 
+def _bench_window_hashes(df: pd.DataFrame, W: int, mod: int) -> pa.Table:
+    """Per-batch distinct md5 window-hash set of the BENCHMARK docs
+    (doc_id % mod == 0) — the shared pass-0 of q_decontaminate and
+    q_llm_data_prep, so the contamination-window definition lives in
+    exactly one place (the Karp-Rabin scale swap would land here too)."""
+    dids = df["doc_id"].to_numpy(np.int64)
+    texts = df["text"].astype(str).to_numpy()[dids % mod == 0]
+    hs = []
+    for txt in texts:
+        toks = txt.split(" ")
+        if len(toks) >= W:
+            hs.append(_md5_window_hashes(toks, W))
+    u = np.unique(np.concatenate(hs)) if hs else np.empty(0, np.int64)
+    return pa.table({"h": pa.array(u)})
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination screen (the GPT-3 appendix-C / Pile
     n-gram-overlap pass): flag every training document that shares at
     least one W-token window with a held-out benchmark set, with its
-    overlapping-window count.  Here docs with doc_id % 97 == 0 stand in
-    for the benchmark; in production the benchmark side is a separate
+    overlapping-window count.  Here docs with doc_id % _DECON_MOD == 0
+    (MOD=7, chosen so the synthetic corpus produces cross-subset
+    overlaps) stand in for the benchmark; in production it is a separate
     tiny table (test sets), which is exactly why this op broadcasts.
 
     Scale shape: benchmark windows are hashed WHERE READ (window text
@@ -6794,15 +6811,7 @@ def q_decontaminate(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def bench_hashes(df: pd.DataFrame) -> pa.Table:
-        dids = df["doc_id"].to_numpy(np.int64)
-        texts = df["text"].astype(str).to_numpy()[dids % _DECON_MOD == 0]
-        hs = []
-        for txt in texts:
-            toks = txt.split(" ")
-            if len(toks) >= W:
-                hs.append(_md5_window_hashes(toks, W))
-        u = np.unique(np.concatenate(hs)) if hs else np.empty(0, np.int64)
-        return pa.table({"h": pa.array(u)})
+        return _bench_window_hashes(df, W, _DECON_MOD)
 
     parts = docs.map_batches(bench_hashes, batch_format="pandas").to_pandas()
     bset = np.unique(parts["h"].to_numpy(np.int64))
@@ -7101,47 +7110,51 @@ def q_chi2_terms(sf_dir: str):
         s = s[s["tok"].notna() & (s["tok"] != "")].drop_duplicates()
         vc = s.groupby(["tok", "lang"], sort=False).size()
         ix = vc.index
+        # ONE tagged scan (the bigram_logprob fusion pattern): rows with
+        # the sentinel tok "" (filtered out of real tokens above) carry
+        # the per-language doc counts, so no second documents read runs
+        lc = df["lang"].value_counts()
         return pa.table(
             {
-                "tok": pa.array(ix.get_level_values(0).to_numpy(object), pa.string()),
-                "lang": pa.array(ix.get_level_values(1).to_numpy(object), pa.string()),
-                "n": pa.array(vc.to_numpy(np.int64)),
+                "tok": pa.array(
+                    np.r_[
+                        ix.get_level_values(0).to_numpy(object),
+                        np.full(len(lc), "", object),
+                    ],
+                    pa.string(),
+                ),
+                "lang": pa.array(
+                    np.r_[
+                        ix.get_level_values(1).to_numpy(object),
+                        lc.index.to_numpy(object),
+                    ],
+                    pa.string(),
+                ),
+                "n": pa.array(np.r_[vc.to_numpy(np.int64), lc.to_numpy(np.int64)]),
             }
         )
 
-    tl = (
+    agg = (
         ds.map_batches(partial, batch_format="pandas")
         .groupby(["tok", "lang"])
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
     )
-
-    def lang_partial(df: pd.DataFrame) -> pa.Table:
-        vc = df["lang"].value_counts()
-        return pa.table(
-            {
-                "lang": pa.array(vc.index.to_numpy(object), pa.string()),
-                "nd": pa.array(vc.to_numpy(np.int64)),
-            }
-        )
-
-    ld = (
-        _read(sf_dir, "documents", ["lang"])
-        .map_batches(lang_partial, batch_format="pandas")
-        .groupby("lang")
-        .aggregate(Sum("nd", alias_name="nd"))
-        .to_pandas()
-    )
+    ld = agg[agg["tok"] == ""]
+    tl = agg[agg["tok"] != ""]
     langs = sorted(ld["lang"].astype(str))
-    nd = dict(zip(ld["lang"].astype(str), ld["nd"].to_numpy(np.int64)))
+    nd = dict(zip(ld["lang"].astype(str), ld["n"].to_numpy(np.int64)))
     n_total = int(sum(nd.values()))
 
     dfc = tl.groupby("tok")["n"].sum().sort_values(ascending=False)
     # (df desc, tok asc) deterministic top-N
     dfc = dfc.reset_index().sort_values(["n", "tok"], ascending=[False, True])
     top = list(dfc["tok"].astype(str).head(_CHI2_TOPN))
+    top_set = set(top)
     cell = {
-        (str(r.tok), str(r.lang)): int(r.n) for r in tl.itertuples() if str(r.tok) in set(top)
+        (str(r.tok), str(r.lang)): int(r.n)
+        for r in tl.itertuples()
+        if str(r.tok) in top_set
     }
     df_tok = dict(zip(dfc["tok"].astype(str), dfc["n"].to_numpy(np.int64)))
 
@@ -7693,7 +7706,20 @@ def q_tile_downsample(sf_dir: str):
     ds = _events_points(sf_dir)
     n_parts = 32
 
+    _empty_cand = pa.table(
+        {
+            "tile_id": pa.array([], pa.int64()),
+            "h": pa.array([], pa.uint64()),
+            "eid": pa.array([], pa.int64()),
+            "c": pa.array([], pa.int64()),
+            "kind": pa.array([], pa.int64()),
+            "part": pa.array([], pa.int64()),
+        }
+    )
+
     def combine(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _empty_cand
         eid = b["event_id"].to_numpy(zero_copy_only=False)
         lon = b["lon"].to_numpy(zero_copy_only=False)
         lat = b["lat"].to_numpy(zero_copy_only=False)
@@ -7832,6 +7858,8 @@ def q_embedding_sq8(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def batch_max(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"m": pa.array([0.0])})
         flat = np.abs(
             np.concatenate(b["embedding"].to_pandas().to_numpy()).astype(np.float64)
         )
@@ -7841,7 +7869,17 @@ def q_embedding_sq8(sf_dir: str):
         ds.map_batches(batch_max, batch_format="pyarrow", zero_copy_batch=True).max("m")
     )
 
+    _empty_q = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "dim": pa.array([], pa.int64()),
+            "sq_err_q": pa.array([], pa.int64()),
+        }
+    )
+
     def quantize(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _empty_q
         vid = b["vec_id"].to_numpy(zero_copy_only=False)
         embs = b["embedding"].to_pandas().to_numpy()
         dims = np.fromiter((len(e) for e in embs), np.int64, len(embs))
@@ -7998,15 +8036,7 @@ def q_llm_data_prep(sf_dir: str):
 
     # pass 0: benchmark window hash set (bounded by benchmark size)
     def bench_hashes(df: pd.DataFrame) -> pa.Table:
-        dids = df["doc_id"].to_numpy(np.int64)
-        texts = df["text"].astype(str).to_numpy()[dids % MOD == 0]
-        hs = []
-        for txt in texts:
-            toks = txt.split(" ")
-            if len(toks) >= W:
-                hs.append(_md5_window_hashes(toks, W))
-        u = np.unique(np.concatenate(hs)) if hs else np.empty(0, np.int64)
-        return pa.table({"h": pa.array(u)})
+        return _bench_window_hashes(df, W, MOD)
 
     bset = np.unique(
         docs.map_batches(bench_hashes, batch_format="pandas").to_pandas()["h"].to_numpy(np.int64)
@@ -8029,7 +8059,9 @@ def q_llm_data_prep(sf_dir: str):
             if did % MOD == 0 or pm >= _SPLIT_TRAIN:
                 continue
             toks_raw = txt.split(" ")
-            n_tokens = sum(1 for t in txt.lower().split(" ") if t)
+            # lower() cannot change space-split token boundaries, so the
+            # raw split serves both the windows and the token count
+            n_tokens = sum(1 for t in toks_raw if t)
             if n_tokens < _PREP_MIN_TOKENS or len(txt) > n_tokens * 9:
                 continue
             wh = _md5_window_hashes(toks_raw, W)
@@ -9074,7 +9106,19 @@ def q_embedding_norm_stats(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", ["label", "embedding"])
 
+    _empty_ns = pa.table(
+        {
+            "label": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "sum_nq": pa.array([], pa.int64()),
+            "min_nq": pa.array([], pa.int64()),
+            "max_nq": pa.array([], pa.int64()),
+        }
+    )
+
     def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _empty_ns
         lab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
         embs = b["embedding"].to_pandas().to_numpy()
         dims = np.fromiter((len(e) for e in embs), np.int64, len(embs))
@@ -9227,7 +9271,9 @@ def q_geo_serving_prep(sf_dir: str):
     combiner all run in the SAME map over the pruned event read (rows
     outside every region die before any shuffle); ONE tile-hash
     part-exchange ships <= K+1 rows per (tile, batch); regions are
-    lon-disjoint rectangles so each point has at most one region."""
+    lon-disjoint rectangles so each point has at most one region.
+    The bottom-K machinery intentionally mirrors q_tile_downsample with
+    a (region, tile) compound run key — keep the two in sync."""
     ds = _events_points(sf_dir)
     n_parts = 32
     boxes = _region_boxes()
@@ -9236,6 +9282,18 @@ def q_geo_serving_prep(sf_dir: str):
     lat0 = boxes["lat0"].to_numpy()
     lat1 = boxes["lat1"].to_numpy()
     rkey = boxes["r_regionkey"].to_numpy(np.int64)
+
+    _empty_gsp = pa.table(
+        {
+            "tile_id": pa.array([], pa.int64()),
+            "region": pa.array([], pa.int64()),
+            "h": pa.array([], pa.uint64()),
+            "eid": pa.array([], pa.int64()),
+            "c": pa.array([], pa.int64()),
+            "kind": pa.array([], pa.int64()),
+            "part": pa.array([], pa.int64()),
+        }
+    )
 
     def combine(b: pa.Table) -> pa.Table:
         eid = b["event_id"].to_numpy(zero_copy_only=False)
@@ -9250,6 +9308,8 @@ def q_geo_serving_prep(sf_dir: str):
         hit = inside.any(axis=1)
         reg = rkey[np.argmax(inside, axis=1)][hit]
         eid, lon, lat = eid[hit], lon[hit], lat[hit]
+        if len(eid) == 0:  # a batch wholly outside every region
+            return _empty_gsp
         tx, ty = S.lonlat_to_tile(lon, lat, _GSP_Z)
         tid = S.pack_tile_id(_GSP_Z, tx, ty)
         h = synth._splitmix64(eid.astype(np.uint64))
