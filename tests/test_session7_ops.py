@@ -243,3 +243,46 @@ def test_tiles_delta_matches_independent_recompute(ray_session):
         assert r.n_a == a[r.tile_id]
         assert r.n_b == b.get(r.tile_id, 0)
         assert r.n_removed == r.n_a - r.n_b
+
+
+def test_douglas_peucker_properties(ray_session):
+    """DP invariants on random polylines: endpoints always kept; eps=inf
+    keeps exactly the endpoints; and the kept set is MONOTONE in eps
+    (the split point is argmax of a geometry-only distance, so a larger
+    eps's recursion tree is a subtree of a smaller eps's)."""
+    from cov_tiles_ray.functions.spatial import douglas_peucker_mask
+
+    rng = np.random.default_rng(7)
+    for n in (2, 3, 5, 17, 64, 257):
+        x = rng.uniform(0, 1, n)
+        y = rng.uniform(0, 1, n)
+        prev_kept = None
+        for eps in (1e9, 0.5, 0.1, 0.02, 0.0):
+            keep = douglas_peucker_mask(x, y, eps)
+            assert keep[0] and keep[-1]
+            if eps == 1e9 and n >= 2:
+                assert keep.sum() == (1 if n == 1 else 2)
+            if prev_kept is not None:
+                # smaller eps keeps a superset
+                assert (keep | prev_kept == keep).all(), (n, eps)
+            prev_kept = keep
+        # eps=0 keeps every point not exactly collinear with neighbors;
+        # on continuous random data that is all points
+        assert douglas_peucker_mask(x, y, 0.0).sum() == n
+
+
+def test_bottom_k_merge_associativity(ray_session):
+    """The tile_downsample combiner's premise: bottom-K of a union equals
+    bottom-K of merged per-part bottom-K's (splitmix keys are unique, so
+    no tie ambiguity)."""
+    from cov_tiles_ray.sources import synth
+
+    K = 20
+    rng = np.random.default_rng(11)
+    ids = rng.choice(10_000_000, size=5000, replace=False).astype(np.uint64)
+    h = synth._splitmix64(ids)
+    want = np.sort(h)[:K]
+    parts = np.array_split(h, 7)
+    partial = np.concatenate([np.sort(p)[:K] for p in parts])
+    got = np.sort(partial)[:K]
+    assert (got == want).all()
