@@ -9581,6 +9581,94 @@ def _sql_trailing_spend() -> str:
     """
 
 
+
+# ---------------------------------------------------------------------------
+# segment_cume_dist — integer-exact cumulative distribution per group
+# ---------------------------------------------------------------------------
+
+
+def q_segment_cume_dist(sf_dir: str):
+    """Cumulative-distribution window (CUME_DIST) per market segment,
+    kept INTEGER-exact: for every customer, r_le = the number of
+    same-segment customers with balance <= theirs (tie-inclusive — the
+    numerator of cume_dist) and n = the segment size, so the float
+    cume_dist never materializes and the comparison is bit-free.
+
+    Scale shape: one segment-hash part-exchange (segments are few but a
+    part holds whole segments, so each resolves with one sort + one
+    searchsorted over its own balance array — no per-row window scan)."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
+    n_parts = 8
+
+    def prep(b: pa.Table) -> pa.Table:
+        seg = np.asarray(b["c_mktsegment"].to_pylist(), object)
+        h = synth._splitmix64(pd.util.hash_array(seg).astype(np.uint64))
+        return pa.table(
+            {
+                "c_custkey": b["c_custkey"],
+                "seg": pa.array(seg, pa.string()),
+                "cents": pa.array(
+                    np.floor(b["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0).astype(
+                        np.int64
+                    )
+                ),
+                "part": pa.array((h % np.uint64(n_parts)).astype(np.int64)),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "c_custkey": pa.array([], pa.int64()),
+            "r_le": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def cume(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        seg = np.asarray(t["seg"].to_pylist(), object)
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((cents, seg))
+        seg_s, ck_s, c_s = seg[o], ck[o], cents[o]
+        new = np.r_[True, seg_s[1:] != seg_s[:-1]]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(seg_s)]
+        sg = np.cumsum(new) - 1
+        n = (ends - starts)[sg]
+        # r_le = tie-inclusive rank: index of the last equal value + 1,
+        # relative to the segment start
+        r_le = np.empty(len(ck_s), np.int64)
+        for s0, s1 in zip(starts, ends):
+            v = c_s[s0:s1]
+            r_le[s0:s1] = np.searchsorted(v, v, side="right")
+        return pa.table(
+            {
+                "c_custkey": pa.array(ck_s.astype(np.int64)),
+                "r_le": pa.array(r_le),
+                "n": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(cume, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+
+
+def _sql_segment_cume_dist() -> str:
+    return """
+    SELECT c_custkey,
+           CAST(count(*) OVER (PARTITION BY c_mktsegment
+                ORDER BY CAST(floor(c_acctbal * 100.0) AS BIGINT)
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS r_le,
+           CAST(count(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n
+    FROM customer
+    """
+
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -9702,6 +9790,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "geo_serving_prep": (q_geo_serving_prep, _sql_geo_serving_prep()),
     "order_line_join_native": (q_order_line_join_native, _sql_order_line_join()),
     "trailing_spend": (q_trailing_spend, _sql_trailing_spend()),
+    "segment_cume_dist": (q_segment_cume_dist, _sql_segment_cume_dist()),
     "embedding_label_stats": (q_embedding_label_centroid_norms, _sql_embedding_label()),
 }
 
