@@ -9669,6 +9669,98 @@ def _sql_segment_cume_dist() -> str:
     """
 
 
+
+# ---------------------------------------------------------------------------
+# topk_orders_with_ties — RANK-semantics (tie-inclusive) per-group top-k
+# ---------------------------------------------------------------------------
+
+_TOPK_TIES_K = 3
+
+
+def q_topk_orders_with_ties(sf_dir: str):
+    """Per-customer top-k WITH TIES (RANK, not ROW_NUMBER — the other
+    top-k cardinality semantics: every order tied at the k-th price is
+    kept, so group output size can exceed k).  Prices are integer cents,
+    so ties are exact on both engines.
+
+    Scale shape: one customer-hash part-exchange; per part a lexsort
+    (cust, -cents) + vectorized tie-run rank (rank = tie-run start
+    relative to the customer run + 1) — no per-customer loop."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    n_parts = int(max(8, min(4096, ds.count() // 100_000 + 1)))
+
+    def prep(b: pa.Table) -> pa.Table:
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "cust": b["o_custkey"],
+                "cents": pa.array(
+                    np.floor(
+                        b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+                    ).astype(np.int64)
+                ),
+                "part": pa.array(
+                    (synth._splitmix64(ck.astype(np.uint64)) % np.uint64(n_parts)).astype(np.int64)
+                ),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "o_custkey": pa.array([], pa.int64()),
+            "o_orderkey": pa.array([], pa.int64()),
+            "cents": pa.array([], pa.int64()),
+            "rnk": pa.array([], pa.int64()),
+        }
+    )
+
+    def topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        cust = t["cust"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((-cents, cust))
+        cust, cents, ok = cust[o], cents[o], ok[o]
+        new_cust = np.r_[True, cust[1:] != cust[:-1]]
+        starts = np.flatnonzero(new_cust)
+        sg = np.cumsum(new_cust) - 1
+        tie_new = new_cust | np.r_[True, cents[1:] != cents[:-1]]
+        idx = np.arange(len(cust))
+        tie_start = np.maximum.accumulate(np.where(tie_new, idx, 0))
+        rnk = tie_start - starts[sg] + 1
+        keep = rnk <= _TOPK_TIES_K
+        return pa.table(
+            {
+                "o_custkey": pa.array(cust[keep].astype(np.int64)),
+                "o_orderkey": pa.array(ok[keep].astype(np.int64)),
+                "cents": pa.array(cents[keep]),
+                "rnk": pa.array(rnk[keep].astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(topk, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+
+
+def _sql_topk_orders_with_ties() -> str:
+    return f"""
+    WITH r AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents,
+             RANK() OVER (PARTITION BY o_custkey
+                          ORDER BY CAST(floor(o_totalprice * 100.0) AS BIGINT) DESC) AS rnk
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, cents, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= {_TOPK_TIES_K}
+    """
+
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -9791,6 +9883,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "order_line_join_native": (q_order_line_join_native, _sql_order_line_join()),
     "trailing_spend": (q_trailing_spend, _sql_trailing_spend()),
     "segment_cume_dist": (q_segment_cume_dist, _sql_segment_cume_dist()),
+    "topk_orders_with_ties": (q_topk_orders_with_ties, _sql_topk_orders_with_ties()),
     "embedding_label_stats": (q_embedding_label_centroid_norms, _sql_embedding_label()),
 }
 
