@@ -9761,6 +9761,91 @@ def _sql_topk_orders_with_ties() -> str:
     """
 
 
+
+# ---------------------------------------------------------------------------
+# orders_daily_dense — calendar densification (gap-filled time series)
+# ---------------------------------------------------------------------------
+
+
+def q_orders_daily_dense(sf_dir: str):
+    """Gap-filled DAILY revenue series (calendar densification — the
+    time-series-completeness op dashboards need): one row for EVERY day
+    between the corpus min and max order date, zero-filled where no
+    orders landed (1,311 of 2,405 days are gaps at sf0.001, 6 at
+    sf0.01 — the fill path is exercised at both driver-test scales).
+
+    Scale shape: the corpus-sized work is one day-keyed combiner'd
+    groupby (epoch days = pure integer math); the dense axis is
+    generated on the driver from the min/max of the aggregate — bounded
+    by the calendar span, not the data."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = (
+            b["o_orderdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        cents = np.floor(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        u, inv = np.unique(d, return_inverse=True)
+        n = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        rc = np.zeros(len(u), np.int64)
+        np.add.at(rc, inv, cents)
+        return pa.table(
+            {
+                "day": pa.array(u),
+                "n": pa.array(n),
+                "rev_cents": pa.array(rc),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n"), Sum("rev_cents", alias_name="rev_cents"))
+        .to_pandas()
+        .sort_values("day", ignore_index=True)
+    )
+    days = agg["day"].to_numpy(np.int64)
+    dense = np.arange(days.min(), days.max() + 1)
+    ix = np.minimum(np.searchsorted(days, dense), len(days) - 1)
+    found = days[ix] == dense
+    n = np.where(found, agg["n"].to_numpy(np.int64)[ix], 0)
+    rc = np.where(found, agg["rev_cents"].to_numpy(np.int64)[ix], 0)
+    return pa.table(
+        {
+            "epoch_day": pa.array(dense.astype(np.int64)),
+            "n": pa.array(n.astype(np.int64)),
+            "rev_cents": pa.array(rc.astype(np.int64)),
+        }
+    )
+
+
+def _sql_orders_daily_dense() -> str:
+    return """
+    WITH d AS (
+      SELECT CAST(epoch_ms(CAST(o_orderdate AS DATE)) // 86400000 AS BIGINT) AS day,
+             CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents
+      FROM orders
+    ), agg AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS n, SUM(cents) AS rev_cents
+      FROM d GROUP BY day
+    ), bounds AS (
+      SELECT MIN(day) AS lo, MAX(day) AS hi FROM agg
+    ), dense AS (
+      SELECT unnest(generate_series(lo, hi)) AS day FROM bounds
+    )
+    SELECT CAST(dense.day AS BIGINT) AS epoch_day,
+           CAST(COALESCE(agg.n, 0) AS BIGINT) AS n,
+           CAST(COALESCE(agg.rev_cents, 0) AS BIGINT) AS rev_cents
+    FROM dense LEFT JOIN agg USING (day)
+    """
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -9884,6 +9969,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "trailing_spend": (q_trailing_spend, _sql_trailing_spend()),
     "segment_cume_dist": (q_segment_cume_dist, _sql_segment_cume_dist()),
     "topk_orders_with_ties": (q_topk_orders_with_ties, _sql_topk_orders_with_ties()),
+    "orders_daily_dense": (q_orders_daily_dense, _sql_orders_daily_dense()),
     "embedding_label_stats": (q_embedding_label_centroid_norms, _sql_embedding_label()),
 }
 
