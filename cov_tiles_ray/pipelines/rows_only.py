@@ -1000,7 +1000,7 @@ def q_phash_neardup(sf_dir: str):
     ds = tiling.read_images(sf_dir, columns=["image_id", "phash"])
     n_rows = ds.count()  # parquet metadata, no read
 
-    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+    def sketch(df: pd.DataFrame) -> pa.Table:
         fp = df["phash"].to_numpy(np.int64).view(np.uint64)
         n = len(df)
         band = np.tile(np.arange(SIMHASH_BANDS, dtype=np.int64), n)
@@ -1008,12 +1008,17 @@ def q_phash_neardup(sf_dir: str):
         key = (
             (fps >> (band.astype(np.uint64) * np.uint64(16))) & np.uint64(0xFFFF)
         ).astype(np.int64)
-        return pd.DataFrame(
+        # arrow out: pandas-origin blocks put the band shuffle on the
+        # ~10x slower sort path (the session-4 finding)
+        return pa.table(
             {
-                "band": band,
-                "key": key,
-                "image_id": np.repeat(df["image_id"].to_numpy(object), SIMHASH_BANDS),
-                "fp": fps.view(np.int64),
+                "band": pa.array(band),
+                "key": pa.array(key),
+                "image_id": pa.array(
+                    np.repeat(df["image_id"].to_numpy(object), SIMHASH_BANDS),
+                    pa.string(),
+                ),
+                "fp": pa.array(fps.view(np.int64)),
             }
         )
 
