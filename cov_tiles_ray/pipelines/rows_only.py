@@ -129,15 +129,16 @@ def _lsh_candidates(ds, num_perm: int = 64, bands: int = 16):
     signature stays out of it); bucket size is capped at MAX_LSH_BUCKET
     with deterministic lowest-id retention."""
 
-    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+    def sketch(df: pd.DataFrame) -> pa.Table:
         sig = dedup_f.minhash_signatures(df["text"], num_perm=num_perm)
         keys = dedup_f.lsh_band_keys(sig, num_bands=bands)
         n = len(df)
-        return pd.DataFrame(
+        # arrow out: keeps the part-exchange sort off the pandas slow path
+        return pa.table(
             {
-                "doc_id": np.repeat(df["doc_id"].to_numpy(), bands),
-                "band": np.tile(np.arange(bands, dtype=np.int64), n),
-                "key": keys.reshape(-1),
+                "doc_id": pa.array(np.repeat(df["doc_id"].to_numpy(np.int64), bands)),
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int64), n)),
+                "key": pa.array(keys.reshape(-1).astype(np.int64)),
             }
         )
 
@@ -852,7 +853,7 @@ def q_simhash_neardup(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     n_rows = ds.count()  # parquet metadata, no read
 
-    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+    def sketch(df: pd.DataFrame) -> pa.Table:
         fp = dedup_f.simhash(df["text"])  # uint64
         n = len(df)
         band = np.tile(np.arange(SIMHASH_BANDS, dtype=np.int64), n)
@@ -860,12 +861,13 @@ def q_simhash_neardup(sf_dir: str):
         key = ((fps >> (band.astype(np.uint64) * np.uint64(16))) & np.uint64(0xFFFF)).astype(
             np.int64
         )
-        return pd.DataFrame(
+        # arrow out: keeps the band part-exchange off the pandas sort path
+        return pa.table(
             {
-                "band": band,
-                "key": key,
-                "doc_id": np.repeat(df["doc_id"].to_numpy(np.int64), SIMHASH_BANDS),
-                "fp": fps.view(np.int64),
+                "band": pa.array(band),
+                "key": pa.array(key),
+                "doc_id": pa.array(np.repeat(df["doc_id"].to_numpy(np.int64), SIMHASH_BANDS)),
+                "fp": pa.array(fps.view(np.int64)),
             }
         )
 
@@ -1055,23 +1057,24 @@ def q_embedding_neardup_lsh(sf_dir: str):
         for t in range(NEARDUP_LSH_TABLES)
     ]
 
-    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def bucket(df: pd.DataFrame) -> pa.Table:
         vecs = np.stack(df["embedding"].to_numpy()).astype(np.float64)
         ids = df["vec_id"].to_numpy(np.int64)
-        outs = []
+        bands, keys, dids = [], [], []
         for t in range(NEARDUP_LSH_TABLES):
-            outs.append(
-                pd.DataFrame(
-                    {
-                        # table index maps onto the shared pairing engine's
-                        # (band, key) bucket schema
-                        "band": np.full(len(ids), t, dtype=np.int64),
-                        "key": ann_f.hyperplane_bucket(vecs, planes[t]),
-                        "doc_id": ids,
-                    }
-                )
-            )
-        return pd.concat(outs, ignore_index=True)
+            # table index maps onto the shared pairing engine's
+            # (band, key) bucket schema
+            bands.append(np.full(len(ids), t, dtype=np.int64))
+            keys.append(ann_f.hyperplane_bucket(vecs, planes[t]).astype(np.int64))
+            dids.append(ids)
+        # arrow out: keeps the part-exchange sort off the pandas slow path
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(bands)),
+                "key": pa.array(np.concatenate(keys)),
+                "doc_id": pa.array(np.concatenate(dids)),
+            }
+        )
 
     cand = _part_candidate_pairs(
         ds.map_batches(bucket, batch_format="pandas"),
