@@ -2284,6 +2284,38 @@ def q_tiles_delta(sf_dir: str):
     )
 
 
+
+def q_doc_compress_ratio(sf_dir: str):
+    """Compression-ratio quality signal (the zlib/zstd-entropy filter of
+    data-pruning pipelines: highly compressible text is repetitive
+    boilerplate, incompressible text is noise — both tails get dropped):
+    per doc, the zlib-level-6 compressed size and the ratio bucket
+    (ratio*100 floored, pure integers).
+
+    Map-only (no shuffle); zlib is deterministic for a fixed level and
+    strategy, so the output is engine-independent.  Rows-only: DuckDB
+    has no zlib surface — pytest recomputes every row independently
+    (tests/test_session7_ops.py)."""
+    import zlib
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+    def score(df: pd.DataFrame) -> pa.Table:
+        raw = [t.encode() for t in df["text"].astype(str)]
+        comp = np.fromiter((len(zlib.compress(r, 6)) for r in raw), np.int64, len(raw))
+        n = np.fromiter((len(r) for r in raw), np.int64, len(raw))
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+                "n_bytes": pa.array(n),
+                "comp_bytes": pa.array(comp),
+                "ratio_x100": pa.array(comp * 100 // np.maximum(n, 1)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 # simhash_docs / langid_detect / quality_scores / doc_fingerprints moved to
 # the SQL-oracle registry (pipelines.queries.SQL_QUERIES, VERDICT r1 #4).
 ROWS_ONLY_QUERIES = {
@@ -2319,4 +2351,5 @@ ROWS_ONLY_QUERIES = {
     "bpe_merges": q_bpe_merges,
     "trajectory_simplify": q_trajectory_simplify,
     "tiles_delta": q_tiles_delta,
+    "doc_compress_ratio": q_doc_compress_ratio,
 }

@@ -286,3 +286,26 @@ def test_bottom_k_merge_associativity(ray_session):
     partial = np.concatenate([np.sort(p)[:K] for p in parts])
     got = np.sort(partial)[:K]
     assert (got == want).all()
+
+
+def test_doc_compress_ratio_matches_direct_recompute(ray_session):
+    import zlib
+
+    from cov_tiles_ray.pipelines.rows_only import q_doc_compress_ratio
+
+    got = (
+        q_doc_compress_ratio(SF_DIR).to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    t = t.sort_values("doc_id", ignore_index=True)
+    assert len(got) == len(t)
+    for r, (did, txt) in zip(got.itertuples(index=False), zip(t["doc_id"], t["text"])):
+        raw = str(txt).encode()
+        comp = len(zlib.compress(raw, 6))
+        assert r.doc_id == did
+        assert r.n_bytes == len(raw)
+        assert r.comp_bytes == comp
+        assert r.ratio_x100 == comp * 100 // max(len(raw), 1)
+    # quality signal sanity: synthetic word soup compresses well in the
+    # typical case (tiny docs can exceed 100 from fixed zlib overhead)
+    assert int(got["ratio_x100"].median()) < 100
