@@ -7029,6 +7029,17 @@ def q_zipf_fit(sf_dir: str):
     top = top.sort_values(["sum(n)", "tok"], ascending=[False, True]).head(_ZIPF_TOPN)
     cnt = top["sum(n)"].to_numpy(np.int64)
     k = len(cnt)
+    if k < 2:
+        # degenerate corpus (<2 vocabulary terms): the LS denominator
+        # k*sxx - sx^2 is 0, so return a defined sentinel row instead of
+        # dividing — mirrored by the CASE in the oracle SQL.
+        return pa.table(
+            {
+                "n_terms": pa.array([k], pa.int64()),
+                "slope_x1e6": pa.array([0], pa.int64()),
+                "intercept_x1e6": pa.array([0], pa.int64()),
+            }
+        )
     xs = [math.floor(math.log(r) * 1e6) for r in range(1, k + 1)]
     ys = [math.floor(math.log(int(c)) * 1e6) for c in cnt]
     sx, sy = sum(xs), sum(ys)
@@ -7070,8 +7081,10 @@ def _sql_zipf_fit() -> str:
       FROM q
     )
     SELECT CAST(k AS BIGINT) AS n_terms,
-           CAST(floor({slope} * 1000000.0) AS BIGINT) AS slope_x1e6,
-           CAST(floor((CAST(sy AS DOUBLE) - {slope} * CAST(sx AS DOUBLE)) / CAST(k AS DOUBLE)) AS BIGINT) AS intercept_x1e6
+           CASE WHEN k < 2 THEN 0
+                ELSE CAST(floor({slope} * 1000000.0) AS BIGINT) END AS slope_x1e6,
+           CASE WHEN k < 2 THEN 0
+                ELSE CAST(floor((CAST(sy AS DOUBLE) - {slope} * CAST(sx AS DOUBLE)) / CAST(k AS DOUBLE)) AS BIGINT) END AS intercept_x1e6
     FROM s
     """
 
@@ -7795,8 +7808,16 @@ def q_tile_downsample(sf_dir: str):
         np.add.at(n_kept, seg[kept], 1)
         ksum = np.zeros(len(starts), np.int64)
         np.add.at(ksum, seg[kept], eid_c[kept])
-        # candidate tiles == counted tiles (every tile emits both kinds)
-        assert len(starts) == len(cnt_t)
+        # candidate tiles == counted tiles (every tile emits both kinds);
+        # raise (not assert — stripped under -O) with tile context if the
+        # one-block-per-part sort invariant is ever violated
+        if len(starts) != len(cnt_t):
+            raise ValueError(
+                "tile_downsample resolve: candidate tiles != counted tiles "
+                f"({len(starts)} vs {len(cnt_t)}) — the sort-by-part stage "
+                "delivered a part split across blocks; first candidate tiles "
+                f"{tid_c[starts[:5]].tolist()}, first counted {cnt_t[:5].tolist()}"
+            )
         return pa.table(
             {
                 "tile_id": pa.array(cnt_t),
@@ -8991,14 +9012,17 @@ def q_price_trend_by_flag(sf_dir: str):
     corr_moments): for each return flag, the slope of price (cents) over
     ship date (epoch days), plus the exact count.
 
-    Exactness: the five regression moments are EXACT integer sums from
-    per-batch combiners (x = epoch day ~2e4, y = cents; x*y partials stay
-    far inside int64 at any per-batch size, and the final sums are
-    re-summed in Python bigints so corpus scale cannot overflow); the
-    slope is one fixed-arity IEEE expression over exactly-converted
-    doubles, floor(slope*1e6)-quantized, HUGEINT-mirrored.
+    Exactness: the five regression moments are EXACT integer sums at any
+    corpus scale — per-batch moments are int64-safe (x = epoch day ~2e4,
+    y = cents; x*y ~ 1e11/row x bounded batch rows), and the wide sy/sxx/
+    sxy partials are SPLIT hi/lo (hi = m >> 31, lo = m & (2^31-1)) before
+    the cross-batch Sum so each summed column stays far inside int64 even
+    at 100-TB lineitem scale; the driver recombines hi*2^31+lo in Python
+    bigints, mirroring the oracle's HUGEINT sums. The slope is one
+    fixed-arity IEEE expression over exactly-converted doubles,
+    floor(slope*1e6)-quantized.
 
-    Scale shape: one |flags|-bounded groupby of 6 combiner columns."""
+    Scale shape: one |flags|-bounded groupby of 9 combiner columns."""
     import math
 
     from ray.data.aggregate import Sum
@@ -9020,16 +9044,19 @@ def q_price_trend_by_flag(sf_dir: str):
             {"flag": flag, "n": 1, "sx": x, "sy": y, "sxx": x * x, "sxy": x * y}
         )
         g = df.groupby("flag", sort=False).sum()
-        return pa.table(
-            {
-                "flag": pa.array(g.index.to_numpy(object), pa.string()),
-                "n": pa.array(g["n"].to_numpy(np.int64)),
-                "sx": pa.array(g["sx"].to_numpy(np.int64)),
-                "sy": pa.array(g["sy"].to_numpy(np.int64)),
-                "sxx": pa.array(g["sxx"].to_numpy(np.int64)),
-                "sxy": pa.array(g["sxy"].to_numpy(np.int64)),
-            }
-        )
+        # hi/lo split of the wide moments: per-batch values fit int64, but
+        # cross-batch Sum of sxy (~1e11/row) would overflow int64 around
+        # sf~20 lineitem scale — hi counts 2^31 units, lo < 2^31, each sum
+        # stays < 2^63 out to >>100-TB scale; recombined exactly below.
+        _HL = np.int64(1) << np.int64(31)
+        cols = {"flag": pa.array(g.index.to_numpy(object), pa.string())}
+        cols["n"] = pa.array(g["n"].to_numpy(np.int64))
+        cols["sx"] = pa.array(g["sx"].to_numpy(np.int64))
+        for name in ("sy", "sxx", "sxy"):
+            v = g[name].to_numpy(np.int64)
+            cols[name + "_hi"] = pa.array(v // _HL)
+            cols[name + "_lo"] = pa.array(v % _HL)
+        return pa.table(cols)
 
     m = (
         ds.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True)
@@ -9037,16 +9064,22 @@ def q_price_trend_by_flag(sf_dir: str):
         .aggregate(
             Sum("n", alias_name="n"),
             Sum("sx", alias_name="sx"),
-            Sum("sy", alias_name="sy"),
-            Sum("sxx", alias_name="sxx"),
-            Sum("sxy", alias_name="sxy"),
+            Sum("sy_hi", alias_name="sy_hi"),
+            Sum("sy_lo", alias_name="sy_lo"),
+            Sum("sxx_hi", alias_name="sxx_hi"),
+            Sum("sxx_lo", alias_name="sxx_lo"),
+            Sum("sxy_hi", alias_name="sxy_hi"),
+            Sum("sxy_lo", alias_name="sxy_lo"),
         )
         .to_pandas()
         .sort_values("flag", ignore_index=True)
     )
     slopes = []
     for r in m.itertuples():
-        n, sx, sy, sxx, sxy = (int(r.n), int(r.sx), int(r.sy), int(r.sxx), int(r.sxy))
+        n, sx = int(r.n), int(r.sx)
+        sy = (int(r.sy_hi) << 31) + int(r.sy_lo)
+        sxx = (int(r.sxx_hi) << 31) + int(r.sxx_lo)
+        sxy = (int(r.sxy_hi) << 31) + int(r.sxy_lo)
         num = n * sxy - sx * sy  # Python bigints: exact at any scale
         den = n * sxx - sx * sx
         slopes.append(int(math.floor((float(num) / float(den)) * 1e6)))
@@ -9388,8 +9421,22 @@ def q_geo_serving_prep(sf_dir: str):
         np.add.at(n_kept, seg[kept], 1)
         ksum = np.zeros(len(starts), np.int64)
         np.add.at(ksum, seg[kept], e0[kept])
-        assert len(starts) == len(starts1)
-        assert (t0[starts] == t1[starts1]).all() and (r0[starts] == r1[starts1]).all()
+        # candidates must pair 1:1 with counts (both kinds emitted per
+        # (region, tile)); raise with context instead of a bare assert so
+        # a violated one-block-per-part invariant fails loudly under -O
+        if len(starts) != len(starts1):
+            raise ValueError(
+                "geo_serving_prep resolve: candidate groups != counted groups "
+                f"({len(starts)} vs {len(starts1)}) — part split across blocks?"
+            )
+        if not ((t0[starts] == t1[starts1]).all() and (r0[starts] == r1[starts1]).all()):
+            bad = np.flatnonzero((t0[starts] != t1[starts1]) | (r0[starts] != r1[starts1]))[:5]
+            raise ValueError(
+                "geo_serving_prep resolve: candidate/count group keys diverge at "
+                f"indices {bad.tolist()}: candidates "
+                f"{list(zip(r0[starts[bad]].tolist(), t0[starts[bad]].tolist()))} vs counts "
+                f"{list(zip(r1[starts1[bad]].tolist(), t1[starts1[bad]].tolist()))}"
+            )
         return pa.table(
             {
                 "region": pa.array(r0[starts].astype(np.int64)),
@@ -9551,7 +9598,18 @@ def q_trailing_spend(sf_dir: str):
         P = np.r_[0, np.cumsum(cents)]
         # global (no per-customer loop): pack (cust, day) into one sorted
         # key — epoch days < 2^20, so customer blocks never interleave and
-        # day-30 can't cross into the previous customer's key range
+        # day-30 can't cross into the previous customer's key range.
+        # Enforce the packing preconditions at runtime (cheap min/max) so a
+        # future data source with pre-1970+30d or >2871 CE dates can't
+        # silently corrupt windows:
+        dmin, dmax = int(day.min()), int(day.max())
+        if dmin < _TRAIL_DAYS or dmax >= (1 << 20):
+            raise ValueError(
+                "trailing_spend packed-key precondition violated: epoch days "
+                f"must lie in [{_TRAIL_DAYS}, 2^20) but data spans [{dmin}, {dmax}] "
+                "— (cust,day) packing would let day-30 underflow into the "
+                "previous customer's block"
+            )
         key = cust * np.int64(1 << 20) + day
         lo = np.searchsorted(key, key - np.int64(_TRAIL_DAYS), side="left")
         hi = np.searchsorted(key, key, side="right")
@@ -10004,3 +10062,22 @@ def _register_promoted() -> None:
 
 
 _register_promoted()
+
+
+def corpus_sql(sf: float) -> dict[str, str]:
+    """The image-corpus oracles are sf-parametrized (they read the
+    synthesized corpus parquet directly, not a driver view): the
+    registered strings in SQL_QUERIES are baked for the driver's sf=0.01;
+    callers checking another scale (tests at 0.001, the gate CLI at an
+    arbitrary --sf) rebuild them here. Single source of truth for the
+    test harness and ``cov_tiles_ray.gate``."""
+    return {
+        "phash_dedup": _sql_phash_dedup(sf),
+        "phash_neardup": _sql_phash_neardup(sf),
+        "image_exact_dedup": _sql_image_exact_dedup(sf),
+        "image_size_stats": _sql_image_size_stats(sf),
+        "image_aspect_stats": _sql_image_aspect_stats(sf),
+        "caption_word_stats": _sql_caption_word_stats(sf),
+        "geo_grid_dbscan": _sql_geo_grid_dbscan(sf),
+    }
+
