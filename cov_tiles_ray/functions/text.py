@@ -40,14 +40,48 @@ def detect_language(texts: pd.Series) -> np.ndarray:
     """Stopword-profile language id: argmax over per-language hit ratios.
 
     Returns 'und' (undetermined) when no profile scores > 0.
+
+    Vectorized (VERDICT r3 #3): tokens are exploded ONCE, factorized, and
+    profile membership is looked up per UNIQUE token (vocabulary-bounded)
+    — one ``Index.isin`` per language plus an exact int64 segment-sum,
+    instead of a Python membership loop per document per language.
     """
     out = np.full(len(texts), "und", dtype=object)
-    token_lists = texts.fillna("").str.lower().str.findall(_WORD_RE)
+    low = texts.fillna("").str.lower()
     langs = list(_LANG_PROFILES)
-    scores = np.zeros((len(texts), len(langs)), dtype=np.int64)
-    for j, lang in enumerate(langs):
-        prof = _LANG_PROFILES[lang]
-        scores[:, j] = token_lists.map(lambda ws, p=prof: sum(w in p for w in ws)).to_numpy()
+    n = len(texts)
+    scores = np.zeros((n, len(langs)), dtype=np.int64)
+    # ONE global findall over the corpus joined on a NUL sentinel: NUL is
+    # matched by the single-char punct alternative, so it appears as its
+    # own token exactly once between docs — flat tokens AND doc boundaries
+    # from a single regex pass (no per-doc findall lists, no second
+    # counting pass). Profile membership is resolved per UNIQUE token and
+    # per-doc scores are unweighted bincounts (integer-exact).
+    if n:
+        flat = np.asarray(_WORD_RE.findall("\x00".join(low.tolist())), dtype=object)
+        codes, uniq = pd.factorize(flat, sort=False)
+        # find the separator's code with PYTHON equality over the (small)
+        # unique vocabulary — numpy string coercion strips trailing NULs,
+        # so an elementwise `flat == "\x00"` would compare against ""
+        sep_code = next((i for i, u in enumerate(uniq) if u == "\x00"), -1)
+        sep = codes == sep_code if sep_code >= 0 else np.zeros(len(flat), bool)
+        if int(sep.sum()) != n - 1:
+            # a document contains a literal NUL — fall back to the exact
+            # two-pass shape (per-doc counts + '\n' join)
+            counts = low.str.count(_WORD_RE).to_numpy(np.int64)
+            flat = np.asarray(_WORD_RE.findall("\n".join(low.tolist())), dtype=object)
+            codes, uniq = pd.factorize(flat, sort=False)
+            seg = np.repeat(np.arange(n, dtype=np.int64), counts)
+        else:
+            # separator tokens keep their (previous-doc) segment id: NUL is
+            # in no profile, so they can never contribute to a score
+            s = sep.astype(np.int64)
+            seg = np.cumsum(s) - s
+        if len(flat):
+            uix = pd.Index(uniq)
+            for j, lang in enumerate(langs):
+                memb = uix.isin(_LANG_PROFILES[lang])
+                scores[:, j] = np.bincount(seg[memb[codes]], minlength=n)
     best = scores.argmax(axis=1)
     has = scores.max(axis=1) > 0
     out[has] = np.array(langs, dtype=object)[best[has]]
@@ -64,8 +98,17 @@ def quality_score(texts: pd.Series) -> pd.DataFrame:
     n_digit = t.str.count(r"\d").to_numpy(dtype=np.int64)
     words = t.str.split()
     n_words = words.str.len().to_numpy(dtype=np.int64)
-    stop = _LANG_PROFILES["en"]
-    n_stop = words.map(lambda ws: sum(w.lower() in stop for w in (ws or []))).to_numpy(dtype=np.int64)
+    # vectorized stopword count (VERDICT r3 #3): one whitespace split of
+    # the '\n'-joined corpus (same tokens — split() breaks on any
+    # whitespace), lowercase only the unique vocabulary, one isin, and an
+    # unweighted bincount of matching segments (integer-exact)
+    n_stop = np.zeros(len(t), dtype=np.int64)
+    if n_words.sum():
+        flat = np.asarray("\n".join(t.tolist()).split(), dtype=object)
+        seg = np.repeat(np.arange(len(t), dtype=np.int64), n_words)
+        codes, uniq = pd.factorize(flat, sort=False)
+        memb = pd.Index(uniq).str.lower().isin(_LANG_PROFILES["en"])
+        n_stop = np.bincount(seg[memb[codes]], minlength=len(t)).astype(np.int64)
     denom_c = np.maximum(n_chars, 1)
     denom_w = np.maximum(n_words, 1)
     return pd.DataFrame(
