@@ -20,16 +20,17 @@ import subprocess
 import sys
 import time
 
-# Bench measures the SCALE-PATH configuration: the chunked mega-tile merge
-# (tiling.CHUNK_MERGE_ROWS) fans a fragmented coarse tile's encode across
-# per-chunk Ray tasks — the round-3 fix for the one serial Amdahl term
-# (BASELINE.md sf0.2 decomposition; A/B 15.8 s -> 11.0 s @16 CPUs).  The
-# LIBRARY default stays 0 (byte-identical reference-parity output, the
-# determinism suite's subject); chunked output decodes to identical
-# LayerData (tests/test_chunked_merge.py) and every tile is still
-# round-trip verified in the headline.  Override with GRAFT_CHUNK_ROWS=0.
-# Must be set before cov_tiles_ray.pipelines.tiling is imported (the env
-# is read at module import); --scaling legs inherit it via _run_at's env.
+# The chunked mega-tile merge (tiling.CHUNK_MERGE_ROWS) fans a fragmented
+# coarse tile's encode across per-chunk Ray tasks — the round-3 fix for
+# the one serial Amdahl term (BASELINE.md sf0.2 decomposition; A/B 15.8 s
+# -> 11.0 s @16 CPUs).  Since round 4 the LIBRARY default is 16000 (auto:
+# only tiles above the threshold chunk, so small corpora stay
+# byte-identical to the reference-parity encode), so bench measures the
+# stock configuration — the setdefault below only pins it against an
+# inherited environment.  GRAFT_CHUNK_ROWS=0 is the byte-parity opt-out;
+# chunked output decodes to identical LayerData
+# (tests/test_chunked_merge.py) and every tile is still round-trip
+# verified in the headline.  --scaling legs inherit it via _run_at's env.
 os.environ.setdefault("GRAFT_CHUNK_ROWS", "16000")
 
 

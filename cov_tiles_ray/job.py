@@ -45,12 +45,21 @@ def run_job(
     hex_res: int = 6,
     with_cells: bool = True,
     validate: bool = False,
+    chunk_rows: int | None = None,
 ) -> dict:
     """Build + write the pyramid resumably; returns the summary dict.
 
-    Assumes Ray is initialised (job runtime or the caller)."""
+    Assumes Ray is initialised (job runtime or the caller).
+
+    chunk_rows: mega-tile chunked-merge threshold (rows).  None keeps the
+    library default (tiling.CHUNK_MERGE_ROWS, 16000 — auto-chunks only
+    tiles above the threshold); 0 forces the reference-parity unchunked
+    encode at every scale (the byte-parity opt-out)."""
     from .pipelines import tiling
     from .state import checkpoint
+
+    if chunk_rows is not None:
+        tiling.CHUNK_MERGE_ROWS = int(chunk_rows)
 
     # resume skips COMPUTE, not just writes: only unfinished zooms enter
     # the pyramid (a tile's bytes are a pure function of its own rows —
@@ -105,6 +114,14 @@ def main(argv: list[str] | None = None) -> int:
         help="also run the per-row PSNR+caption validation pass over the corpus",
     )
     ap.add_argument("--num-cpus", type=int, default=None, help="standalone-mode CPU cap")
+    ap.add_argument(
+        "--chunk-rows",
+        type=int,
+        default=None,
+        help="chunked mega-tile merge threshold in rows (default: library "
+        "default 16000 / $GRAFT_CHUNK_ROWS; 0 = reference-parity unchunked "
+        "encode at every scale)",
+    )
     args = ap.parse_args(argv)
 
     import ray
@@ -126,6 +143,7 @@ def main(argv: list[str] | None = None) -> int:
             hex_res=args.hex_res,
             with_cells=not args.no_cells,
             validate=args.validate,
+            chunk_rows=args.chunk_rows,
         )
     finally:
         if owns_session:

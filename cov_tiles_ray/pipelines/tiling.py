@@ -734,18 +734,21 @@ TILE_COST_WEIGHT = 8.0
 # semantics.  Both produce byte-identical tiles (tests/test_determinism.py).
 PYRAMID_MERGE = "channel"
 
-# Chunked mega-tile merge (flag-gated, VERDICT r2 #1): when > 0, a
-# fragmented tile with more rows than this encodes as CHUNK_MERGE_ROWS-row
-# fid-ordered chunks in PARALLEL Ray tasks, framed as a chunked tile
-# (model/format.CHUNKED_TILE_MARKER).  The chunked frame decodes to
-# LayerData identical to the unchunked encode (whole-tile cells layer in
-# chunk 0; chunk boundaries are a pure function of the global fid order),
-# and the bytes are deterministic under any cluster/fragmenting shape —
-# but they DIFFER from the unchunked encode (per-chunk dictionaries), so
-# the default is OFF (0): reference-parity bytes unless explicitly enabled
-# via GRAFT_CHUNK_ROWS.  This bounds the sf0.2 scaling Amdahl term (one
-# serial 242k-row z4 encode).
-CHUNK_MERGE_ROWS = int(os.environ.get("GRAFT_CHUNK_ROWS", "0"))
+# Chunked mega-tile merge (VERDICT r2 #1, DEFAULT-ON since r4 per VERDICT
+# r3 #1): when > 0, a fragmented tile with more rows than this encodes as
+# CHUNK_MERGE_ROWS-row fid-ordered chunks in PARALLEL Ray tasks, framed as
+# a chunked tile (model/format.CHUNKED_TILE_MARKER).  The chunked frame
+# decodes to LayerData identical to the unchunked encode (whole-tile cells
+# layer in chunk 0; chunk boundaries are a pure function of the global fid
+# order), and the bytes are deterministic under any cluster/fragmenting
+# shape — but a CHUNKED tile's bytes DIFFER from the unchunked encode
+# (per-chunk dictionaries).  Default 16000 auto-enables chunking only for
+# tiles ABOVE the threshold, so small corpora (every tile < 16k rows, e.g.
+# sf<=0.01) remain byte-identical to the reference-parity encode while the
+# scale path no longer has the one serial mega-tile Amdahl term (the sf0.2
+# scaling bar's fix) without any flag.  GRAFT_CHUNK_ROWS=0 is the
+# byte-parity opt-out at every scale; job.py/cli.py surface --chunk-rows.
+CHUNK_MERGE_ROWS = int(os.environ.get("GRAFT_CHUNK_ROWS", "16000"))
 
 _FRAG_CHANNEL = None
 
