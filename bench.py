@@ -61,8 +61,28 @@ def _run_bench(headline_only: bool = False) -> dict:
 
     # untimed: corpus generation (cached), page-cache warm read, and a small
     # pilot pipeline so the worker pool is spawned and imports are loaded
-    # before the timed section (steady-state throughput, not cold start)
+    # before the timed section (steady-state throughput, not cold start).
+    # The warm read is a FULL byte sweep (not one column): a column-pruned
+    # warm leaves the other columns' pages cold, and the first suite query
+    # to touch them (phash_neardup in r3: 14.0 s billed vs 2.65 s warm)
+    # gets billed the corpus I/O.  Cold read is reported as its own line
+    # (cold_read_sec) instead of landing on an arbitrary query (VERDICT r3
+    # #5 — bench suite cold-read attribution).
     images_path = synth.images_parquet_path(sf)
+    t0 = time.perf_counter()
+    cold_bytes = 0
+    warm_paths = [images_path]
+    if os.path.isdir(sf_dir):
+        warm_paths += [
+            os.path.join(sf_dir, f)
+            for f in sorted(os.listdir(sf_dir))
+            if f.endswith(".parquet")
+        ]
+    for p in warm_paths:
+        with open(p, "rb") as f:
+            while chunk := f.read(1 << 24):
+                cold_bytes += len(chunk)
+    cold_read_sec = time.perf_counter() - t0
     ray.data.read_parquet(images_path, columns=["image_id"]).count()
     pilot = tiling.read_images(sf, columns=tiling.LIGHT_COLUMNS).limit(20000)
     pilot_tiles = tiling.build_tiles(pilot, z=8, with_cells=True).materialize()
@@ -212,6 +232,11 @@ def _run_bench(headline_only: bool = False) -> dict:
         "tiles_per_sec": round(n_tiles / headline_sec, 1),
         "covt_bytes": int(pdf["covt_bytes"].sum()),
         "plain_bytes": int(pdf["plain_bytes"].sum()),
+        # one untimed full byte sweep of the image corpus + sf_dir tables
+        # before the suite: per-query numbers measure the query, and the
+        # storage cold-read cost is visible here instead (VERDICT r3 #5)
+        "cold_read_sec": round(cold_read_sec, 3),
+        "cold_read_bytes": cold_bytes,
         "roundtrip_failures": int((~pdf["roundtrip_ok"]).sum()),
         # baseline is THIS REPO'S OWN pure-Python MVT decoder, not an
         # optimized native/JS one (the reference's 2.4-2.7x claim is vs

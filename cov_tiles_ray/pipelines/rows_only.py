@@ -1621,8 +1621,10 @@ def q_covt_new_layout(sf_dir: str):
 
         n = batch.num_rows
         ok = np.zeros(n, dtype=bool)
+        loc_ok = np.zeros(n, dtype=bool)
         mvt_b = np.zeros(n, dtype=np.int64)
         new_b = np.zeros(n, dtype=np.int64)
+        loc_b = np.zeros(n, dtype=np.int64)
         feats = np.zeros(n, dtype=np.int64)
         for i in range(n):
             raw = batch["mvt"][i].as_py()
@@ -1634,6 +1636,13 @@ def q_covt_new_layout(sf_dir: str):
                 ok[i] = roundtrip_equal(layers, back)
                 new_b[i] = len(buf)
                 feats[i] = sum(ly.num_features for ly in layers)
+                # localized shared-dictionary extension (flag-gated): the
+                # band the published z14 51% reduction needs (r4 #4)
+                lbuf, ltj = encode_new_tile(
+                    layers, optimize_metadata=True, localized=True
+                )
+                loc_ok[i] = roundtrip_equal(layers, parse_new_covt(lbuf, ltj))
+                loc_b[i] = len(lbuf)
             except Exception:
                 ok[i] = False
         return pa.table(
@@ -1642,7 +1651,9 @@ def q_covt_new_layout(sf_dir: str):
                 "n_features": pa.array(feats),
                 "mvt_bytes": pa.array(mvt_b),
                 "new_covt_bytes": pa.array(new_b),
+                "loc_covt_bytes": pa.array(loc_b),
                 "roundtrip_ok": pa.array(ok),
+                "loc_roundtrip_ok": pa.array(loc_ok),
             }
         )
 
@@ -1656,7 +1667,9 @@ def q_covt_new_layout(sf_dir: str):
             Sum("n_features", alias_name="features"),
             Sum("mvt_bytes", alias_name="mvt_bytes"),
             Sum("new_covt_bytes", alias_name="new_covt_bytes"),
+            Sum("loc_covt_bytes", alias_name="loc_covt_bytes"),
             Sum("roundtrip_ok", alias_name="roundtrip_exact"),
+            Sum("loc_roundtrip_ok", alias_name="loc_roundtrip_exact"),
         )
         .to_pandas()
         .sort_values("z")
@@ -1664,6 +1677,9 @@ def q_covt_new_layout(sf_dir: str):
     )
     df["reduction_pct_x100"] = (
         (1.0 - df["new_covt_bytes"] / df["mvt_bytes"].clip(lower=1)) * 10000.0
+    ).astype(np.int64)
+    df["loc_reduction_pct_x100"] = (
+        (1.0 - df["loc_covt_bytes"] / df["mvt_bytes"].clip(lower=1)) * 10000.0
     ).astype(np.int64)
     return df
 

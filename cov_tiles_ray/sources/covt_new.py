@@ -59,6 +59,19 @@ Documented divergences (both strictly fix reference defects):
 * DOUBLE property columns (which the reference rejects,
   CovtConverter.java:537-539) are supported as PLAIN float64 LE — same
   extension the engine's COVT-R format carries.
+
+Flag-gated extension (``localized=True``, OFF by default for strict
+parity): localized SHARED dictionaries for ``name``-family string columns
+— the reference's new converter throws on these
+(CovtConverter.java:358-360) though its old TS eval decoder implements
+the semantics (parser/js/src/evaluation/index.ts:507-555).  Framing: each
+family member is a STRING column of ColumnType.LOCALIZED_DICTIONARY; the
+family head (first member in appearance order) carries DATA + LENGTH +
+DICTIONARY, non-heads only DATA (indices into the head's dictionary).
+Implicit termination extends deterministically: a LOCALIZED_DICTIONARY
+column whose ``localized_base`` was already seen in the layer ends after
+DATA; the head ends after DICTIONARY like any dictionary column.  This is
+the band the published z14 51% reduction needs (BASELINE.md).
 """
 
 from __future__ import annotations
@@ -75,6 +88,7 @@ from ..model.format import (
     PropertyColumn,
     StreamEncoding,
     StreamType,
+    localized_base,
 )
 from .covt_ref import _decode_fastpfor_ints, decode_fastpfor_delta_zigzag
 from .covt_ref_write import encode_fastpfor_ref
@@ -370,6 +384,74 @@ def _property_column(name: str, col: PropertyColumn, nf: int):
     raise ValueError(f"property data type {dt} not supported by the new layout")
 
 
+def _localized_string_families(string_cols: list[tuple[str, PropertyColumn]]):
+    """Localization families among the layer's STRING columns: members
+    share ``localized_base`` (``name``/``name:en``/``name_de`` -> ``name``,
+    model/format.py:91); only families with >= 2 members localize.  Members
+    keep first-appearance order, head = first member (same grouping rule as
+    the engine's COVT-R localized encode, tile/encode.py:322-330)."""
+    fams: dict[str, list[str]] = {}
+    for name, _col in string_cols:
+        fams.setdefault(localized_base(name), []).append(name)
+    return {k: v for k, v in fams.items() if len(v) >= 2}
+
+
+def _localized_family_columns(
+    members: list[str], cols: dict[str, PropertyColumn], nf: int
+):
+    """EXTENSION (flag-gated): one SHARED dictionary across a localized
+    column family in the NEW layout — the reference's new converter throws
+    here (CovtConverter.java:358-360) while its old TS eval decoder
+    implements the semantics (parser/js/src/evaluation/index.ts:507-555).
+    Framing: every member is a STRING column of type LOCALIZED_DICTIONARY;
+    the family HEAD (first member) carries DATA + LENGTH + DICTIONARY (the
+    shared dict), non-heads carry only DATA (indices into the head's
+    dict).  Implicit stream termination stays decodable because heads are
+    emitted before non-heads: a LOCALIZED_DICTIONARY column whose
+    ``localized_base`` was already seen ends after DATA, otherwise after
+    DICTIONARY (the layout's existing dictionary rule)."""
+    import pandas as pd
+
+    member_vals = [np.asarray(cols[m].values, dtype=object) for m in members]
+    sizes = np.cumsum([0] + [len(v) for v in member_vals])
+    codes, uniques = pd.factorize(np.concatenate(member_vals), use_na_sentinel=False)
+    codes = codes.astype(I64)
+
+    out = []
+    for mi, name in enumerate(members):
+        col = cols[name]
+        present = np.ascontiguousarray(col.present, dtype=bool)
+        idx = codes[sizes[mi] : sizes[mi + 1]]
+        streams = [
+            _Stream(
+                StreamType.PRESENT,
+                StreamEncoding.BOOLEAN_RLE,
+                nf,
+                _bool_rle(present),
+                in_metadata=False,
+            ),
+            _Stream(
+                StreamType.DATA, StreamEncoding.RLE, len(idx), C.encode_rle_v1(idx, signed=False)
+            ),
+        ]
+        if mi == 0:  # family head carries the shared dictionary
+            raws = [s.encode("utf-8") for s in uniques]
+            lengths = np.array([len(r) for r in raws], dtype=I64)
+            streams.append(
+                _Stream(
+                    StreamType.LENGTH,
+                    StreamEncoding.RLE,
+                    len(raws),
+                    C.encode_rle_v1(lengths, signed=False),
+                )
+            )
+            streams.append(
+                _Stream(StreamType.DICTIONARY, StreamEncoding.PLAIN, len(raws), b"".join(raws))
+            )
+        out.append((name, ColumnDataType.STRING, ColumnType.LOCALIZED_DICTIONARY, streams))
+    return out
+
+
 def encode_new_layer(
     layer: LayerData,
     out: bytearray,
@@ -377,9 +459,13 @@ def encode_new_layer(
     geometry_encoding: str = "ice",
     allow_fastpfor_topology: bool = True,
     allow_fastpfor_vertex: bool = True,
+    localized: bool = False,
 ) -> dict:
     """Append one new-layout layer; returns its TileJSON vector_layer
-    entry.  ``layer_id`` set => optimized metadata."""
+    entry.  ``layer_id`` set => optimized metadata.  ``localized`` enables
+    the shared-dictionary extension for ``name``-family string columns
+    (see _localized_family_columns — the reference's own new converter
+    rejects these, so OFF is the strict-parity default)."""
     nf = layer.num_features
     geo_ct, geo_streams = _geometry_column(
         layer, geometry_encoding, allow_fastpfor_topology, allow_fastpfor_vertex
@@ -387,6 +473,7 @@ def encode_new_layer(
     # property columns grouped by type: booleans, longs, floats, strings
     # (CovtConverter.java:348-357); first-appearance order within a group
     groups: dict[str, list] = {"bool": [], "long": [], "float": [], "string": []}
+    string_cols: list[tuple[str, PropertyColumn]] = []
     for name, col in layer.properties.items():
         dt = ColumnDataType(int(col.data_type))
         if dt == ColumnDataType.BOOLEAN:
@@ -396,10 +483,26 @@ def encode_new_layer(
         elif dt in (ColumnDataType.FLOAT, ColumnDataType.DOUBLE):
             key = "float"
         elif dt == ColumnDataType.STRING:
-            key = "string"
+            string_cols.append((name, col))
+            continue
         else:
             raise ValueError(f"unsupported property type {dt}")
         groups[key].append(_property_column(name, col, nf))
+    fams = _localized_string_families(string_cols) if localized else {}
+    fam_members = {m for mem in fams.values() for m in mem}
+    cols_by_name = dict(string_cols)
+    emitted_fams: set[str] = set()
+    for name, col in string_cols:
+        if name not in fam_members:
+            groups["string"].append(_property_column(name, col, nf))
+            continue
+        base = localized_base(name)
+        if base in emitted_fams:
+            continue  # whole family emitted at its first member's position
+        emitted_fams.add(base)
+        groups["string"].extend(
+            _localized_family_columns(fams[base], cols_by_name, nf)
+        )
     prop_cols = groups["bool"] + groups["long"] + groups["float"] + groups["string"]
 
     optimized = layer_id is not None
@@ -446,6 +549,7 @@ def encode_new_tile(
     geometry_encoding: str = "ice",
     allow_fastpfor_topology: bool = True,
     allow_fastpfor_vertex: bool = True,
+    localized: bool = False,
 ) -> tuple[bytes, dict]:
     """layers -> (new-layout tile bytes, TileJSON sidecar dict)."""
     out = bytearray()
@@ -459,6 +563,7 @@ def encode_new_tile(
                 geometry_encoding=geometry_encoding,
                 allow_fastpfor_topology=allow_fastpfor_topology,
                 allow_fastpfor_vertex=allow_fastpfor_vertex,
+                localized=localized,
             )
         )
     return bytes(out), {"vector_layers": vector_layers}
@@ -542,6 +647,7 @@ def walk_new_metadata(buf: bytes, tilejson: dict | None = None) -> list[dict]:
         ncols, pos = C.read_varint_py(b, pos)
         columns = []
         payload_len = 0
+        seen_bases: set[str] = set()
         for i in range(ncols):
             if optimized or i == 0:
                 cid, pos = C.read_varint_py(b, pos)
@@ -557,6 +663,13 @@ def walk_new_metadata(buf: bytes, tilejson: dict | None = None) -> list[dict]:
             pos += 1
             dt = (desc >> 3) & 0xF
             ct = desc & 0x7
+            # localized extension: a non-head family member (base already
+            # seen) carries only DATA — its stream list ends there
+            loc_member = False
+            if ct == int(ColumnType.LOCALIZED_DICTIONARY):
+                base = localized_base(cname)
+                loc_member = base in seen_bases
+                seen_bases.add(base)
             streams = []
             while True:
                 sdesc = b[pos]
@@ -569,7 +682,9 @@ def walk_new_metadata(buf: bytes, tilejson: dict | None = None) -> list[dict]:
                 # implicit termination (CovtParser.java:638-648)
                 if dt == int(ColumnDataType.GEOMETRY) and stype == int(StreamType.VERTEX_BUFFER):
                     break
-                if stype == int(StreamType.DATA) and ct == int(ColumnType.PLAIN):
+                if stype == int(StreamType.DATA) and (
+                    ct == int(ColumnType.PLAIN) or loc_member
+                ):
                     break
                 if stype == int(StreamType.DICTIONARY):
                     break
@@ -668,6 +783,7 @@ def parse_new_covt(buf: bytes, tilejson: dict | None = None) -> list[LayerData]:
         nf, pos = C.read_varint_py(b, pos)
         ncols, pos = C.read_varint_py(b, pos)
         columns = []
+        seen_bases: set[str] = set()
         for i in range(ncols):
             if optimized or i == 0:
                 cid, pos = C.read_varint_py(b, pos)
@@ -678,6 +794,12 @@ def parse_new_covt(buf: bytes, tilejson: dict | None = None) -> list[LayerData]:
             pos += 1
             dt = (desc >> 3) & 0xF
             ct = desc & 0x7
+            # localized extension: non-head family members end after DATA
+            loc_member = False
+            if ct == int(ColumnType.LOCALIZED_DICTIONARY):
+                base = localized_base(cname)
+                loc_member = base in seen_bases
+                seen_bases.add(base)
             streams = {}
             while True:
                 sdesc = b[pos]
@@ -688,7 +810,9 @@ def parse_new_covt(buf: bytes, tilejson: dict | None = None) -> list[LayerData]:
                 streams[stype] = (senc, nvals, blen)
                 if dt == int(ColumnDataType.GEOMETRY) and stype == int(StreamType.VERTEX_BUFFER):
                     break
-                if stype == int(StreamType.DATA) and ct == int(ColumnType.PLAIN):
+                if stype == int(StreamType.DATA) and (
+                    ct == int(ColumnType.PLAIN) or loc_member
+                ):
                     break
                 if stype == int(StreamType.DICTIONARY):
                     break
@@ -701,6 +825,7 @@ def parse_new_covt(buf: bytes, tilejson: dict | None = None) -> list[LayerData]:
             vertex_buffer=np.empty(0, dtype=np.int32),
         )
         n_present_bytes = -(-nf // 8)
+        shared_dicts: dict[str, np.ndarray] = {}  # localized family dicts
         for cname, dt, ct, streams in columns:
             if cname == "id":
                 senc, nvals, blen = streams[int(StreamType.DATA)]
@@ -738,18 +863,26 @@ def parse_new_covt(buf: bytes, tilejson: dict | None = None) -> list[LayerData]:
             elif dt == int(ColumnDataType.STRING):
                 idx = _decode_int_stream(b, pos, nvals, blen, senc, signed=False)
                 pos += blen
-                lenc, lnvals, lblen = streams[int(StreamType.LENGTH)]
-                lengths = _decode_int_stream(b, pos, lnvals, lblen, lenc, signed=False)
-                pos += lblen
-                denc, dnvals, dblen = streams[int(StreamType.DICTIONARY)]
-                concat = b[pos : pos + dblen]
-                pos += dblen
-                words = []
-                p = 0
-                for ln in lengths.tolist():
-                    words.append(concat[p : p + ln].decode("utf-8"))
-                    p += ln
-                arr = np.array(words, dtype=object)
+                if ct == int(ColumnType.LOCALIZED_DICTIONARY) and int(
+                    StreamType.DICTIONARY
+                ) not in streams:
+                    # non-head family member: indices into the head's dict
+                    arr = shared_dicts[localized_base(cname)]
+                else:
+                    lenc, lnvals, lblen = streams[int(StreamType.LENGTH)]
+                    lengths = _decode_int_stream(b, pos, lnvals, lblen, lenc, signed=False)
+                    pos += lblen
+                    denc, dnvals, dblen = streams[int(StreamType.DICTIONARY)]
+                    concat = b[pos : pos + dblen]
+                    pos += dblen
+                    words = []
+                    p = 0
+                    for ln in lengths.tolist():
+                        words.append(concat[p : p + ln].decode("utf-8"))
+                        p += ln
+                    arr = np.array(words, dtype=object)
+                    if ct == int(ColumnType.LOCALIZED_DICTIONARY):
+                        shared_dicts[localized_base(cname)] = arr
                 vals = arr[idx] if len(idx) else np.empty(0, dtype=object)
                 layer.properties[cname] = PropertyColumn(ColumnDataType.STRING, present, vals)
             else:  # INT_64 family
