@@ -47,6 +47,25 @@ def png_encode(img: np.ndarray) -> bytes:
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
+def png_encode_batch(frames: np.ndarray) -> list[bytes]:
+    """(n, h, w, 3) uint8 -> n PNG byte strings, byte-identical to
+    ``png_encode`` per frame.  The scanline buffer (filter byte + rows) is
+    assembled for the WHOLE stack in one vectorized pass; only the
+    per-output deflate stream + chunk framing remain per frame (a PNG is
+    one zlib stream by format definition)."""
+    f = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, h, w, c = f.shape
+    assert c == 3, "RGB only"
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.zeros((n, h, 1 + w * 3), dtype=np.uint8)
+    raw[:, :, 1:] = f.reshape(n, h, w * 3)
+    head = _PNG_SIG + _chunk(b"IHDR", ihdr)
+    return [
+        head + _chunk(b"IDAT", zlib.compress(r.tobytes(), 6)) + _chunk(b"IEND", b"")
+        for r in raw
+    ]
+
+
 def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     """Undo PNG scanline filters (types 0-4)."""
     out = np.zeros((h, stride), dtype=np.uint8)
