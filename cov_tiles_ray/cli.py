@@ -87,7 +87,7 @@ def main(argv: list[str] | None = None) -> int:
     if mvt_buf is None:
         print(f"tile {args.z}/{args.x}/{args.y} not found in {args.filename}")
         return 1
-    layers = mvt_codec.decode_mvt_tile(mvt_buf)
+    layers = mvt_codec.decode_mvt_tile_best(mvt_buf)
     covt = encode_tile(layers)
     out = os.path.join(args.out_dir, f"{args.z}_{args.x}_{args.y}.covt")
     with open(out, "wb") as f:

@@ -1630,7 +1630,7 @@ def q_covt_new_layout(sf_dir: str):
             raw = batch["mvt"][i].as_py()
             mvt_b[i] = len(raw)
             try:
-                layers = mvt_codec.decode_mvt_tile(raw)
+                layers = mvt_codec.decode_mvt_tile_best(raw)
                 buf, tj = encode_new_tile(layers, optimize_metadata=True)
                 back = parse_new_covt(buf, tj)
                 ok[i] = roundtrip_equal(layers, back)

@@ -70,7 +70,7 @@ class TranscodeKernel:
             raw = batch["mvt"][i].as_py()
             mvt_bytes[i] = len(raw)
             try:
-                layers = mvt_codec.decode_mvt_tile(raw)
+                layers = mvt_codec.decode_mvt_tile_best(raw)
                 covt = encode_tile(layers, self.opts)
                 covt_bytes[i] = len(covt)
                 back = decode_tile(covt)
@@ -115,7 +115,7 @@ class FixtureTranscodeKernel:
             raw = batch["mvt"][i].as_py()
             mvt_b[i] = len(raw)
             try:
-                layers = mvt_codec.decode_mvt_tile(raw)
+                layers = mvt_codec.decode_mvt_tile_best(raw)
                 covt = encode_tile(layers, self.opts)
                 covt_b[i] = len(covt)
                 back = decode_tile(covt)
@@ -222,7 +222,7 @@ class DirTranscodeWriter:
                 covt_b[i] = os.path.getsize(out_path)
                 continue
             try:
-                layers = mvt_codec.decode_mvt_tile(raw)
+                layers = mvt_codec.decode_mvt_tile_best(raw)
                 if self.layout == "ref":
                     buf = encode_ref_tile(layers)
                     back = parse_ref_covt(buf)
