@@ -837,8 +837,39 @@ def q_embedding_neardup(sf_dir: str):
 NEARDUP_LSH_TABLES = 8  # hash tables (OR-amplification across tables)
 NEARDUP_LSH_BITS = 6  # hyperplane bits per table (AND within a table)
 
-SIMHASH_BANDS = 4  # 16-bit bands of the 64-bit fingerprint
+SIMHASH_BANDS = 4  # 16-bit bands of the 64-bit fingerprint (small-corpus config)
 SIMHASH_HAMMING_MAX = 3  # <= bands-1 differing bits -> one band matches exactly
+
+
+def _banded_sketch_table(
+    fp_u64: np.ndarray, ids: np.ndarray, id_pa_type, id_col: str
+) -> "pa.Table":
+    """(fp, id) -> arrow band-sketch rows (band, key, id, fp), one row per
+    16-bit band; arrow out keeps the band part-exchange off the pandas
+    sort path (session-4 finding).
+
+    Scale note (r4 #7, measured): WIDER shuffle keys — Manku
+    block-combination tables keyed on (B-3)-of-B blocks, e.g. 10 tables x
+    26-bit keys — were A/B'd as the fix for band-bucket saturation and
+    REJECTED: the 2.5x band-row growth put 2.5x volume through the part
+    exchange, which dominates end-to-end (sf0.1 warm 2.6 s -> 8.6 s,
+    sf0.5 52 s -> 58 s).  Saturation is instead handled AFTER the shuffle
+    by recursive in-part sub-banding (_pairs_in_bucket_stream), which
+    costs zero extra shuffle rows."""
+    n = len(fp_u64)
+    band = np.tile(np.arange(SIMHASH_BANDS, dtype=np.int64), n)
+    fps = np.repeat(fp_u64, SIMHASH_BANDS)
+    key = ((fps >> (band.astype(np.uint64) * np.uint64(16))) & np.uint64(0xFFFF)).astype(
+        np.int64
+    )
+    return pa.table(
+        {
+            "band": pa.array(band),
+            "key": pa.array(key),
+            id_col: pa.array(np.repeat(ids, SIMHASH_BANDS), id_pa_type),
+            "fp": pa.array(fps.view(np.int64)),
+        }
+    )
 
 
 def q_simhash_neardup(sf_dir: str):
@@ -855,21 +886,7 @@ def q_simhash_neardup(sf_dir: str):
 
     def sketch(df: pd.DataFrame) -> pa.Table:
         fp = dedup_f.simhash(df["text"])  # uint64
-        n = len(df)
-        band = np.tile(np.arange(SIMHASH_BANDS, dtype=np.int64), n)
-        fps = np.repeat(fp, SIMHASH_BANDS)
-        key = ((fps >> (band.astype(np.uint64) * np.uint64(16))) & np.uint64(0xFFFF)).astype(
-            np.int64
-        )
-        # arrow out: keeps the band part-exchange off the pandas sort path
-        return pa.table(
-            {
-                "band": pa.array(band),
-                "key": pa.array(key),
-                "doc_id": pa.array(np.repeat(df["doc_id"].to_numpy(np.int64), SIMHASH_BANDS)),
-                "fp": pa.array(fps.view(np.int64)),
-            }
-        )
+        return _banded_sketch_table(fp, df["doc_id"].to_numpy(np.int64), pa.int64(), "doc_id")
 
     return _banded_fp_pairs(
         ds.map_batches(sketch, batch_format="pandas"),
@@ -926,6 +943,23 @@ def _banded_fp_pairs(
         }
     )
 
+    # In-part sub-banding (the r4 #7 scale fix): a 16-bit band bucket holds
+    # n/2^16 rows in expectation, so past ~10^5 corpus rows the all-pairs
+    # expansion inside saturated buckets turns quadratic (measured 19.5x
+    # time for 5x data at sf0.5).  Buckets larger than SUBBAND_MIN are
+    # split recursively: level L re-buckets its rows on the four 16-bit
+    # blocks of the fingerprint ROTATED by 8*L bits.  Pigeonhole recall
+    # holds for ANY partition of the 64 bits into 4 blocks (<=3 differing
+    # bits touch <=3 blocks, so one block of the pair matches exactly at
+    # every level independently), and a rotated partition mixes 8 fresh
+    # bits per block, splitting a saturated bucket ~2^8x per level.  Same
+    # pair found via several sub-blocks collapses in the final groupby-min
+    # (like cross-band duplicates).  Work per bucket drops from O(b^2) to
+    # O(b log b * depth + true_pairs); identical output by construction
+    # (oracle parity re-verified at sf0.01 after the change).
+    SUBBAND_MIN = 64
+    MAX_LEVELS = 8  # rotations 8..64: beyond that the rows share ~all bits
+
     def pairs_in_part(t: pa.Table) -> pa.Table:
         if t.num_rows < 2:
             return _empty
@@ -941,27 +975,76 @@ def _banded_fp_pairs(
         full_len = np.diff(np.r_[starts, len(band)])
         rank = np.arange(len(band)) - np.repeat(starts, full_len)
         keep = rank < MAX_LSH_BUCKET
-        ids, fp, seg, rank = ids[keep], fp[keep], seg[keep], rank[keep]
-        n = np.bincount(seg, minlength=seg[-1] + 1) if len(seg) else np.array([], np.int64)
-        reps = n[seg] - rank - 1  # pairs where this row is the FIRST element
-        total = int(reps.sum())
-        if total == 0:
+        ids, fp, seg = ids[keep], fp[keep], seg[keep]
+
+        out_as: list[np.ndarray] = []
+        out_hs: list[np.ndarray] = []
+        out_bs: list[np.ndarray] = []
+
+        def emit(ids_, fp_, seg_):
+            """All-pairs within contiguous equal-seg runs, hamming-filtered."""
+            if len(seg_) < 2:
+                return
+            new_ = np.r_[True, seg_[1:] != seg_[:-1]]
+            starts_ = np.flatnonzero(new_)
+            lens_ = np.diff(np.r_[starts_, len(seg_)])
+            rank_ = np.arange(len(seg_)) - np.repeat(starts_, lens_)
+            reps = np.repeat(lens_, lens_) - rank_ - 1
+            total = int(reps.sum())
+            if total == 0:
+                return
+            ai = np.repeat(np.arange(len(ids_)), reps)
+            off = np.arange(total) - np.repeat(np.cumsum(reps) - reps, reps)
+            bi = ai + off + 1
+            # cheap <=k prefilter first: candidates outnumber matches
+            # ~10^4:1, so the exact popcount only runs on the survivors
+            kp = dedup_f.hamming_at_most(fp_[ai], fp_[bi], SIMHASH_HAMMING_MAX)
+            if not kp.any():
+                return
+            ai, bi = ai[kp], bi[kp]
+            out_as.append(ids_[ai])
+            out_bs.append(ids_[bi])
+            out_hs.append(dedup_f.hamming_distance64(fp_[ai], fp_[bi]))
+
+        level = 0
+        while len(ids):
+            new_ = np.r_[True, seg[1:] != seg[:-1]]
+            lens = np.diff(np.r_[np.flatnonzero(new_), len(seg)])
+            size_per_row = np.repeat(lens, lens)
+            small = (
+                size_per_row <= SUBBAND_MIN
+                if level < MAX_LEVELS
+                else np.ones(len(ids), dtype=bool)
+            )
+            emit(ids[small], fp[small], seg[small])
+            big = ~small
+            if not big.any():
+                break
+            ids, fp, seg = ids[big], fp[big], seg[big]
+            level += 1
+            rot = np.uint64((8 * level) % 64)
+            rfp = fp if rot == 0 else (fp << rot) | (fp >> (np.uint64(64) - rot))
+            n = len(ids)
+            idx = np.tile(np.arange(n), 4)
+            sub = np.repeat(np.arange(4, dtype=np.uint64), n)
+            skey = (rfp[idx] >> (sub * np.uint64(16))) & np.uint64(0xFFFF)
+            o = np.lexsort((ids[idx], skey, sub, seg[idx]))
+            idx, sub, skey = idx[o], sub[o], skey[o]
+            pseg = seg[idx]
+            ids, fp = ids[idx], fp[idx]
+            new_ = np.r_[
+                True,
+                (pseg[1:] != pseg[:-1]) | (sub[1:] != sub[:-1]) | (skey[1:] != skey[:-1]),
+            ]
+            seg = np.cumsum(new_) - 1
+
+        if not out_as:
             return _empty
-        ai = np.repeat(np.arange(len(ids)), reps)
-        off = np.arange(total) - np.repeat(np.cumsum(reps) - reps, reps)
-        bi = ai + off + 1
-        # cheap <=k prefilter first: candidates outnumber matches ~10^4:1,
-        # so the exact popcount only ever runs on the survivors
-        kp = dedup_f.hamming_at_most(fp[ai], fp[bi], SIMHASH_HAMMING_MAX)
-        if not kp.any():
-            return _empty
-        ai, bi = ai[kp], bi[kp]
-        hd = dedup_f.hamming_distance64(fp[ai], fp[bi])
         return pa.table(
             {
-                out_a: pa.array(ids[ai], id_pa_type),
-                out_b: pa.array(ids[bi], id_pa_type),
-                "hamming": pa.array(hd),
+                out_a: pa.array(np.concatenate(out_as), id_pa_type),
+                out_b: pa.array(np.concatenate(out_bs), id_pa_type),
+                "hamming": pa.array(np.concatenate(out_hs)),
             }
         )
 
@@ -987,10 +1070,15 @@ def _banded_fp_pairs(
 
 def q_phash_neardup(sf_dir: str):
     """Perceptual-hash near-duplicate IMAGE pairs (hamming <= 3 on the
-    64-bit phash) via the same Manku banding as q_simhash_neardup: the
-    stored phash splits into 4 exact 16-bit band keys, so two images
-    within hamming 3 share at least one band key by pigeonhole — perfect
-    recall below the bucket cap, sub-quadratic candidate generation.
+    64-bit phash) via the same Manku block-combination banding as
+    q_simhash_neardup: the phash splits into 4 exact 16-bit band keys, so
+    two images within hamming 3 share at least one band key by pigeonhole
+    — perfect recall below the bucket cap, sub-quadratic candidate
+    generation.  Band buckets saturate past 2^16 images (in-bucket
+    pairing turned quadratic: 19.5x time for 5x data measured at sf0.5);
+    the fix is recursive in-part sub-banding on rotated partitions
+    (_banded_fp_pairs), NOT wider shuffle keys — see the A/B note on
+    _banded_sketch_table.
 
     Image-corpus scale shape: the read prunes to (image_id, phash) — the
     image `bytes` column never leaves storage — and only the 8-byte hash
@@ -1004,25 +1092,7 @@ def q_phash_neardup(sf_dir: str):
 
     def sketch(df: pd.DataFrame) -> pa.Table:
         fp = df["phash"].to_numpy(np.int64).view(np.uint64)
-        n = len(df)
-        band = np.tile(np.arange(SIMHASH_BANDS, dtype=np.int64), n)
-        fps = np.repeat(fp, SIMHASH_BANDS)
-        key = (
-            (fps >> (band.astype(np.uint64) * np.uint64(16))) & np.uint64(0xFFFF)
-        ).astype(np.int64)
-        # arrow out: pandas-origin blocks put the band shuffle on the
-        # ~10x slower sort path (the session-4 finding)
-        return pa.table(
-            {
-                "band": pa.array(band),
-                "key": pa.array(key),
-                "image_id": pa.array(
-                    np.repeat(df["image_id"].to_numpy(object), SIMHASH_BANDS),
-                    pa.string(),
-                ),
-                "fp": pa.array(fps.view(np.int64)),
-            }
-        )
+        return _banded_sketch_table(fp, df["image_id"].to_numpy(object), pa.string(), "image_id")
 
     return _banded_fp_pairs(
         ds.map_batches(sketch, batch_format="pandas"),

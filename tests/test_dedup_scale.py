@@ -283,3 +283,55 @@ def test_embedding_pca_matches_numpy_reference(ray_session):
     ratios = got["explained_x1e6"].to_numpy() / 1e6
     assert (np.diff(got["eigenvalue_x1e9"].to_numpy()) <= 0).all()
     assert (ratios > 0).all() and ratios.sum() < 1.0 + 1e-9
+
+
+def test_banded_fp_subband_saturated_bucket(ray_session, monkeypatch):
+    """_banded_fp_pairs with a SATURATED band bucket (size >> SUBBAND_MIN,
+    the 100-TB-regime shape) must emit exactly the bruteforce hamming<=3
+    pair set — the recursive rotated-partition sub-banding only changes
+    candidate enumeration order, never recall (pigeonhole holds per
+    level).  MAX_LSH_BUCKET is lifted above the bucket size so the cap
+    doesn't mask a sub-banding recall bug."""
+    import itertools
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cov_tiles_ray.pipelines import rows_only as ro
+
+    monkeypatch.setattr(ro, "MAX_LSH_BUCKET", 10_000)
+    rng = np.random.default_rng(11)
+    n = 900
+    # all fingerprints share low 16 bits -> band 0 is one bucket of 900
+    base = np.uint64(0xBEEF)
+    high = rng.integers(0, 1 << 48, n, dtype=np.uint64) << np.uint64(16)
+    fp = high | base
+    # plant near-dup pairs at hamming 1..3 (flip high bits only)
+    for i, (k, bits) in enumerate([(0, (17,)), (2, (20, 33)), (4, (25, 40, 63))]):
+        fp[700 + i] = fp[k]
+        for b in bits:
+            fp[700 + i] ^= np.uint64(1) << np.uint64(b)
+    ids = np.arange(n, dtype=np.int64)
+
+    sk = ro._banded_sketch_table(fp, ids, pa.int64(), "doc_id")
+    got = (
+        ro._banded_fp_pairs(rd.from_arrow(sk).repartition(5), n * 4, "doc_id", "a", "b", pa.int64())
+        .to_pandas()
+        .sort_values(["a", "b"], ignore_index=True)
+    )
+
+    def hamming(x, y):
+        return bin(int(x) ^ int(y)).count("1")
+
+    exp = []
+    for i, j in itertools.combinations(range(n), 2):
+        h = hamming(fp[i], fp[j])
+        if h <= ro.SIMHASH_HAMMING_MAX:
+            exp.append((i, j, h))
+    exp_df = pd.DataFrame(exp, columns=["a", "b", "hamming"]).sort_values(
+        ["a", "b"], ignore_index=True
+    )
+    assert len(exp_df) >= 3  # the planted pairs are in the truth set
+    pd.testing.assert_frame_equal(
+        got.astype({"a": "int64", "b": "int64", "hamming": "int64"}), exp_df
+    )
