@@ -166,6 +166,99 @@ def generate_images_batch(start: int, n: int, seed: int = SEED) -> pa.Table:
 
 CACHE_DIR = "/tmp/cov_tiles_ray_cache"
 
+_DOC_VOCAB_N = 30_000
+_DOC_VOCAB: np.ndarray | None = None
+
+
+def _doc_vocab() -> np.ndarray:
+    global _DOC_VOCAB
+    if _DOC_VOCAB is None:
+        _DOC_VOCAB = np.array([f"w{i}" for i in range(_DOC_VOCAB_N)], dtype=object)
+    return _DOC_VOCAB
+
+
+def generate_documents_batch(start: int, n: int) -> pa.Table:
+    """Rows [start, start+n) of a SCALABLE documents corpus (doc_id, text)
+    for dedup-family scale tests — the driver testdata's documents table is
+    500 rows at every sf, so corpus-growth behavior (band-bucket
+    saturation, cluster propagation rounds) needs a synthesized table.
+
+    Counter-based like generate_images_batch (any shard range regenerates
+    identically).  Shape: 50-300 tokens from a 30k-word zipf-ish vocab;
+    ~10% of docs are near-duplicates (clusters of <=7 sharing a base doc,
+    ~2% token mutations per copy) and the base construction also yields
+    exact duplicates when the mutation mask lands empty."""
+    idx = np.arange(start, start + n, dtype=np.int64)
+    near = _u01(idx, 71) < 0.10
+    base = np.where(near, idx - (idx % 7), idx)
+    ln = 50 + (_u01(base, 70) * 250).astype(np.int64)
+    vocab = _doc_vocab()
+    texts: list[str] = []
+    for g, b, L, nd in zip(idx, base, ln, near):
+        L = int(L)
+        tok_hash = _splitmix64(
+            np.uint64(b) * np.uint64(1_000_003) + np.arange(L, dtype=np.uint64)
+        )
+        u = (tok_hash >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+        words = (u * u * _DOC_VOCAB_N).astype(np.int64)  # zipf-ish skew
+        if nd and g != b:
+            mut_hash = _splitmix64(
+                np.uint64(g) * np.uint64(9_176_176_321) + np.arange(L, dtype=np.uint64)
+            )
+            mut = (mut_hash >> np.uint64(11)) < np.uint64(int(0.02 * (1 << 53)))
+            repl = (_splitmix64(mut_hash + np.uint64(17)) % np.uint64(_DOC_VOCAB_N)).astype(
+                np.int64
+            )
+            words = np.where(mut, repl, words)
+        texts.append(" ".join(vocab[words]))
+    return pa.table(
+        {"doc_id": pa.array(idx, pa.int64()), "text": pa.array(texts, pa.string())}
+    )
+
+
+def documents_scale_dir(n_docs: int, cache_dir: str = CACHE_DIR) -> str:
+    """Generate (once) a dedup-scale corpus of ``n_docs`` documents and
+    return a directory usable as ``sf_dir`` (contains documents.parquet as
+    a shard DIRECTORY — read_parquet reads it like a file).  Same
+    resumable shard layout as images_parquet_path."""
+    root = os.path.join(cache_dir, f"docscale_{n_docs}")
+    out_dir = os.path.join(root, "documents.parquet")
+    done = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(done):
+        return root
+    os.makedirs(out_dir, exist_ok=True)
+    shard = 10_000
+    todo = [
+        s
+        for s in range(0, n_docs, shard)
+        if not os.path.exists(os.path.join(out_dir, f"part-{s:09d}.parquet"))
+    ]
+
+    def _write(s: int) -> None:
+        tbl = generate_documents_batch(s, min(shard, n_docs - s))
+        path = os.path.join(out_dir, f"part-{s:09d}.parquet")
+        tmp = path + f".tmp{os.getpid()}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+
+    try:
+        import ray
+
+        have_ray = ray.is_initialized()
+    except ImportError:  # pragma: no cover
+        have_ray = False
+    if have_ray and len(todo) > 1:
+        import ray
+
+        w = ray.remote(num_cpus=1)(_write)
+        ray.get([w.remote(s) for s in todo])
+    else:
+        for s in todo:
+            _write(s)
+    with open(done, "w") as f:
+        f.write(str(n_docs))
+    return root
+
 
 def images_dir(sf: float, cache_dir: str = CACHE_DIR) -> str:
     """Pure path of the corpus cache dir at ``sf`` (no generation)."""

@@ -335,3 +335,23 @@ def test_banded_fp_subband_saturated_bucket(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(
         got.astype({"a": "int64", "b": "int64", "hamming": "int64"}), exp_df
     )
+
+
+def test_documents_scale_generator_shard_independent():
+    """The dedup-scale documents corpus is counter-based: any shard range
+    regenerates identically, and ~10% of docs are near-duplicates of a
+    cluster base (the structure minhash/clusters scale runs rely on)."""
+    from cov_tiles_ray.sources import synth
+
+    a = synth.generate_documents_batch(0, 120)
+    b = synth.generate_documents_batch(60, 60)
+    assert a.slice(60, 60).equals(b)
+    t = a["text"].to_pylist()
+    sims = 0
+    for i in range(1, 120):
+        base = i - (i % 7)
+        if base != i:
+            sa, sb = set(t[i].split()), set(t[base].split())
+            if len(sa & sb) / len(sa | sb) > 0.6:
+                sims += 1
+    assert sims >= 10  # near-dup clusters present
