@@ -351,7 +351,13 @@ def _join_pairs_with_payload(
             }
         )
 
-    payload_tagged = payload_ds.map_batches(tag_payloads, batch_format="pandas")
+    # materialize ONCE: both co-group hops union this stream, and a lazy
+    # dataset re-executes its whole upstream per consumer — here that meant
+    # reading the text and recomputing every signature twice more
+    # (measured at 250k docs: 112 s -> 56 s warm).  The payload sketch is
+    # bounded (id + fixed-width payload, no text), so this is a
+    # sketch-sized pin, not a dataset materialization.
+    payload_tagged = payload_ds.map_batches(tag_payloads, batch_format="pandas").materialize()
     stage1 = (
         cand.map_batches(tag_pairs, batch_format="pyarrow", zero_copy_batch=True)
         .union(payload_tagged)
