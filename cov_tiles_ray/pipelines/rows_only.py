@@ -2410,6 +2410,96 @@ def q_doc_compress_ratio(sf_dir: str):
 
 # simhash_docs / langid_detect / quality_scores / doc_fingerprints moved to
 # the SQL-oracle registry (pipelines.queries.SQL_QUERIES, VERDICT r1 #4).
+def q_audio_features(sf_dir: str):
+    """Audio-clip feature extraction + per-(codec, sample_rate) report:
+    actor-pool PCM decode -> integer-exact clip features (peak, |x| sum,
+    energy, zero crossings, clipped count) -> one small aggregate.  The
+    audio leg of the multimodal triad (image: q_image_quality, video:
+    VideoFrameSampler); compressed-codec rows (opus pseudo-blobs) ride the
+    honestly-stubbed decoded=False path.  Integer metrics make the
+    aggregate order/partitioning-invariant (recompute-tested)."""
+    from ray.data.aggregate import Max, Sum
+
+    from . import audio
+
+    ds = audio.read_audio(sf_dir)
+    feats = audio.features_pipeline(ds)
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["codec", "sample_rate"], sort=False).agg(
+            clips=("audio_id", "size"),
+            decoded=("decoded", "sum"),
+            total_samples=("n_samples", "sum"),
+            total_zero_crossings=("zero_crossings", "sum"),
+            total_abs=("abs_sum", "sum"),
+            total_energy=("energy", "sum"),
+            clipped_samples=("clipped", "sum"),
+            max_peak=("peak", "max"),
+        )
+        return g.reset_index()
+
+    return (
+        feats.map_batches(combine, batch_format="pandas")
+        .groupby(["codec", "sample_rate"])
+        .aggregate(
+            Sum("clips", alias_name="clips"),
+            Sum("decoded", alias_name="decoded"),
+            Sum("total_samples", alias_name="total_samples"),
+            Sum("total_zero_crossings", alias_name="total_zero_crossings"),
+            Sum("total_abs", alias_name="total_abs"),
+            Sum("total_energy", alias_name="total_energy"),
+            Sum("clipped_samples", alias_name="clipped_samples"),
+            Max("max_peak", alias_name="max_peak"),
+        )
+        .to_pandas()
+        .sort_values(["codec", "sample_rate"], ignore_index=True)
+    )
+
+
+def q_audio_resample_stats(sf_dir: str):
+    """Decimating resample to 8 kHz (integer stride) over the audio corpus
+    + layout report per codec: resampled clips, output samples, output
+    bytes.  Exercises the binary-in/binary-out actor stage shape (the
+    transform a feature-extraction or ASR prep pipeline runs before
+    batching into a model)."""
+    from ray.data.aggregate import Sum
+
+    from . import audio
+
+    ds = audio.read_audio(sf_dir)
+    res = audio.resample_pipeline(ds, target_rate=8000)
+
+    def combine(b: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "codec": b["codec"].to_pylist(),
+                "resampled": b["resampled"].to_numpy(zero_copy_only=False),
+                "out_samples": b["out_samples"].to_numpy(zero_copy_only=False),
+                "out_bytes": [len(x) for x in b["data"].to_pylist()],
+            }
+        )
+        g = df.groupby(["codec"], sort=False).agg(
+            clips=("resampled", "size"),
+            resampled=("resampled", "sum"),
+            out_samples=("out_samples", "sum"),
+            out_bytes=("out_bytes", "sum"),
+        )
+        return g.reset_index()
+
+    return (
+        res.map_batches(combine, batch_format="pyarrow")
+        .groupby("codec")
+        .aggregate(
+            Sum("clips", alias_name="clips"),
+            Sum("resampled", alias_name="resampled"),
+            Sum("out_samples", alias_name="out_samples"),
+            Sum("out_bytes", alias_name="out_bytes"),
+        )
+        .to_pandas()
+        .sort_values(["codec"], ignore_index=True)
+    )
+
+
 ROWS_ONLY_QUERIES = {
     "omt_fixture_transcode": q_omt_fixture_transcode,
     "covt_golden_decode": q_covt_golden_decode,
@@ -2437,6 +2527,8 @@ ROWS_ONLY_QUERIES = {
     "covt_new_layout": q_covt_new_layout,
     "image_thumbnails": q_image_thumbnails,
     "image_quality": q_image_quality,
+    "audio_features": q_audio_features,
+    "audio_resample_stats": q_audio_resample_stats,
     "image_tile_mosaic": q_image_tile_mosaic,
     "covt_feature_scan": q_covt_feature_scan,
     "dup_ngram_spans_kr": _q_dup_ngram_spans_kr,

@@ -216,6 +216,122 @@ def generate_documents_batch(start: int, n: int) -> pa.Table:
     )
 
 
+def audio_rows_for_sf(sf: float) -> int:
+    """Audio corpus size at ``sf`` (clips are heavier than images: 1/8)."""
+    return max(2000, rows_for_sf(sf) // 8)
+
+
+def generate_audio_batch(start: int, n: int) -> pa.Table:
+    """Rows [start, start+n) of the synthetic AUDIO corpus: opaque binary
+    clips + typed metadata (codec, sample_rate, channels, n_samples) — the
+    audio analogue of the image corpus for multimodal pipeline stages.
+
+    Counter-based (shard-independent) like generate_images_batch.  Clips
+    are two deterministic sine tones + hash noise, 0.1-0.5 s:
+      * pcm16 (70%): little-endian int16, channel-interleaved
+      * pcmu8 (20%): unsigned 8-bit (offset binary)
+      * opus  (10%): a pseudo-blob standing in for a real compressed codec
+        — NOT decodable here (codec libs absent in this container); these
+        rows exercise the decode stub path, mirroring VideoFrameSampler
+    ~1% of clips are exact content duplicates (audio dedup fodder).
+    """
+    idx = np.arange(start, start + n, dtype=np.int64)
+    dup = _u01(idx, 80) < 0.01
+    content = np.where(dup, idx // 50 * 50, idx)
+    codec_pick = _u01(content, 81)
+    codecs = np.where(
+        codec_pick < 0.7, "pcm16", np.where(codec_pick < 0.9, "pcmu8", "opus")
+    ).astype(object)
+    rates = np.where(_u01(content, 82) < 0.5, 8000, 16000).astype(np.int64)
+    chans = np.where(_u01(content, 83) < 0.8, 1, 2).astype(np.int64)
+    n_samp = (800 + (_u01(content, 84) * 3200)).astype(np.int64)
+    f1 = 100.0 + _u01(content, 85) * 900.0
+    f2 = 500.0 + _u01(content, 86) * 3000.0
+    amp = 0.2 + _u01(content, 87) * 0.7
+
+    blobs: list[bytes] = []
+    for g, cd, sr, ch, ns, a, b, am in zip(
+        content, codecs, rates, chans, n_samp, f1, f2, amp
+    ):
+        ns = int(ns)
+        if cd == "opus":
+            # pseudo-blob: deterministic bytes, not a real opus stream
+            h = _splitmix64(np.uint64(g) * np.uint64(977) + np.arange(ns // 4, dtype=np.uint64))
+            blobs.append(h.astype("<u8").tobytes()[: ns // 2])
+            continue
+        t = np.arange(ns, dtype=np.float64) / float(sr)
+        noise_u = (
+            _splitmix64(np.uint64(g) * np.uint64(523) + np.arange(ns, dtype=np.uint64))
+            >> np.uint64(11)
+        ).astype(np.float64) / float(1 << 53)
+        x = am * (np.sin(2 * np.pi * a * t) + 0.5 * np.sin(2 * np.pi * b * t)) / 1.5
+        x = x + (noise_u - 0.5) * 0.05
+        x = np.clip(x, -1.0, 1.0)
+        if ch == 2:
+            # second channel: attenuated + 1-sample delay (deterministic)
+            y = np.roll(x, 1) * 0.8
+            inter = np.empty(2 * ns, dtype=np.float64)
+            inter[0::2] = x
+            inter[1::2] = y
+            x = inter
+        if cd == "pcm16":
+            blobs.append((np.rint(x * 32767.0).astype("<i2")).tobytes())
+        else:  # pcmu8: offset-binary unsigned 8-bit
+            blobs.append((np.rint(x * 127.0) + 128).astype(np.uint8).tobytes())
+    return pa.table(
+        {
+            "audio_id": pa.array([f"aud{g:012d}" for g in idx], pa.string()),
+            "codec": pa.array(codecs, pa.string()),
+            "sample_rate": pa.array(rates, pa.int64()),
+            "channels": pa.array(chans, pa.int64()),
+            "n_samples": pa.array(n_samp, pa.int64()),
+            "data": pa.array(blobs, pa.large_binary()),
+        }
+    )
+
+
+def audio_parquet_path(sf: float, cache_dir: str = CACHE_DIR) -> str:
+    """Generate (once) and return the audio-corpus parquet dir at ``sf``
+    (same resumable shard layout as images_parquet_path)."""
+    n = audio_rows_for_sf(sf)
+    out_dir = os.path.join(cache_dir, f"audio_sf{sf:g}")
+    done = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(done):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    shard = 5_000
+    todo = [
+        s
+        for s in range(0, n, shard)
+        if not os.path.exists(os.path.join(out_dir, f"part-{s:09d}.parquet"))
+    ]
+
+    def _write(s: int) -> None:
+        tbl = generate_audio_batch(s, min(shard, n - s))
+        path = os.path.join(out_dir, f"part-{s:09d}.parquet")
+        tmp = path + f".tmp{os.getpid()}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+
+    try:
+        import ray
+
+        have_ray = ray.is_initialized()
+    except ImportError:  # pragma: no cover
+        have_ray = False
+    if have_ray and len(todo) > 1:
+        import ray
+
+        w = ray.remote(num_cpus=1)(_write)
+        ray.get([w.remote(s) for s in todo])
+    else:
+        for s in todo:
+            _write(s)
+    with open(done, "w") as f:
+        f.write(str(n))
+    return out_dir
+
+
 def documents_scale_dir(n_docs: int, cache_dir: str = CACHE_DIR) -> str:
     """Generate (once) a dedup-scale corpus of ``n_docs`` documents and
     return a directory usable as ``sf_dir`` (contains documents.parquet as
