@@ -90,6 +90,7 @@ def run_gate(sf: float, sf_dir: str | None = None, rows_only: bool = False,
 
     sf_dir = sf_dir or f"/root/testdata/sf{sf:g}"
     synth.images_parquet_path(sf)  # corpus cache for both engines
+    synth.audio_parquet_path(sf)
     csql = corpus_sql(sf)
     con = _duck(sf_dir)
     results: dict[str, dict] = {}

@@ -3468,6 +3468,70 @@ def _sql_image_exact_dedup(sf: float = 0.01) -> str:
     """
 
 
+def q_audio_exact_dedup(sf_dir: str):
+    """Exact byte-level AUDIO dedup (the audio leg of multimodal dedup,
+    mirroring q_image_exact_dedup): one row per duplicated clip-content
+    group with the kept (minimum) audio id and the copy count.  Blobs are
+    md5-digested where they are read; only (key, id) rides the groupby —
+    clip bytes never enter the shuffle.  The oracle groups the raw blob
+    column directly over the same synthesized corpus parquet."""
+    import hashlib
+
+    from ray.data.aggregate import Count, Min
+
+    from . import audio
+
+    clips = audio.read_audio(sf_dir, columns=["audio_id", "data"])
+
+    def digest(b: pa.Table) -> pa.Table:
+        nums = np.array([int(s[3:]) for s in b["audio_id"].to_pylist()], np.int64)
+        keys = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(x).digest()[:8], "little") - (1 << 63)
+                for x in b["data"].to_pylist()
+            ),
+            np.int64,
+            b.num_rows,
+        )
+        return pa.table({"k": pa.array(keys), "idnum": pa.array(nums)})
+
+    g = (
+        clips.map_batches(digest, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k")
+        .aggregate(Min("idnum", alias_name="mn"), Count(alias_name="n_copies"))
+    )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["n_copies"] > 1]
+        return pd.DataFrame(
+            {
+                "keep_audio_id": [f"aud{v:012d}" for v in df["mn"].to_numpy(np.int64)],
+                "n_copies": df["n_copies"].to_numpy(np.int64),
+            }
+        )
+
+    out = g.map_batches(fin, batch_format="pandas").to_pandas()
+    return out.sort_values("keep_audio_id", ignore_index=True)
+
+
+def _sql_audio_exact_dedup(sf: float = 0.01) -> str:
+    import os
+
+    from ..sources import synth as _synth
+
+    path = os.path.join(_synth.CACHE_DIR, f"audio_sf{sf:g}", "*.parquet")
+    return f"""
+    SELECT 'aud' || lpad(CAST(mn AS VARCHAR), 12, '0') AS keep_audio_id, n_copies
+    FROM (
+      SELECT MIN(CAST(substr(audio_id, 4) AS BIGINT)) AS mn,
+             CAST(count(*) AS BIGINT) AS n_copies
+      FROM read_parquet('{path}') GROUP BY data
+    )
+    WHERE n_copies > 1
+    ORDER BY keep_audio_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # session-5 batch 2: chunking, sampling, windows, set ops, outer join, sizes
 # ---------------------------------------------------------------------------
@@ -9999,6 +10063,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "geo_radius_join": (q_geo_radius_join, _sql_geo_radius_join()),
     "hex_ring_density": (q_hex_ring_density, _sql_hex_ring_density()),
     "image_exact_dedup": (q_image_exact_dedup, _sql_image_exact_dedup()),
+    "audio_exact_dedup": (q_audio_exact_dedup, _sql_audio_exact_dedup()),
     "ann_cosine_top5": (q_ann_cosine_top5, _sql_ann_cosine_top5()),
     "decontaminate": (q_decontaminate, _sql_decontaminate()),
     "inverted_index": (q_inverted_index, _sql_inverted_index()),
@@ -10075,6 +10140,7 @@ def corpus_sql(sf: float) -> dict[str, str]:
         "phash_dedup": _sql_phash_dedup(sf),
         "phash_neardup": _sql_phash_neardup(sf),
         "image_exact_dedup": _sql_image_exact_dedup(sf),
+        "audio_exact_dedup": _sql_audio_exact_dedup(sf),
         "image_size_stats": _sql_image_size_stats(sf),
         "image_aspect_stats": _sql_image_aspect_stats(sf),
         "caption_word_stats": _sql_caption_word_stats(sf),

@@ -53,35 +53,20 @@ def sql_query_names():
 
 @pytest.mark.parametrize("name", sql_query_names())
 def test_sql_query_matches_oracle(name, con, ray_session):
-    from cov_tiles_ray.pipelines.queries import (
-        SQL_QUERIES,
-        _sql_caption_word_stats,
-        _sql_geo_grid_dbscan,
-        _sql_image_exact_dedup,
-        _sql_image_size_stats,
-        _sql_phash_dedup,
-        _sql_phash_neardup,
-    )
+    from cov_tiles_ray.pipelines.queries import SQL_QUERIES, corpus_sql
 
     fn, sql = SQL_QUERIES[name]
-    from cov_tiles_ray.pipelines.queries import _sql_image_aspect_stats
-
-    corpus_sql = {
-        "phash_dedup": _sql_phash_dedup,
-        "phash_neardup": _sql_phash_neardup,
-        "image_exact_dedup": _sql_image_exact_dedup,
-        "image_size_stats": _sql_image_size_stats,
-        "image_aspect_stats": _sql_image_aspect_stats,
-        "caption_word_stats": _sql_caption_word_stats,
-        "geo_grid_dbscan": _sql_geo_grid_dbscan,
-    }
-    if name in corpus_sql:
+    rebuilt = corpus_sql(0.001)
+    if name in rebuilt:
         # registered SQL targets the driver's sf0.01 corpus; rebuild for
         # this test's scale (and make sure the cache exists for DuckDB)
         from cov_tiles_ray.sources import synth
 
-        synth.images_parquet_path(0.001)
-        sql = corpus_sql[name](0.001)
+        if name == "audio_exact_dedup":
+            synth.audio_parquet_path(0.001)
+        else:
+            synth.images_parquet_path(0.001)
+        sql = rebuilt[name]
     got = _normalize(_to_df(fn(SF_DIR)))
     want = _normalize(con.execute(sql).fetchdf())
     assert list(got.columns) == list(want.columns), f"{name}: column mismatch"
