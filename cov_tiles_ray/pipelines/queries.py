@@ -1284,18 +1284,20 @@ def _sql_geo_grid_dbscan(sf: float = 0.01) -> str:
     """
 
 
-def _sql_phash_neardup(sf: float = 0.01) -> str:
-    """SQL mirror of rows_only.q_phash_neardup: the stored int64 phash
-    wraps to u64 HUGEINT, splits into 4x16-bit band keys, bucket cap by
-    lowest image_id (binary collation = numpy object-array sort for the
-    ASCII ids), distinct a<b candidates, exact hamming via
+def _phash_pair_ctes(sf: float) -> str:
+    """The shared CTE chain of the phash near-dup oracle, ending in
+    pairs(img_a, img_b, hamming): the stored int64 phash wraps to u64
+    HUGEINT, splits into 4x16-bit band keys, bucket cap by lowest
+    image_id (binary collation = numpy object-array sort for the ASCII
+    ids), distinct a<b candidates, exact hamming via
     bit_count(xor) <= 3 — same construction as _sql_simhash_neardup but
-    over the synthesized image-corpus parquet like _sql_phash_dedup."""
+    over the synthesized image-corpus parquet like _sql_phash_dedup.
+    Used by _sql_phash_neardup (the pair list) and
+    _sql_image_phash_clusters (connected components over the pairs)."""
     from ..sources import synth
     from .rows_only import MAX_LSH_BUCKET, SIMHASH_BANDS, SIMHASH_HAMMING_MAX
 
-    return f"""
-    WITH img AS (
+    return f"""img AS (
       SELECT image_id,
              CAST(phash AS HUGEINT)
              + CASE WHEN phash < 0 THEN {_U64} ELSE CAST(0 AS HUGEINT) END AS f
@@ -1316,9 +1318,40 @@ def _sql_phash_neardup(sf: float = 0.01) -> str:
                       a.f AS fa, b.f AS fb
       FROM mem a JOIN mem b
         ON a.band = b.band AND a.key = b.key AND a.image_id < b.image_id
+    ), pairs AS (
+      SELECT img_a, img_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+      FROM cand WHERE bit_count(xor(fa, fb)) <= {SIMHASH_HAMMING_MAX}
+    )"""
+
+
+def _sql_phash_neardup(sf: float = 0.01) -> str:
+    """SQL mirror of rows_only.q_phash_neardup (see _phash_pair_ctes)."""
+    return f"""
+    WITH {_phash_pair_ctes(sf)}
+    SELECT img_a, img_b, hamming FROM pairs
+    """
+
+
+def _sql_image_phash_clusters(sf: float = 0.01) -> str:
+    """SQL mirror of rows_only.q_image_phash_clusters: the shared phash
+    pair CTEs, then connected components via a recursive
+    transitive-closure CTE — cluster_id = lexically smallest image_id
+    reachable (fixed-width ids: lexical == numeric), keep = 1 iff the
+    image IS its cluster id."""
+    return f"""
+    WITH RECURSIVE {_phash_pair_ctes(sf)}, edges AS (
+      SELECT img_a AS u, img_b AS v FROM pairs
+      UNION
+      SELECT img_b, img_a FROM pairs
+    ), reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
     )
-    SELECT img_a, img_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
-    FROM cand WHERE bit_count(xor(fa, fb)) <= {SIMHASH_HAMMING_MAX}
+    SELECT u AS image_id,
+           least(u, min(v)) AS cluster_id,
+           CAST(u = least(u, min(v)) AS BIGINT) AS keep
+    FROM reach GROUP BY u ORDER BY image_id
     """
 
 
@@ -9968,6 +10001,400 @@ def _sql_orders_daily_dense() -> str:
     FROM dense LEFT JOIN agg USING (day)
     """
 
+# ---------------------------------------------------------------------------
+# round-4 additions: TPC-H-shaped join aggregates (Q14/Q13/Q4) + graph BFS
+# ---------------------------------------------------------------------------
+
+
+def q_promo_revenue(sf_dir: str):
+    """Promotion revenue share per ship-month — the TPC-H Q14 shape
+    (lineitem x part dimension join + conditional aggregate), extended
+    to every month: per year*100+month of l_shipdate, promo-part revenue
+    cents, total revenue cents, and the promo share in basis points.
+
+    Exactness: cents = floor(extprice * (1 - disc) * 100) per line (the
+    house money rule); the final share divides the two month totals with
+    PYTHON bigints // (HUGEINT // in the oracle), so no float and no
+    int64 overflow at any corpus scale.
+
+    Scale shape: the part dimension reduces to ONE bool per partkey
+    broadcast via ray.put (fetch-once per worker); each lineitem batch
+    combines to <= |months| partial rows before the tiny month groupby.
+    At TPC-H ratios part is lineitem/30 — when the flag map outgrows
+    worker heaps the documented swap is the hash co-partition join
+    (q_order_line_join's engine) keyed on partkey."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    promo_ref = ray.put(
+        pd.Series(
+            part["p_type"].to_numpy(object) == "PROMO",
+            index=part["p_partkey"].to_numpy(np.int64),
+        )
+    )
+
+    lines = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        promo = _ray.get(promo_ref)  # plasma-local after first fetch per worker
+        d = b["l_shipdate"].to_numpy(zero_copy_only=False).astype("datetime64[M]")
+        y = d.astype("datetime64[Y]").astype(np.int64) + 1970
+        ym = y * 100 + (d.astype(np.int64) % 12 + 1)
+        cents = np.floor(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False))
+            * 100.0
+        ).astype(np.int64)
+        isp = promo.reindex(b["l_partkey"].to_numpy(zero_copy_only=False)).to_numpy(bool)
+        u, inv = np.unique(ym, return_inverse=True)
+        tot = np.zeros(len(u), np.int64)
+        np.add.at(tot, inv, cents)
+        pr = np.zeros(len(u), np.int64)
+        np.add.at(pr, inv[isp], cents[isp])
+        return pa.table(
+            {"ym": pa.array(u), "promo_cents": pa.array(pr), "total_cents": pa.array(tot)}
+        )
+
+    agg = (
+        lines.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ym")
+        .aggregate(
+            Sum("promo_cents", alias_name="promo_cents"),
+            Sum("total_cents", alias_name="total_cents"),
+        )
+        .to_pandas()
+        .sort_values("ym")
+    )
+    share = np.fromiter(
+        (int(p) * 10000 // int(t) for p, t in zip(agg["promo_cents"], agg["total_cents"])),
+        np.int64,
+        len(agg),
+    )
+    return pa.table(
+        {
+            "ym": pa.array(agg["ym"].to_numpy(np.int64)),
+            "promo_cents": pa.array(agg["promo_cents"].to_numpy(np.int64)),
+            "total_cents": pa.array(agg["total_cents"].to_numpy(np.int64)),
+            "share_bp": pa.array(share),
+        }
+    )
+
+
+def _sql_promo_revenue() -> str:
+    return """
+    WITH l AS (
+      SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ym,
+             CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT) AS cents,
+             p_type
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+    )
+    SELECT ym,
+           CAST(SUM(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS BIGINT) AS promo_cents,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(SUM(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)::HUGEINT * 10000
+                // SUM(cents)::HUGEINT AS BIGINT) AS share_bp
+    FROM l GROUP BY ym
+    """
+
+
+def q_cust_order_histogram(sf_dir: str):
+    """Orders-per-customer distribution INCLUDING zero-order customers —
+    the TPC-H Q13 shape (outer join + double aggregate): one row per
+    distinct order count with the number of customers holding exactly
+    that many orders.
+
+    Scale shape: orders pre-combine to <= |customers-in-batch| partial
+    (custkey, n) rows per batch; ONE hash co-partition with the customer
+    key list then resolves totals per customer inside each part (every
+    custkey lives in exactly one part, so per-part histograms are
+    disjoint and their Sum is exact); orphan order custkeys — rows no
+    customer owns — drop per LEFT-JOIN-from-customer semantics.  Only
+    (key, count) pairs ever shuffle."""
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    n_parts = int(max(8, min(4096, orders.count() // 200_000 + 1)))
+
+    def tag_cust(b: pa.Table) -> pa.Table:
+        k = b["c_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": b["c_custkey"],
+                "cnt": pa.array(np.zeros(len(k), np.int64)),
+                "is_build": pa.array(np.ones(len(k), bool)),
+                "part": pa.array(
+                    (synth._splitmix64(k.astype(np.uint64)) % np.uint64(n_parts)).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        k = b["o_custkey"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(k, return_counts=True)  # per-batch combiner
+        return pa.table(
+            {
+                "key": pa.array(u.astype(np.int64)),
+                "cnt": pa.array(c.astype(np.int64)),
+                "is_build": pa.array(np.zeros(len(u), bool)),
+                "part": pa.array(
+                    (synth._splitmix64(u.astype(np.uint64)) % np.uint64(n_parts)).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    _empty = pa.table(
+        {"n_orders": pa.array([], pa.int64()), "n_customers": pa.array([], pa.int64())}
+    )
+
+    def hist_part(t: pa.Table) -> pa.Table:
+        isb = t["is_build"].to_numpy(zero_copy_only=False)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        bkey = key[isb]
+        if len(bkey) == 0:
+            return _empty
+        order = np.argsort(bkey)
+        bks = bkey[order]
+        totals = np.zeros(len(bks), np.int64)
+        pkey, pcnt = key[~isb], cnt[~isb]
+        if len(pkey):
+            pos = np.minimum(np.searchsorted(bks, pkey), len(bks) - 1)
+            found = bks[pos] == pkey  # orphan order custkeys drop here
+            np.add.at(totals, pos[found], pcnt[found])
+        u, c = np.unique(totals, return_counts=True)
+        return pa.table(
+            {"n_orders": pa.array(u.astype(np.int64)), "n_customers": pa.array(c.astype(np.int64))}
+        )
+
+    return (
+        cust.map_batches(tag_cust, batch_format="pyarrow", zero_copy_batch=True)
+        .union(orders.map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True))
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(hist_part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby("n_orders")
+        .aggregate(Sum("n_customers", alias_name="n_customers"))
+    )
+
+
+def _sql_cust_order_histogram() -> str:
+    return """
+    SELECT CAST(cnt AS BIGINT) AS n_orders, CAST(count(*) AS BIGINT) AS n_customers
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS cnt
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey
+    ) GROUP BY cnt
+    """
+
+
+_LATE_DAYS = 60
+
+
+def q_orders_late_priority(sf_dir: str):
+    """Semi-join EXISTS aggregate — the TPC-H Q4 shape: per order
+    priority, how many orders have AT LEAST ONE line shipped more than
+    60 days after the order date (late-fulfilment monitoring).
+
+    Scale shape: lineitem batches pre-combine to one (orderkey,
+    max shipday) row per key per batch — EXISTS(ship > cut) is
+    max-reducible, so the semi-join probe side shrinks before the ONE
+    orderkey hash co-partition; each part re-reduces the max per key,
+    marks build orders with maxday > orderday + 60, and emits
+    <= |priorities| partial counts.  Dates compare as integer epoch
+    days on both engines (midnight timestamps)."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_orderdate"])
+    lines = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    n_parts = int(max(8, min(4096, lines.count() // 200_000 + 1)))
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        day = (
+            b["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[D]").astype(np.int64)
+        )
+        return pa.table(
+            {
+                "key": b["o_orderkey"],
+                "day": pa.array(day),
+                "priority": b["o_orderpriority"],
+                "is_build": pa.array(np.ones(len(k), bool)),
+                "part": pa.array(
+                    (synth._splitmix64(k.astype(np.uint64)) % np.uint64(n_parts)).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    def tag_lines(b: pa.Table) -> pa.Table:
+        k = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        day = (
+            b["l_shipdate"].to_numpy(zero_copy_only=False).astype("datetime64[D]").astype(np.int64)
+        )
+        u, inv = np.unique(k, return_inverse=True)  # per-batch max combiner
+        mx = np.full(len(u), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, inv, day)
+        return pa.table(
+            {
+                "key": pa.array(u.astype(np.int64)),
+                "day": pa.array(mx),
+                "priority": pa.array(np.full(len(u), "", object), pa.string()),
+                "is_build": pa.array(np.zeros(len(u), bool)),
+                "part": pa.array(
+                    (synth._splitmix64(u.astype(np.uint64)) % np.uint64(n_parts)).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    _empty = pa.table(
+        {"o_orderpriority": pa.array([], pa.string()), "n_late": pa.array([], pa.int64())}
+    )
+
+    def late_part(t: pa.Table) -> pa.Table:
+        hit = _join_part_key(t)
+        if hit is None:
+            return _empty
+        b_hit, p_hit = hit
+        oday = t["day"].to_numpy(zero_copy_only=False)[b_hit]
+        sday = t["day"].to_numpy(zero_copy_only=False)[p_hit]
+        prio = t["priority"].to_numpy(zero_copy_only=False)[b_hit]
+        # several per-batch max partials may hit the same order: reduce by
+        # build row, then test once per order (EXISTS == max > cut)
+        ub, first, inv = np.unique(b_hit, return_index=True, return_inverse=True)
+        mx = np.full(len(ub), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, inv, sday)
+        # `first` indexes in ub (= inv value) order, keeping mx aligned
+        late = mx > oday[first] + _LATE_DAYS
+        u, c = np.unique(prio[first][late], return_counts=True)
+        return pa.table(
+            {"o_orderpriority": pa.array(u, pa.string()), "n_late": pa.array(c.astype(np.int64))}
+        )
+
+    return (
+        orders.map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True)
+        .union(lines.map_batches(tag_lines, batch_format="pyarrow", zero_copy_batch=True))
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(late_part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_late", alias_name="n_late"))
+    )
+
+
+def _sql_orders_late_priority() -> str:
+    return f"""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL {_LATE_DAYS} DAY
+    )
+    GROUP BY o_orderpriority
+    """
+
+
+def q_nation_bfs_hops(sf_dir: str):
+    """Single-source BFS hop distances over the above-mean nation trade
+    graph — the traversal primitive alongside q_nation_pagerank
+    (iteration) and q_trade_triangles (enumeration): undirected
+    above-mean edges (the exact integer w * n_edges > total_w cut of
+    q_trade_triangles), source = the smallest endpoint in the filtered
+    edge set, output (nationkey, hops) for every reachable nation.
+
+    Scale shape: the corpus-sized work is the shared distributed
+    lineitem x orders co-partition join (_nation_trade_edges,
+    <= nations^2 rows out); BFS runs on that domain-bounded edge list on
+    the driver.  At web-scale node sets the swap is the per-round
+    frontier shuffle already demonstrated by rows_only._hashmin_labels
+    (hop labels are min-monotone exactly like component labels)."""
+    e = _nation_trade_edges(sf_dir)
+    src = e["src"].to_numpy(np.int64)
+    dst = e["dst"].to_numpy(np.int64)
+    und = (
+        pd.DataFrame(
+            {
+                "a": np.minimum(src, dst),
+                "b": np.maximum(src, dst),
+                "w": e["w"].to_numpy(np.int64),
+            }
+        )
+        .query("a != b")
+        .groupby(["a", "b"], as_index=False)["w"]
+        .sum()
+    )
+    n_e = len(und)
+    tot = int(und["w"].sum())
+    ek = und[und["w"].to_numpy(np.int64) * n_e > tot]
+    _empty = pa.table(
+        {"nationkey": pa.array([], pa.int64()), "hops": pa.array([], pa.int64())}
+    )
+    if len(ek) == 0:
+        return _empty
+    nbrs: dict[int, set] = {}
+    for r in ek.itertuples():
+        nbrs.setdefault(int(r.a), set()).add(int(r.b))
+        nbrs.setdefault(int(r.b), set()).add(int(r.a))
+    source = min(nbrs)
+    hops = {source: 0}
+    frontier = [source]
+    d = 0
+    while frontier:
+        d += 1
+        frontier = [
+            v for u in frontier for v in nbrs[u] if v not in hops and hops.setdefault(v, d) == d
+        ]
+    out = sorted(hops.items())
+    return pa.table(
+        {
+            "nationkey": pa.array(np.asarray([k for k, _ in out], np.int64)),
+            "hops": pa.array(np.asarray([h for _, h in out], np.int64)),
+        }
+    )
+
+
+def _sql_nation_bfs_hops() -> str:
+    return """
+    WITH RECURSIVE e0 AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ), und AS (
+      SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, SUM(w) AS w
+      FROM e0 WHERE src <> dst GROUP BY 1, 2
+    ), m AS (
+      SELECT count(*) AS ne, SUM(w) AS tot FROM und
+    ), ek AS (
+      SELECT a, b FROM und, m WHERE w * ne > tot
+    ), edges AS (
+      SELECT a AS u, b AS v FROM ek UNION SELECT b, a FROM ek
+    ), walk(v, d) AS (
+      SELECT u, 0 FROM edges WHERE u = (SELECT min(u) FROM edges)
+      UNION
+      SELECT e.v, w.d + 1 FROM walk w JOIN edges e ON e.u = w.v
+      WHERE w.d < (SELECT count(DISTINCT u) FROM edges)
+    )
+    SELECT CAST(v AS BIGINT) AS nationkey, CAST(min(d) AS BIGINT) AS hops
+    FROM walk GROUP BY v
+    """
+
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -10094,6 +10521,10 @@ SQL_QUERIES: dict[str, tuple] = {
     "topk_orders_with_ties": (q_topk_orders_with_ties, _sql_topk_orders_with_ties()),
     "orders_daily_dense": (q_orders_daily_dense, _sql_orders_daily_dense()),
     "embedding_label_stats": (q_embedding_label_centroid_norms, _sql_embedding_label()),
+    "promo_revenue": (q_promo_revenue, _sql_promo_revenue()),
+    "cust_order_histogram": (q_cust_order_histogram, _sql_cust_order_histogram()),
+    "orders_late_priority": (q_orders_late_priority, _sql_orders_late_priority()),
+    "nation_bfs_hops": (q_nation_bfs_hops, _sql_nation_bfs_hops()),
 }
 
 
@@ -10107,6 +10538,10 @@ def _register_promoted() -> None:
         {
             "phash_dedup": (_ro.q_phash_dedup, _sql_phash_dedup()),
             "phash_neardup": (_ro.q_phash_neardup, _sql_phash_neardup()),
+            "image_phash_clusters": (
+                _ro.q_image_phash_clusters,
+                _sql_image_phash_clusters(),
+            ),
             "doc_fingerprints": (_ro.q_doc_fingerprints, _sql_doc_fingerprints()),
             "simhash_docs": (_ro.q_simhash_docs, _sql_simhash_docs()),
             "quality_scores": (_ro.q_quality_scores, _sql_quality_scores()),
@@ -10139,6 +10574,7 @@ def corpus_sql(sf: float) -> dict[str, str]:
     return {
         "phash_dedup": _sql_phash_dedup(sf),
         "phash_neardup": _sql_phash_neardup(sf),
+        "image_phash_clusters": _sql_image_phash_clusters(sf),
         "image_exact_dedup": _sql_image_exact_dedup(sf),
         "audio_exact_dedup": _sql_audio_exact_dedup(sf),
         "image_size_stats": _sql_image_size_stats(sf),

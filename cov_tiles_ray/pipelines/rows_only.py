@@ -672,8 +672,6 @@ def q_neardup_clusters(sf_dir: str):
     to the object store — distributed, ids-only, never the texts, never on
     the driver.  Output is one row per doc that appears in >=1 verified
     pair (singletons are trivially their own cluster and are omitted)."""
-    from ray.data.aggregate import Sum
-
     pairs = _verified_pairs(sf_dir)
 
     def symm(df: pd.DataFrame) -> pd.DataFrame:
@@ -691,6 +689,29 @@ def q_neardup_clusters(sf_dir: str):
     )
     if edges.count() == 0:
         return empty
+
+    out = _hashmin_labels(edges).sort_values("node")
+    node = out["node"].to_numpy(np.int64)
+    label = out["label"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(node),
+            "cluster_id": pa.array(label),
+            "keep": pa.array((node == label).astype(np.int64)),
+        }
+    )
+
+
+def _hashmin_labels(edges) -> pd.DataFrame:
+    """Distributed iterative min-label propagation ("Hash-Min") over a
+    symmetrized int64 edge Dataset (columns u, v): returns the converged
+    (node, label) frame, label = min node id reachable — the shared
+    connected-components engine of q_neardup_clusters (text near-dups)
+    and q_image_phash_clusters (image perceptual-hash near-dups).  Each
+    round is two hash shuffles over ids only; the min-monotone label SUM
+    is the convergence test; rounds = O(component diameter), 64-round
+    cap."""
+    from ray.data.aggregate import Sum
 
     def init_label(g: pd.DataFrame) -> pd.DataFrame:
         n = int(g["u"].iloc[0])
@@ -748,16 +769,7 @@ def q_neardup_clusters(sf_dir: str):
     else:  # pragma: no cover - 2^64-node path graph territory
         raise RuntimeError("min-label propagation did not converge in 64 rounds")
 
-    out = labels.to_pandas().sort_values("node")  # final result: one row per near-dup doc
-    node = out["node"].to_numpy(np.int64)
-    label = out["label"].to_numpy(np.int64)
-    return pa.table(
-        {
-            "doc_id": pa.array(node),
-            "cluster_id": pa.array(label),
-            "keep": pa.array((node == label).astype(np.int64)),
-        }
-    )
+    return labels.to_pandas()  # one row per node that appears in >=1 edge
 
 
 def q_embedding_neardup(sf_dir: str):
@@ -1107,6 +1119,55 @@ def q_phash_neardup(sf_dir: str):
         "img_a",
         "img_b",
         pa.string(),
+    )
+
+
+def q_image_phash_clusters(sf_dir: str):
+    """IMAGE near-duplicate CLUSTERING: connected components over the
+    perceptual-hash near-dup pair graph (q_phash_neardup: banded
+    hamming <= 3 on the 64-bit phash), cluster_id = the lexically
+    smallest image_id in the component (ids are fixed-width 'img%012d',
+    so lexical == numeric order), keep = 1 iff the image IS its
+    cluster's canonical survivor — the image-corpus counterpart of
+    q_neardup_clusters, i.e. the "which near-dup images does a
+    CLIP-style training corpus retain" decision.
+
+    Scale shape: pairs come from the banded sub-quadratic phash engine
+    (only 8-byte hashes + ids ride that shuffle), and the component
+    labels run through the shared distributed Hash-Min propagation
+    (_hashmin_labels) on integer node ids — ids-only per-round shuffles,
+    O(component diameter) rounds, never the image bytes."""
+    pairs = q_phash_neardup(sf_dir)  # bounded pa.Table: img_a, img_b, hamming
+    empty = pa.table(
+        {
+            "image_id": pa.array([], pa.string()),
+            "cluster_id": pa.array([], pa.string()),
+            "keep": pa.array([], pa.int64()),
+        }
+    )
+    if pairs.num_rows == 0:
+        return empty
+
+    def to_int(col) -> np.ndarray:
+        # 'img%012d' -> int64 (strip the 3-char prefix)
+        return np.char.lstrip(col.to_numpy(zero_copy_only=False).astype("U15"), "img").astype(np.int64)
+
+    a = to_int(pairs["img_a"])
+    b = to_int(pairs["img_b"])
+    edges = rd.from_arrow(
+        pa.table({"u": pa.array(np.concatenate([a, b])), "v": pa.array(np.concatenate([b, a]))})
+    ).materialize()
+
+    out = _hashmin_labels(edges).sort_values("node")
+    node = out["node"].to_numpy(np.int64)
+    label = out["label"].to_numpy(np.int64)
+    fmt = np.frompyfunc("img{:012d}".format, 1, 1)
+    return pa.table(
+        {
+            "image_id": pa.array(fmt(node).astype("U15"), pa.string()),
+            "cluster_id": pa.array(fmt(label).astype("U15"), pa.string()),
+            "keep": pa.array((node == label).astype(np.int64)),
+        }
     )
 
 
