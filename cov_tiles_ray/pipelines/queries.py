@@ -10395,6 +10395,464 @@ def _sql_nation_bfs_hops() -> str:
     """
 
 
+_SLIDE_W = 7  # trailing window, days
+
+
+def q_sliding_distinct_users(sf_dir: str):
+    """Sliding-window COUNT DISTINCT: per (event_type, day), how many
+    distinct users had >= 1 event of that type in the trailing 7-day
+    window — the DAU/WAU-style engagement metric.  Distinct-over-window
+    is NOT sum-decomposable (a user active on 3 window days counts
+    once), so the windowed pre-aggregation other ops use doesn't apply.
+
+    The scalable shape used here: a user's contribution to type t is the
+    UNION of intervals [day, day+6] over their active days — so per
+    (type, user) merge overlapping intervals (one vectorized lexsort +
+    gap scan per part), emit +1/-1 boundary DELTAS, and prefix-sum the
+    deltas per type.  Nothing user-level ever re-shuffles: stage 1
+    dedupes (type, user, day) per batch, ONE user-hash part-exchange
+    co-locates each user's days, and each part emits delta partials
+    already combined to <= |type x day| rows.  The final prefix scan
+    runs on the calendar-bounded delta table."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "ts"])
+    n_parts = int(max(8, min(4096, ds.count() // 200_000 + 1)))
+
+    def dedup_batch(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False).astype("U16")
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        day = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[D]").astype(np.int64)
+        order = np.lexsort((day, uid, et))
+        et, uid, day = et[order], uid[order], day[order]
+        keep = np.r_[
+            True, (et[1:] != et[:-1]) | (uid[1:] != uid[:-1]) | (day[1:] != day[:-1])
+        ] if len(et) else np.zeros(0, bool)
+        et, uid, day = et[keep], uid[keep], day[keep]
+        return pa.table(
+            {
+                "event_type": pa.array(et, pa.string()),
+                "user_id": pa.array(uid.astype(np.int64)),
+                "day": pa.array(day),
+                "part": pa.array(
+                    (synth._splitmix64(uid.astype(np.uint64)) % np.uint64(n_parts)).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "day": pa.array([], pa.int64()),
+            "delta": pa.array([], pa.int64()),
+        }
+    )
+
+    def deltas_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        et = t["event_type"].to_numpy(zero_copy_only=False).astype("U16")
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        day = t["day"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, uid, et))
+        et, uid, day = et[order], uid[order], day[order]
+        new_key = np.r_[True, (et[1:] != et[:-1]) | (uid[1:] != uid[:-1])]
+        # cross-batch duplicate (type, user, day) rows melt into the runs
+        # (equal days have gap 0); a new interval starts at a key change
+        # or a > window-1 day gap
+        gap_break = np.r_[True, (day[1:] - day[:-1]) > (_SLIDE_W - 1)]
+        new_iv = new_key | gap_break
+        starts = day[new_iv]
+        # interval end = last day of the run + W-1
+        ends = day[np.r_[new_iv[1:], True]] + (_SLIDE_W - 1)
+        iv_type = et[new_iv]
+        # +1 at start, -1 at end+1; combine per (type, day) before emitting
+        dtype_ = np.concatenate([iv_type, iv_type])
+        dday = np.concatenate([starts, ends + 1])
+        dval = np.concatenate(
+            [np.ones(len(starts), np.int64), -np.ones(len(starts), np.int64)]
+        )
+        o2 = np.lexsort((dday, dtype_))
+        dtype_, dday, dval = dtype_[o2], dday[o2], dval[o2]
+        nw = np.r_[True, (dtype_[1:] != dtype_[:-1]) | (dday[1:] != dday[:-1])]
+        seg = np.cumsum(nw) - 1
+        sums = np.zeros(int(seg[-1]) + 1, np.int64)
+        np.add.at(sums, seg, dval)
+        return pa.table(
+            {
+                "event_type": pa.array(dtype_[nw], pa.string()),
+                "day": pa.array(dday[nw]),
+                "delta": pa.array(sums),
+            }
+        )
+
+    deltas = (
+        ds.map_batches(dedup_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(deltas_part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("delta", alias_name="delta"))
+        .to_pandas()  # calendar-bounded: |types| x |days| rows
+    )
+    out_t: list = []
+    out_d: list = []
+    out_n: list = []
+    for et, g in deltas.groupby("event_type", sort=True):
+        g = g.sort_values("day")
+        dday = g["day"].to_numpy(np.int64)
+        run = np.cumsum(g["delta"].to_numpy(np.int64))[:-1]  # count within [day_k, day_k+1)
+        width = np.diff(dday)
+        live = run > 0
+        days = np.concatenate(
+            [np.arange(s, s + w) for s, w, ok in zip(dday[:-1], width, live) if ok]
+        ) if live.any() else np.array([], np.int64)
+        cnts = np.repeat(run[live], width[live])
+        out_t.append(np.full(len(days), et, object))
+        out_d.append(days)
+        out_n.append(cnts)
+    return pa.table(
+        {
+            "event_type": pa.array(np.concatenate(out_t) if out_t else [], pa.string()),
+            "day": pa.array(
+                np.concatenate(out_d) if out_d else np.array([], np.int64)
+            ),
+            "n_users": pa.array(
+                np.concatenate(out_n) if out_n else np.array([], np.int64)
+            ),
+        }
+    )
+
+
+def _sql_sliding_distinct_users() -> str:
+    return f"""
+    WITH e AS (
+      SELECT DISTINCT event_type, user_id,
+             CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day
+      FROM events
+    ), cand AS (
+      SELECT DISTINCT event_type, day + k.k AS d
+      FROM e CROSS JOIN (SELECT unnest(range({_SLIDE_W})) AS k) k
+    )
+    SELECT c.event_type, c.d AS day,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM cand c
+    JOIN e ON e.event_type = c.event_type
+          AND e.day BETWEEN c.d - {_SLIDE_W - 1} AND c.d
+    GROUP BY 1, 2
+    """
+
+
+_PROFILE_COLS: dict[str, str] = {
+    "l_orderkey": "int",
+    "l_partkey": "int",
+    "l_suppkey": "int",
+    "l_linenumber": "int",
+    "l_returnflag": "str",
+    "l_linestatus": "str",
+    "l_shipdate": "date",
+}
+
+
+def q_table_profile(sf_dir: str):
+    """Distributed data profiling (the schema-quality scan every ingest
+    pipeline runs before training): per lineitem column — row count,
+    EXACT distinct count, min and max — over the int / string / date
+    columns in ONE pass.  Values travel as ORDER-PRESERVING fixed-width
+    reprs (ints zero-padded to 20, dates ISO) so lexical min/max ==
+    numeric min/max and both engines compare identical strings.
+
+    Scale shape: each batch combines to its per-column distinct reprs
+    with counts (the shuffle carries distinct values, not rows); ONE
+    (col, repr) groupby merges duplicates; a per-block re-combiner then
+    shrinks each block to <= |cols| partial rows before the tiny final
+    (col) groupby.  Exact distinct is inherently |distinct|-bounded —
+    the sketch swap at 100 TB is q_hll_distinct_users' register
+    algebra."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "lineitem", list(_PROFILE_COLS))
+
+    def reprs(b: pa.Table) -> pa.Table:
+        cols: list[np.ndarray] = []
+        vals: list[np.ndarray] = []
+        cnts: list[np.ndarray] = []
+        for name, kind in _PROFILE_COLS.items():
+            a = b[name].to_numpy(zero_copy_only=False)
+            if kind == "int":
+                a = a[~pd.isna(a)]
+                r = np.char.zfill(a.astype(np.int64).astype("U20"), 20)
+            elif kind == "date":
+                a = a[~pd.isna(a)]
+                r = a.astype("datetime64[D]").astype("U10")
+            else:
+                a = a[pd.notna(a)]
+                r = a.astype("U64")
+            u, c = np.unique(r, return_counts=True)
+            cols.append(np.full(len(u), name, object))
+            vals.append(u.astype(object))
+            cnts.append(c.astype(np.int64))
+        return pa.table(
+            {
+                "col": pa.array(np.concatenate(cols), pa.string()),
+                "repr": pa.array(np.concatenate(vals), pa.string()),
+                "cnt": pa.array(np.concatenate(cnts)),
+            }
+        )
+
+    def col_partials(b: pa.Table) -> pa.Table:
+        # per-block re-combine: <= |cols| rows leave each block
+        col = b["col"].to_numpy(zero_copy_only=False).astype("U16")
+        rep = b["repr"].to_numpy(zero_copy_only=False).astype("U64")
+        cnt = b["cnt"].to_numpy(zero_copy_only=False)
+        if len(col) == 0:
+            return pa.table(
+                {
+                    "col": pa.array([], pa.string()),
+                    "n_nonnull": pa.array([], pa.int64()),
+                    "n_distinct": pa.array([], pa.int64()),
+                    "min_repr": pa.array([], pa.string()),
+                    "max_repr": pa.array([], pa.string()),
+                }
+            )
+        order = np.lexsort((rep, col))
+        col, rep, cnt = col[order], rep[order], cnt[order]
+        new = np.r_[True, col[1:] != col[:-1]]
+        seg = np.cumsum(new) - 1
+        n = int(seg[-1]) + 1
+        nn = np.zeros(n, np.int64)
+        np.add.at(nn, seg, cnt)
+        nd = np.zeros(n, np.int64)
+        np.add.at(nd, seg, 1)
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(col)] - 1
+        return pa.table(
+            {
+                "col": pa.array(col[new], pa.string()),
+                "n_nonnull": pa.array(nn),
+                "n_distinct": pa.array(nd),
+                "min_repr": pa.array(rep[starts], pa.string()),
+                "max_repr": pa.array(rep[ends], pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(reprs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["col", "repr"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(col_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("col")
+        .aggregate(
+            Sum("n_nonnull", alias_name="n_nonnull"),
+            Sum("n_distinct", alias_name="n_distinct"),
+            Min("min_repr", alias_name="min_repr"),
+            Max("max_repr", alias_name="max_repr"),
+        )
+    )
+
+
+def _sql_table_profile() -> str:
+    parts = []
+    for name, kind in _PROFILE_COLS.items():
+        if kind == "int":
+            mn = f"lpad(CAST(min({name}) AS VARCHAR), 20, '0')"
+            mx = f"lpad(CAST(max({name}) AS VARCHAR), 20, '0')"
+        elif kind == "date":
+            mn = f"strftime(min({name}), '%Y-%m-%d')"
+            mx = f"strftime(max({name}), '%Y-%m-%d')"
+        else:
+            mn, mx = f"min({name})", f"max({name})"
+        parts.append(
+            f"SELECT '{name}' AS col, CAST(count({name}) AS BIGINT) AS n_nonnull,"
+            f" CAST(count(DISTINCT {name}) AS BIGINT) AS n_distinct,"
+            f" {mn} AS min_repr, {mx} AS max_repr FROM lineitem"
+        )
+    return " UNION ALL ".join(parts)
+
+
+_MKT_REGION = 2  # deterministic pick; target nation = min nationkey in it
+
+
+def q_market_share(sf_dir: str):
+    """National market share — the TPC-H Q8 shape (two dimension chains
+    joined through the fact table): within orders placed by customers of
+    region 2, the share (basis points) of lineitem revenue supplied by
+    the region's smallest-keyed nation, per order year.
+
+    Scale shape: BOTH dimension chains collapse to one broadcast map
+    each (custkey -> in-region bool, suppkey -> is-target bool) fetched
+    once per worker via ray.put; out-of-region orders die BEFORE the
+    orderkey co-partition shuffle (build side only ships qualifying
+    keys); per-part combiners emit <= |years| rows.  Share math is
+    Python-bigint // (HUGEINT in the oracle) — overflow-free."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    in_region = set(
+        nation.loc[nation["n_regionkey"] == _MKT_REGION, "n_nationkey"].astype(int)
+    )
+    target_nation = min(in_region)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    cflag_ref = ray.put(
+        pd.Series(
+            cust["c_nationkey"].isin(in_region).to_numpy(),
+            index=cust["c_custkey"].to_numpy(np.int64),
+        )
+    )
+    sflag_ref = ray.put(
+        pd.Series(
+            (supp["s_nationkey"].to_numpy(np.int64) == target_nation),
+            index=supp["s_suppkey"].to_numpy(np.int64),
+        )
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    lines = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    n_parts = int(max(8, min(4096, lines.count() // 200_000 + 1)))
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        cflag = _ray.get(cflag_ref)
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        keep = cflag.reindex(b["o_custkey"].to_numpy(zero_copy_only=False)).to_numpy(bool)
+        k = k[keep]
+        y = (
+            b["o_orderdate"].to_numpy(zero_copy_only=False)[keep]
+            .astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        return pa.table(
+            {
+                "key": pa.array(k.astype(np.int64)),
+                "val": pa.array(y),
+                "cents": pa.array(np.zeros(len(k), np.int64)),
+                "is_build": pa.array(np.ones(len(k), bool)),
+                "part": pa.array(
+                    (synth._splitmix64(k.astype(np.uint64)) % np.uint64(n_parts)).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    def tag_lines(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        sflag = _ray.get(sflag_ref)
+        k = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False))
+            * 100.0
+        ).astype(np.int64)
+        isn = sflag.reindex(b["l_suppkey"].to_numpy(zero_copy_only=False)).to_numpy(bool)
+        return pa.table(
+            {
+                "key": pa.array(k.astype(np.int64)),
+                "val": pa.array(isn.astype(np.int64)),
+                "cents": pa.array(cents),
+                "is_build": pa.array(np.zeros(len(k), bool)),
+                "part": pa.array(
+                    (synth._splitmix64(k.astype(np.uint64)) % np.uint64(n_parts)).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "year": pa.array([], pa.int64()),
+            "nation_cents": pa.array([], pa.int64()),
+            "total_cents": pa.array([], pa.int64()),
+        }
+    )
+
+    def share_part(t: pa.Table) -> pa.Table:
+        hit = _join_part_key(t)
+        if hit is None:
+            return _empty
+        b_hit, p_hit = hit
+        val = t["val"].to_numpy(zero_copy_only=False)
+        year = val[b_hit]
+        isn = val[p_hit] == 1
+        cents = t["cents"].to_numpy(zero_copy_only=False)[p_hit]
+        u, inv = np.unique(year, return_inverse=True)
+        tot = np.zeros(len(u), np.int64)
+        np.add.at(tot, inv, cents)
+        nat = np.zeros(len(u), np.int64)
+        np.add.at(nat, inv[isn], cents[isn])
+        return pa.table(
+            {
+                "year": pa.array(u.astype(np.int64)),
+                "nation_cents": pa.array(nat),
+                "total_cents": pa.array(tot),
+            }
+        )
+
+    agg = (
+        orders.map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True)
+        .union(lines.map_batches(tag_lines, batch_format="pyarrow", zero_copy_batch=True))
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(share_part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby("year")
+        .aggregate(
+            Sum("nation_cents", alias_name="nation_cents"),
+            Sum("total_cents", alias_name="total_cents"),
+        )
+        .to_pandas()
+        .sort_values("year")
+    )
+    share = np.fromiter(
+        (
+            int(p) * 10000 // int(t)
+            for p, t in zip(agg["nation_cents"], agg["total_cents"])
+        ),
+        np.int64,
+        len(agg),
+    )
+    return pa.table(
+        {
+            "year": pa.array(agg["year"].to_numpy(np.int64)),
+            "nation_cents": pa.array(agg["nation_cents"].to_numpy(np.int64)),
+            "total_cents": pa.array(agg["total_cents"].to_numpy(np.int64)),
+            "share_bp": pa.array(share),
+        }
+    )
+
+
+def _sql_market_share() -> str:
+    return f"""
+    WITH nr AS (
+      SELECT n_nationkey FROM nation WHERE n_regionkey = {_MKT_REGION}
+    ), tn AS (
+      SELECT min(n_nationkey) AS nk FROM nr
+    ), o AS (
+      SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS y
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      WHERE c_nationkey IN (SELECT n_nationkey FROM nr)
+    ), l AS (
+      SELECT l_orderkey,
+             CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT) AS cents,
+             (s_nationkey = (SELECT nk FROM tn)) AS isn
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+    )
+    SELECT y AS year,
+           CAST(SUM(CASE WHEN isn THEN cents ELSE 0 END) AS BIGINT) AS nation_cents,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(SUM(CASE WHEN isn THEN cents ELSE 0 END)::HUGEINT * 10000
+                // SUM(cents)::HUGEINT AS BIGINT) AS share_bp
+    FROM o JOIN l ON l_orderkey = o_orderkey
+    GROUP BY y
+    """
+
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -10525,6 +10983,9 @@ SQL_QUERIES: dict[str, tuple] = {
     "cust_order_histogram": (q_cust_order_histogram, _sql_cust_order_histogram()),
     "orders_late_priority": (q_orders_late_priority, _sql_orders_late_priority()),
     "nation_bfs_hops": (q_nation_bfs_hops, _sql_nation_bfs_hops()),
+    "sliding_distinct_users": (q_sliding_distinct_users, _sql_sliding_distinct_users()),
+    "table_profile": (q_table_profile, _sql_table_profile()),
+    "market_share": (q_market_share, _sql_market_share()),
 }
 
 
