@@ -10853,6 +10853,252 @@ def _sql_market_share() -> str:
     """
 
 
+def q_phash_bit_stats(sf_dir: str):
+    """Per-bit occupancy of the 64-bit image perceptual hash — the LSH
+    health check a dedup pipeline runs before trusting banded phash
+    buckets (a biased bit position weakens band selectivity; ~n/2 per
+    bit is healthy).  Output: (bit 0..63, n_set).
+
+    Scale shape: a map-only pass over the (phash)-pruned corpus read —
+    each batch unpacks its hashes to a 64-column bit matrix and emits
+    ONE 64-row partial (bit, count) table; the final groupby merges
+    64-row partials, so nothing scales with corpus size but the read."""
+    from ray.data.aggregate import Sum
+
+    from . import tiling
+
+    ds = tiling.read_images(sf_dir, columns=["phash"])
+    bits = np.arange(64, dtype=np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        f = b["phash"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        # bit matrix via byte unpack: rows x 64, little-endian bit order
+        m = np.unpackbits(f.view(np.uint8).reshape(len(f), 8), axis=1, bitorder="little")
+        return pa.table(
+            {
+                "bit": pa.array(bits),
+                "n_set": pa.array(m.sum(axis=0, dtype=np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bit")
+        .aggregate(Sum("n_set", alias_name="n_set"))
+    )
+
+
+def _sql_phash_bit_stats(sf: float = 0.01) -> str:
+    from ..sources import synth
+
+    return f"""
+    WITH img AS (
+      SELECT CAST(phash AS HUGEINT)
+             + CASE WHEN phash < 0 THEN {_U64} ELSE CAST(0 AS HUGEINT) END AS f
+      FROM read_parquet('{synth.images_dir(sf)}/*.parquet')
+    )
+    SELECT CAST(b.bit AS BIGINT) AS bit,
+           CAST(SUM(CAST((f // (CAST(1 AS HUGEINT) << b.bit)) % 2 AS BIGINT)) AS BIGINT) AS n_set
+    FROM img CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+    GROUP BY 1
+    """
+
+
+def q_event_type_markov(sf_dir: str):
+    """First-order Markov transition counts over per-user event
+    sequences (session-modeling / next-event-prediction analytics): for
+    each user's events ordered by (ts, event_id — the id breaks exact-ts
+    ties deterministically), count every consecutive
+    (prev_type -> event_type) transition, globally.
+
+    Scale shape: ONE user-hash part-exchange co-locates each user's
+    events (only (user, ts, event_id, type) ride it); each part sorts
+    once (lexsort), reads transitions as a shifted compare, and combines
+    to <= |types|^2 partial rows before the tiny final groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    n_parts = int(max(8, min(4096, ds.count() // 200_000 + 1)))
+
+    def tag(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "t": pa.array(
+                    b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+                ),
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "part": pa.array(
+                    (synth._splitmix64(uid.astype(np.uint64)) % np.uint64(n_parts)).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "prev_type": pa.array([], pa.string()),
+            "event_type": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def trans_part(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2:
+            return _empty
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["t"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False).astype("U16")
+        order = np.lexsort((eid, ts, uid))
+        uid, et = uid[order], et[order]
+        same = uid[1:] == uid[:-1]
+        # per-part combiner: factorize types, pack (prev, cur) code pairs,
+        # <= |types|^2 rows out
+        types, codes = np.unique(et, return_inverse=True)
+        prev, cur = codes[:-1][same], codes[1:][same]
+        if len(prev) == 0:
+            return _empty
+        k = len(types)
+        u, c = np.unique(prev * k + cur, return_counts=True)
+        return pa.table(
+            {
+                "prev_type": pa.array(types[(u // k)], pa.string()),
+                "event_type": pa.array(types[(u % k)], pa.string()),
+                "n": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(trans_part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby(["prev_type", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def _sql_event_type_markov() -> str:
+    return """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """
+
+
+def q_part_best_supplier(sf_dir: str):
+    """Distributed ARGMAX-per-key: for every part, the supplier with the
+    highest lineitem revenue (ties -> smallest suppkey) and that revenue
+    — the 'who should source this part' rollup (TPC-H Q2's shape on the
+    tables this corpus has).
+
+    Scale shape: batches combine to (partkey, suppkey) partial sums
+    first; ONE partkey-hash part-exchange then finishes both levels
+    inside each part — segment-sum per (part, supp), then a vectorized
+    per-part argmax (lexsort by (part, -rev, supp), first row per part
+    run) — so the argmax never sees more than one part's groups and
+    only (key, key, cents) triplets ever shuffle."""
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    n_parts = int(max(8, min(4096, ds.count() // 200_000 + 1)))
+
+    def partial(b: pa.Table) -> pa.Table:
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False))
+            * 100.0
+        ).astype(np.int64)
+        key = (pk.astype(np.int64) << np.int64(20)) | sk.astype(np.int64)
+        if (sk >= (1 << 20)).any():  # suppkey domain guard for the packing
+            raise ValueError("suppkey exceeds 20-bit packing domain")
+        u, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, cents)
+        upk = (u >> np.int64(20)).astype(np.int64)
+        return pa.table(
+            {
+                "pk": pa.array(upk),
+                "sk": pa.array((u & np.int64((1 << 20) - 1)).astype(np.int64)),
+                "cents": pa.array(s),
+                "part": pa.array(
+                    (synth._splitmix64(upk.astype(np.uint64)) % np.uint64(n_parts)).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "p_partkey": pa.array([], pa.int64()),
+            "best_suppkey": pa.array([], pa.int64()),
+            "revenue_cents": pa.array([], pa.int64()),
+        }
+    )
+
+    def argmax_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        pk = t["pk"].to_numpy(zero_copy_only=False)
+        sk = t["sk"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        # finish the (part, supp) sums (several batch partials per pair)
+        key = (pk << np.int64(20)) | sk
+        u, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, cents)
+        upk = (u >> np.int64(20)).astype(np.int64)
+        usk = (u & np.int64((1 << 20) - 1)).astype(np.int64)
+        # argmax per part run: sort (pk asc, rev desc, sk asc), take run head
+        order = np.lexsort((usk, -s, upk))
+        upk, usk, s = upk[order], usk[order], s[order]
+        first = np.r_[True, upk[1:] != upk[:-1]]
+        return pa.table(
+            {
+                "p_partkey": pa.array(upk[first]),
+                "best_suppkey": pa.array(usk[first]),
+                "revenue_cents": pa.array(s[first]),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(argmax_part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+
+
+def _sql_part_best_supplier() -> str:
+    return """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS rev
+      FROM lineitem GROUP BY 1, 2
+    ), r AS (
+      SELECT l_partkey, l_suppkey, rev,
+             row_number() OVER (
+               PARTITION BY l_partkey ORDER BY rev DESC, l_suppkey
+             ) AS rn
+      FROM ps
+    )
+    SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
+           CAST(l_suppkey AS BIGINT) AS best_suppkey,
+           CAST(rev AS BIGINT) AS revenue_cents
+    FROM r WHERE rn = 1
+    """
+
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -10986,6 +11232,9 @@ SQL_QUERIES: dict[str, tuple] = {
     "sliding_distinct_users": (q_sliding_distinct_users, _sql_sliding_distinct_users()),
     "table_profile": (q_table_profile, _sql_table_profile()),
     "market_share": (q_market_share, _sql_market_share()),
+    "event_type_markov": (q_event_type_markov, _sql_event_type_markov()),
+    "part_best_supplier": (q_part_best_supplier, _sql_part_best_supplier()),
+    "phash_bit_stats": (q_phash_bit_stats, _sql_phash_bit_stats()),
 }
 
 
@@ -11036,6 +11285,7 @@ def corpus_sql(sf: float) -> dict[str, str]:
         "phash_dedup": _sql_phash_dedup(sf),
         "phash_neardup": _sql_phash_neardup(sf),
         "image_phash_clusters": _sql_image_phash_clusters(sf),
+        "phash_bit_stats": _sql_phash_bit_stats(sf),
         "image_exact_dedup": _sql_image_exact_dedup(sf),
         "audio_exact_dedup": _sql_audio_exact_dedup(sf),
         "image_size_stats": _sql_image_size_stats(sf),
