@@ -11099,6 +11099,462 @@ def _sql_part_best_supplier() -> str:
     """
 
 
+def q_supplier_order_overlap(sf_dir: str):
+    """Multi-supplier-order participation — the TPC-H Q21 core shape
+    (per-group distinct count re-joined to the group's members): per
+    supplier, how many of its orders were shared with >= 1 OTHER
+    supplier (fulfilment-dependency analytics).
+
+    Scale shape: batches dedupe (orderkey, suppkey) pairs first; ONE
+    orderkey co-partition finishes the dedup, counts distinct suppliers
+    per order with a run scan, and emits (suppkey, 1) only for rows of
+    qualifying orders, combined to <= |suppliers-in-part| partials."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    n_parts = int(max(8, min(4096, ds.count() // 200_000 + 1)))
+
+    def dedup_batch(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        key = (ok.astype(np.int64) << np.int64(20)) | sk.astype(np.int64)
+        if (sk >= (1 << 20)).any():
+            raise ValueError("suppkey exceeds 20-bit packing domain")
+        u = np.unique(key)
+        uok = (u >> np.int64(20)).astype(np.int64)
+        return pa.table(
+            {
+                "ok": pa.array(uok),
+                "sk": pa.array((u & np.int64((1 << 20) - 1)).astype(np.int64)),
+                "part": pa.array(
+                    (synth._splitmix64(uok.astype(np.uint64)) % np.uint64(n_parts)).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    _empty = pa.table(
+        {"suppkey": pa.array([], pa.int64()), "n_shared_orders": pa.array([], pa.int64())}
+    )
+
+    def overlap_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        ok = t["ok"].to_numpy(zero_copy_only=False)
+        sk = t["sk"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((sk, ok))
+        ok, sk = ok[order], sk[order]
+        keep = np.r_[True, (ok[1:] != ok[:-1]) | (sk[1:] != sk[:-1])]  # cross-batch dedup
+        ok, sk = ok[keep], sk[keep]
+        new = np.r_[True, ok[1:] != ok[:-1]]
+        lens = np.diff(np.r_[np.flatnonzero(new), len(ok)])
+        shared = np.repeat(lens >= 2, lens)
+        u, c = np.unique(sk[shared], return_counts=True)
+        return pa.table(
+            {"suppkey": pa.array(u), "n_shared_orders": pa.array(c.astype(np.int64))}
+        )
+
+    return (
+        ds.map_batches(dedup_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(overlap_part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby("suppkey")
+        .aggregate(Sum("n_shared_orders", alias_name="n_shared_orders"))
+    )
+
+
+def _sql_supplier_order_overlap() -> str:
+    return """
+    WITH os AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ), c AS (
+      SELECT l_orderkey, count(*) AS ns FROM os GROUP BY 1
+    )
+    SELECT CAST(os.l_suppkey AS BIGINT) AS suppkey,
+           CAST(count(*) AS BIGINT) AS n_shared_orders
+    FROM os JOIN c ON c.l_orderkey = os.l_orderkey
+    WHERE c.ns >= 2 GROUP BY 1
+    """
+
+
+def q_idle_rich_customers(sf_dir: str):
+    """Above-average-balance customers with NO orders in the corpus's
+    final 365 days, rolled up per nation — the TPC-H Q22 shape (global
+    scalar subqueries + anti-join + aggregate; every corpus customer has
+    >= 1 lifetime order, so Q22's literal no-orders predicate is
+    degenerate here and the recency window keeps the anti-join real).
+    'Above average' compares in exact integers: cents * n_pos >
+    sum_pos_cents (cross-multiplied against the positive-balance
+    population), so no float mean ever enters; the window cut compares
+    integer epoch days against max(order day) - 365.
+
+    Scale shape: pass 1 reduces customers to two global scalars and
+    orders to one (max day); pass 2 tags qualifying customers and
+    anti-joins them against per-batch-deduped RECENT order custkeys
+    (stale orders die at the read) in ONE custkey co-partition, emitting
+    per-nation partials.  int64 cross-multiply bound: |cents| * n_pos <
+    2^63 holds through ~10^12 customers at TPC-H balance ranges."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def pos_partial(b: pa.Table) -> pa.Table:
+        bal = b["c_acctbal"].to_numpy(zero_copy_only=False)
+        cents = np.floor(bal * 100.0).astype(np.int64)
+        pos = bal > 0.0
+        return pa.table(
+            {
+                "s": pa.array([int(cents[pos].sum())], pa.int64()),
+                "n": pa.array([int(pos.sum())], pa.int64()),
+            }
+        )
+
+    m = (
+        cust.map_batches(pos_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    )
+    s_pos, n_pos = int(m["s"]), int(m["n"])
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def day_partial(b: pa.Table) -> pa.Table:
+        day = (
+            b["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[D]").astype(np.int64)
+        )
+        mx = int(day.max()) if len(day) else np.iinfo(np.int64).min
+        return pa.table({"d": pa.array([mx], pa.int64())})
+
+    cut = (
+        int(
+            orders.map_batches(day_partial, batch_format="pyarrow", zero_copy_batch=True)
+            .aggregate(Max("d", alias_name="d"))["d"]
+        )
+        - 365
+    )
+    n_parts = int(max(8, min(4096, orders.count() // 200_000 + 1)))
+
+    def tag_cust(b: pa.Table) -> pa.Table:
+        k = b["c_custkey"].to_numpy(zero_copy_only=False)
+        cents = np.floor(b["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0).astype(
+            np.int64
+        )
+        rich = cents * n_pos > s_pos
+        k = k[rich]
+        return pa.table(
+            {
+                "key": pa.array(k.astype(np.int64)),
+                "nation": pa.array(
+                    b["c_nationkey"].to_numpy(zero_copy_only=False)[rich].astype(np.int64)
+                ),
+                "cents": pa.array(cents[rich]),
+                "is_build": pa.array(np.ones(len(k), bool)),
+                "part": pa.array(
+                    (synth._splitmix64(k.astype(np.uint64)) % np.uint64(n_parts)).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        day = (
+            b["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[D]").astype(np.int64)
+        )
+        recent = day >= cut
+        u = np.unique(b["o_custkey"].to_numpy(zero_copy_only=False)[recent]).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(u),
+                "nation": pa.array(np.zeros(len(u), np.int64)),
+                "cents": pa.array(np.zeros(len(u), np.int64)),
+                "is_build": pa.array(np.zeros(len(u), bool)),
+                "part": pa.array(
+                    (synth._splitmix64(u.astype(np.uint64)) % np.uint64(n_parts)).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "nationkey": pa.array([], pa.int64()),
+            "n_customers": pa.array([], pa.int64()),
+            "acctbal_cents": pa.array([], pa.int64()),
+        }
+    )
+
+    def anti_part(t: pa.Table) -> pa.Table:
+        isb = t["is_build"].to_numpy(zero_copy_only=False)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        bkey = key[isb]
+        if len(bkey) == 0:
+            return _empty
+        pkey = np.unique(key[~isb])
+        has_order = (
+            pkey[np.minimum(np.searchsorted(pkey, bkey), len(pkey) - 1)] == bkey
+            if len(pkey)
+            else np.zeros(len(bkey), bool)
+        )
+        idle = ~has_order
+        nation = t["nation"].to_numpy(zero_copy_only=False)[isb][idle]
+        cents = t["cents"].to_numpy(zero_copy_only=False)[isb][idle]
+        u, inv = np.unique(nation, return_inverse=True)
+        n = np.zeros(len(u), np.int64)
+        np.add.at(n, inv, 1)
+        sc = np.zeros(len(u), np.int64)
+        np.add.at(sc, inv, cents)
+        return pa.table(
+            {
+                "nationkey": pa.array(u),
+                "n_customers": pa.array(n),
+                "acctbal_cents": pa.array(sc),
+            }
+        )
+
+    out = (
+        cust.map_batches(tag_cust, batch_format="pyarrow", zero_copy_batch=True)
+        .union(orders.map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True))
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(anti_part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby("nationkey")
+        .aggregate(
+            Sum("n_customers", alias_name="n_customers"),
+            Sum("acctbal_cents", alias_name="acctbal_cents"),
+        )
+        .to_pandas()  # nation-bounded
+    )
+    if len(out) == 0:  # keep the typed schema when the anti-join is empty
+        return _empty
+    return pa.table(
+        {
+            "nationkey": pa.array(out["nationkey"].to_numpy(np.int64)),
+            "n_customers": pa.array(out["n_customers"].to_numpy(np.int64)),
+            "acctbal_cents": pa.array(out["acctbal_cents"].to_numpy(np.int64)),
+        }
+    )
+
+
+def _sql_idle_rich_customers() -> str:
+    return """
+    WITH m AS (
+      SELECT CAST(SUM(CAST(floor(c_acctbal * 100.0) AS BIGINT)) AS HUGEINT) AS s,
+             CAST(count(*) AS HUGEINT) AS n
+      FROM customer WHERE c_acctbal > 0.0
+    ), mx AS (
+      SELECT max(CAST(floor(epoch(o_orderdate) / 86400.0) AS BIGINT)) - 365 AS cut
+      FROM orders
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(floor(c_acctbal * 100.0) AS BIGINT)) AS BIGINT) AS acctbal_cents
+    FROM customer, m
+    WHERE CAST(floor(c_acctbal * 100.0) AS HUGEINT) * m.n > m.s
+      AND NOT EXISTS (
+        SELECT 1 FROM orders, mx
+        WHERE o_custkey = c_custkey
+          AND CAST(floor(epoch(o_orderdate) / 86400.0) AS BIGINT) >= mx.cut
+      )
+    GROUP BY 1
+    """
+
+
+def q_order_interarrival_median(sf_dir: str):
+    """Per-customer LOW-MEDIAN of the day gaps between consecutive
+    orders (reorder-cadence analytics — the sequential-diff + per-key
+    exact quantile shape): orders sort by (day, orderkey) within each
+    customer; gaps are day diffs; output the (n-1)//2-smallest gap per
+    customer with >= 2 orders.  The discrete low median avoids
+    interpolated floats entirely.
+
+    Scale shape: ONE custkey-hash part-exchange co-locates each
+    customer's orders; each part computes every customer's gaps and
+    median with two lexsorts (no per-group dispatch) and emits one row
+    per customer — the output is customer-bounded, never
+    order-bounded."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
+    n_parts = int(max(8, min(4096, ds.count() // 200_000 + 1)))
+
+    def tag(b: pa.Table) -> pa.Table:
+        c = b["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c": pa.array(c.astype(np.int64)),
+                "k": b["o_orderkey"],
+                "day": pa.array(
+                    b["o_orderdate"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype("datetime64[D]")
+                    .astype(np.int64)
+                ),
+                "part": pa.array(
+                    (synth._splitmix64(c.astype(np.uint64)) % np.uint64(n_parts)).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    _empty = pa.table(
+        {"o_custkey": pa.array([], pa.int64()), "median_gap_days": pa.array([], pa.int64())}
+    )
+
+    def med_part(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2:
+            return _empty
+        c = t["c"].to_numpy(zero_copy_only=False)
+        k = t["k"].to_numpy(zero_copy_only=False)
+        day = t["day"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, day, c))
+        c, day = c[order], day[order]
+        same = c[1:] == c[:-1]
+        gc = c[1:][same]
+        gd = (day[1:] - day[:-1])[same]
+        if len(gc) == 0:
+            return _empty
+        o2 = np.lexsort((gd, gc))
+        gc, gd = gc[o2], gd[o2]
+        new = np.r_[True, gc[1:] != gc[:-1]]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.r_[starts, len(gc)])
+        pick = starts + (lens - 1) // 2
+        return pa.table(
+            {
+                "o_custkey": pa.array(gc[new]),
+                "median_gap_days": pa.array(gd[pick]),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(med_part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+
+
+def _sql_order_interarrival_median() -> str:
+    return """
+    WITH s AS (
+      SELECT o_custkey AS c, o_orderkey AS k,
+             CAST(floor(epoch(o_orderdate) / 86400.0) AS BIGINT) AS day
+      FROM orders
+    ), d AS (
+      SELECT c, day - lag(day) OVER (PARTITION BY c ORDER BY day, k) AS diff
+      FROM s
+    ), dd AS (
+      SELECT c, diff,
+             row_number() OVER (PARTITION BY c ORDER BY diff) AS rn,
+             count(*) OVER (PARTITION BY c) AS n
+      FROM d WHERE diff IS NOT NULL
+    )
+    SELECT CAST(c AS BIGINT) AS o_custkey, CAST(diff AS BIGINT) AS median_gap_days
+    FROM dd WHERE rn = (n + 1) // 2
+    """
+
+
+def q_image_dedup_savings(sf_dir: str):
+    """Storage-dedup accounting over the image corpus — what an exact
+    content-dedup pass would save, per format: image count, distinct
+    blob count, total bytes, and bytes after keeping one copy per blob.
+
+    Scale shape: blobs digest at the read (md5 -> 8-byte key + length;
+    the bytes never shuffle — SURVEY §7.5); one (fmt, key) groupby
+    dedupes, a per-block combiner shrinks to <= |fmt| rows per block,
+    and the final groupby merges format partials."""
+    import hashlib
+
+    from ray.data.aggregate import Count, Min, Sum
+
+    from . import tiling
+
+    images = tiling.read_images(sf_dir, columns=["fmt", "bytes"])
+
+    def digest(b: pa.Table) -> pa.Table:
+        blobs = b["bytes"].to_pylist()
+        keys = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(x).digest()[:8], "little") - (1 << 63)
+                for x in blobs
+            ),
+            np.int64,
+            len(blobs),
+        )
+        lens = np.fromiter((len(x) for x in blobs), np.int64, len(blobs))
+        return pa.table({"fmt": b["fmt"], "k": pa.array(keys), "len": pa.array(lens)})
+
+    per_blob = (
+        images.map_batches(digest, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["fmt", "k"])
+        .aggregate(Min("len", alias_name="len"), Count(alias_name="n"))
+    )
+
+    _empty = pa.table(
+        {
+            "fmt": pa.array([], pa.string()),
+            "n_images": pa.array([], pa.int64()),
+            "n_blobs": pa.array([], pa.int64()),
+            "bytes_total": pa.array([], pa.int64()),
+            "bytes_dedup": pa.array([], pa.int64()),
+        }
+    )
+
+    def fmt_partials(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _empty
+        fmt = b["fmt"].to_numpy(zero_copy_only=False).astype("U8")
+        ln = b["len"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(fmt, return_inverse=True)
+        ni = np.zeros(len(u), np.int64)
+        np.add.at(ni, inv, n)
+        nb = np.zeros(len(u), np.int64)
+        np.add.at(nb, inv, 1)
+        bt = np.zeros(len(u), np.int64)
+        np.add.at(bt, inv, ln * n)
+        bd = np.zeros(len(u), np.int64)
+        np.add.at(bd, inv, ln)
+        return pa.table(
+            {
+                "fmt": pa.array(u, pa.string()),
+                "n_images": pa.array(ni),
+                "n_blobs": pa.array(nb),
+                "bytes_total": pa.array(bt),
+                "bytes_dedup": pa.array(bd),
+            }
+        )
+
+    return (
+        per_blob.map_batches(fmt_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("fmt")
+        .aggregate(
+            Sum("n_images", alias_name="n_images"),
+            Sum("n_blobs", alias_name="n_blobs"),
+            Sum("bytes_total", alias_name="bytes_total"),
+            Sum("bytes_dedup", alias_name="bytes_dedup"),
+        )
+    )
+
+
+def _sql_image_dedup_savings(sf: float = 0.01) -> str:
+    from ..sources import synth
+
+    return f"""
+    WITH g AS (
+      SELECT fmt, bytes, CAST(octet_length(bytes) AS BIGINT) AS len,
+             CAST(count(*) AS BIGINT) AS n
+      FROM read_parquet('{synth.images_dir(sf)}/*.parquet')
+      GROUP BY fmt, bytes
+    )
+    SELECT fmt,
+           CAST(SUM(n) AS BIGINT) AS n_images,
+           CAST(count(*) AS BIGINT) AS n_blobs,
+           CAST(SUM(len * n) AS BIGINT) AS bytes_total,
+           CAST(SUM(len) AS BIGINT) AS bytes_dedup
+    FROM g GROUP BY fmt
+    """
+
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -11235,6 +11691,13 @@ SQL_QUERIES: dict[str, tuple] = {
     "event_type_markov": (q_event_type_markov, _sql_event_type_markov()),
     "part_best_supplier": (q_part_best_supplier, _sql_part_best_supplier()),
     "phash_bit_stats": (q_phash_bit_stats, _sql_phash_bit_stats()),
+    "supplier_order_overlap": (q_supplier_order_overlap, _sql_supplier_order_overlap()),
+    "idle_rich_customers": (q_idle_rich_customers, _sql_idle_rich_customers()),
+    "order_interarrival_median": (
+        q_order_interarrival_median,
+        _sql_order_interarrival_median(),
+    ),
+    "image_dedup_savings": (q_image_dedup_savings, _sql_image_dedup_savings()),
 }
 
 
@@ -11286,6 +11749,7 @@ def corpus_sql(sf: float) -> dict[str, str]:
         "phash_neardup": _sql_phash_neardup(sf),
         "image_phash_clusters": _sql_image_phash_clusters(sf),
         "phash_bit_stats": _sql_phash_bit_stats(sf),
+        "image_dedup_savings": _sql_image_dedup_savings(sf),
         "image_exact_dedup": _sql_image_exact_dedup(sf),
         "audio_exact_dedup": _sql_audio_exact_dedup(sf),
         "image_size_stats": _sql_image_size_stats(sf),
