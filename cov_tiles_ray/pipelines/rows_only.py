@@ -707,59 +707,126 @@ def _hashmin_labels(edges) -> pd.DataFrame:
     symmetrized int64 edge Dataset (columns u, v): returns the converged
     (node, label) frame, label = min node id reachable — the shared
     connected-components engine of q_neardup_clusters (text near-dups)
-    and q_image_phash_clusters (image perceptual-hash near-dups).  Each
-    round is two hash shuffles over ids only; the min-monotone label SUM
-    is the convergence test; rounds = O(component diameter), 64-round
-    cap."""
+    and q_image_phash_clusters (image perceptual-hash near-dups).
+
+    Each round is two node-hash part-exchanges over ids only, fully
+    vectorized inside each part (one lexsort + segment scan — the
+    earlier groupby().map_groups rounds paid the ~50us/group pandas
+    dispatch per NODE per round, 29 s for a 9.5k-node image pair graph
+    at sf0.1; this shape runs the same graph in ~6 s).  Labels are
+    min-monotone, so the label SUM strictly decreases until the fixpoint
+    and one cheap aggregate per round is the convergence test; rounds =
+    O(component diameter), 64-round cap."""
     from ray.data.aggregate import Sum
 
-    def init_label(g: pd.DataFrame) -> pd.DataFrame:
-        n = int(g["u"].iloc[0])
-        return pd.DataFrame({"node": [n], "label": [n]})
+    n_band_rows = edges.count()
+    n_parts = int(max(8, min(4096, n_band_rows // 200_000 + 1)))
 
-    labels = edges.groupby("u").map_groups(init_label, batch_format="pandas").materialize()
+    def _part_of(k: np.ndarray) -> np.ndarray:
+        return (synth._splitmix64(k.astype(np.uint64)) % np.uint64(n_parts)).astype(
+            np.int64
+        )
 
-    def tag_label(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def node_partial(b: pa.Table) -> pa.Table:
+        u = np.unique(b["u"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        return pa.table({"u": pa.array(u), "part": pa.array(_part_of(u))})
+
+    def init_part(t: pa.Table) -> pa.Table:
+        u = np.unique(t["u"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        return pa.table({"node": pa.array(u), "label": pa.array(u)})
+
+    labels = (
+        edges.map_batches(node_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(init_part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .materialize()
+    )
+
+    def tag_label(b: pa.Table) -> pa.Table:
+        node = b["node"].to_numpy(zero_copy_only=False)
+        return pa.table(
             {
-                "key": df["node"].to_numpy(np.int64),
-                "val": df["label"].to_numpy(np.int64),
-                "is_edge": np.zeros(len(df), np.int64),
+                "key": b["node"],
+                "val": b["label"],
+                "is_edge": pa.array(np.zeros(len(node), np.int64)),
+                "part": pa.array(_part_of(node)),
             }
         )
 
-    def tag_edge(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def tag_edge(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy(zero_copy_only=False)
+        return pa.table(
             {
-                "key": df["u"].to_numpy(np.int64),
-                "val": df["v"].to_numpy(np.int64),
-                "is_edge": np.ones(len(df), np.int64),
+                "key": b["u"],
+                "val": b["v"],
+                "is_edge": pa.array(np.ones(len(u), np.int64)),
+                "part": pa.array(_part_of(u)),
             }
         )
 
-    def propose(g: pd.DataFrame) -> pd.DataFrame:
-        # one label row per node (by construction) + its out-edges
-        node = int(g["key"].iloc[0])
-        lbl = int(g.loc[g["is_edge"] == 0, "val"].min())
-        nbrs = g.loc[g["is_edge"] == 1, "val"].to_numpy(np.int64)
-        return pd.DataFrame({"node": np.append(nbrs, node), "label": lbl})
+    _empty_prop = pa.table(
+        {
+            "node": pa.array([], pa.int64()),
+            "label": pa.array([], pa.int64()),
+            "part": pa.array([], pa.int64()),
+        }
+    )
 
-    def reduce_min(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"node": [int(g["node"].iloc[0])], "label": [int(g["label"].min())]}
+    def propose_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_prop
+        key = t["key"].to_numpy(zero_copy_only=False)
+        val = t["val"].to_numpy(zero_copy_only=False)
+        is_edge = t["is_edge"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((is_edge, key))  # label row leads each key run
+        key, val, is_edge = key[order], val[order], is_edge[order]
+        new = np.r_[True, key[1:] != key[:-1]]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.r_[starts, len(key)])
+        lbl = np.repeat(val[starts], lens)  # each key's label row value
+        # proposal targets: neighbours for edge rows, the node itself for
+        # its label row
+        node = np.where(is_edge == 1, val, key)
+        # per-part pre-combine: min label per target node
+        o2 = np.lexsort((lbl, node))
+        node, lbl = node[o2], lbl[o2]
+        first = np.r_[True, node[1:] != node[:-1]]
+        node, lbl = node[first], lbl[first]
+        return pa.table(
+            {
+                "node": pa.array(node),
+                "label": pa.array(lbl),
+                "part": pa.array(_part_of(node)),
+            }
         )
+
+    _empty_lbl = pa.table(
+        {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
+    )
+
+    def reduce_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_lbl
+        node = t["node"].to_numpy(zero_copy_only=False)
+        lbl = t["label"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((lbl, node))
+        node, lbl = node[order], lbl[order]
+        first = np.r_[True, node[1:] != node[:-1]]
+        return pa.table({"node": pa.array(node[first]), "label": pa.array(lbl[first])})
 
     prev_sum = None
     for _round in range(64):
-        proposals = (
-            labels.map_batches(tag_label, batch_format="pandas")
-            .union(edges.map_batches(tag_edge, batch_format="pandas"))
-            .groupby("key")
-            .map_groups(propose, batch_format="pandas")
-        )
         labels = (
-            proposals.groupby("node")
-            .map_groups(reduce_min, batch_format="pandas")
+            labels.map_batches(tag_label, batch_format="pyarrow", zero_copy_batch=True)
+            .union(edges.map_batches(tag_edge, batch_format="pyarrow", zero_copy_batch=True))
+            .sort("part", boundaries=list(range(1, n_parts)))
+            .map_batches(
+                propose_part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+            )
+            .sort("part", boundaries=list(range(1, n_parts)))
+            .map_batches(
+                reduce_part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+            )
             .materialize()
         )
         s = labels.aggregate(Sum("label"))["sum(label)"]
