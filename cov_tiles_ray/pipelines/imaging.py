@@ -237,6 +237,19 @@ class VideoFrameSampler:
         )
 
 
+def read_videos(sf_dir_or_sf, columns=None) -> rd.Dataset:
+    """Video-corpus Dataset at the sf of ``sf_dir`` (synthesized + cached
+    once, like tiling.read_images / audio.read_audio)."""
+    from ..sources import synth
+
+    sf = (
+        synth.sf_from_dir(sf_dir_or_sf)
+        if isinstance(sf_dir_or_sf, str)
+        else float(sf_dir_or_sf)
+    )
+    return rd.read_parquet(synth.video_parquet_path(sf), columns=columns)
+
+
 def frame_sample_pipeline(
     videos: rd.Dataset, every: int = 2, concurrency=(1, 2), batch_size: int = 8
 ) -> rd.Dataset:

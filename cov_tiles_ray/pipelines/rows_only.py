@@ -11,6 +11,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -2538,6 +2539,93 @@ def q_doc_compress_ratio(sf_dir: str):
 
 # simhash_docs / langid_detect / quality_scores / doc_fingerprints moved to
 # the SQL-oracle registry (pipelines.queries.SQL_QUERIES, VERDICT r1 #4).
+def q_video_frame_sample(sf_dir: str):
+    """Video frame-sampling manifest — the video leg of the multimodal
+    triad (image: q_image_quality, audio: q_audio_features): the
+    actor-pool VideoFrameSampler (every=2) decodes the rawvid corpus,
+    png-encodes every sampled frame, and the manifest reduces each video
+    to integer-exact accounting (frames sampled, frame-number sum, total
+    png bytes — png output is deterministic, so byte totals are
+    recompute-stable).  Compressed-container rows ('h264' pseudo-blobs —
+    codec libs absent in this container) ride the honestly-stubbed path:
+    they are counted with n_sampled = -1 instead of entering the
+    sampler, which would raise NotImplementedError per the multimodal
+    plumbing contract.
+
+    Scale shape: video payloads are the heaviest modality, so the
+    sampler runs as an actor pool with SMALL batches (one batch x
+    concurrency must fit a worker heap) and the manifest combiner runs
+    in the same pass as the png encode output — only (video_id, ints)
+    ride the final groupby; the blobs never shuffle."""
+    from ray.data.aggregate import Sum
+
+    from . import imaging
+
+    ds = imaging.read_videos(sf_dir, columns=["video_id", "fmt", "data"])
+
+    def split_raw(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b["fmt"], "rawvid")
+        t = b.filter(keep)
+        return pa.table(
+            {"video_id": t["video_id"], "fmt": t["fmt"], "bytes": t["data"]}
+        )
+
+    def stub_rows(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.invert(pc.equal(b["fmt"], "rawvid")))
+        n = t.num_rows
+        return pa.table(
+            {
+                "video_id": t["video_id"],
+                "n_sampled": pa.array(np.full(n, -1, np.int64)),
+                "frame_no_sum": pa.array(np.zeros(n, np.int64)),
+                "png_bytes": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    frames = imaging.frame_sample_pipeline(
+        ds.map_batches(split_raw, batch_format="pyarrow", zero_copy_batch=True),
+        every=2,
+        concurrency=(1, 4),
+        batch_size=8,
+    )
+
+    def manifest_partial(b: pa.Table) -> pa.Table:
+        vid = b["video_id"].to_numpy(zero_copy_only=False).astype("U16")
+        fno = b["frame_no"].to_numpy(zero_copy_only=False).astype(np.int64)
+        png_len = np.fromiter(
+            (len(x) for x in b["frame_png"].to_pylist()), np.int64, b.num_rows
+        )
+        u, inv = np.unique(vid, return_inverse=True)
+        ns = np.zeros(len(u), np.int64)
+        np.add.at(ns, inv, 1)
+        fs = np.zeros(len(u), np.int64)
+        np.add.at(fs, inv, fno)
+        pb = np.zeros(len(u), np.int64)
+        np.add.at(pb, inv, png_len)
+        return pa.table(
+            {
+                "video_id": pa.array(u, pa.string()),
+                "n_sampled": pa.array(ns),
+                "frame_no_sum": pa.array(fs),
+                "png_bytes": pa.array(pb),
+            }
+        )
+
+    out = (
+        frames.map_batches(manifest_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .union(ds.map_batches(stub_rows, batch_format="pyarrow", zero_copy_batch=True))
+        .groupby("video_id")
+        .aggregate(
+            Sum("n_sampled", alias_name="n_sampled"),
+            Sum("frame_no_sum", alias_name="frame_no_sum"),
+            Sum("png_bytes", alias_name="png_bytes"),
+        )
+        .to_pandas()
+        .sort_values("video_id", ignore_index=True)
+    )
+    return out
+
+
 def q_audio_features(sf_dir: str):
     """Audio-clip feature extraction + per-(codec, sample_rate) report:
     actor-pool PCM decode -> integer-exact clip features (peak, |x| sum,
@@ -2657,6 +2745,7 @@ ROWS_ONLY_QUERIES = {
     "image_quality": q_image_quality,
     "audio_features": q_audio_features,
     "audio_resample_stats": q_audio_resample_stats,
+    "video_frame_sample": q_video_frame_sample,
     "image_tile_mosaic": q_image_tile_mosaic,
     "covt_feature_scan": q_covt_feature_scan,
     "dup_ngram_spans_kr": _q_dup_ngram_spans_kr,

@@ -332,6 +332,113 @@ def audio_parquet_path(sf: float, cache_dir: str = CACHE_DIR) -> str:
     return out_dir
 
 
+def video_rows_for_sf(sf: float) -> int:
+    """Video corpus size at ``sf`` (clips are the heaviest modality: a
+    rawvid blob is n_frames * h * w * 3 bytes, ~5-70 KB)."""
+    return max(100, rows_for_sf(sf) // 32)
+
+
+def generate_videos_batch(start: int, n: int) -> pa.Table:
+    """Rows [start, start+n) of the synthetic VIDEO corpus: opaque binary
+    clips + typed metadata (fmt, w, h, n_frames) — the video analogue of
+    the image/audio corpora for multimodal pipeline stages.
+
+    Counter-based (shard-independent) like generate_images_batch:
+      * rawvid (90%): the deterministic multi-frame layout
+        VideoFrameSampler always decodes (header w:u16 h:u16 n:u16 then
+        n RGB frames row-major); pixels are a per-frame drifting
+        gradient + hash noise so frames differ deterministically
+      * h264 (10%): a pseudo-blob standing in for a real compressed
+        container — NOT decodable here (codec libs absent in this
+        container); these rows exercise the sampler's stub path
+    ~1% of clips are exact content duplicates (video dedup fodder)."""
+    idx = np.arange(start, start + n, dtype=np.int64)
+    dup = _u01(idx, 90) < 0.01
+    content = np.where(dup, idx // 50 * 50, idx)
+    fmts = np.where(_u01(content, 91) < 0.9, "rawvid", "h264").astype(object)
+    dims = np.array([16, 24, 32], np.int64)
+    ws = dims[(_u01(content, 92) * 3).astype(np.int64)]
+    hs = dims[(_u01(content, 93) * 3).astype(np.int64)]
+    nfs = (6 + _u01(content, 94) * 18).astype(np.int64)
+
+    blobs: list[bytes] = []
+    for g, fmt, w, h, nf in zip(content, fmts, ws, hs, nfs):
+        w, h, nf = int(w), int(h), int(nf)
+        if fmt == "h264":
+            hsh = _splitmix64(
+                np.uint64(g) * np.uint64(1117) + np.arange(w * h, dtype=np.uint64)
+            )
+            blobs.append(hsh.astype("<u8").tobytes()[: w * h * 2])
+            continue
+        f = np.arange(nf, dtype=np.int64)[:, None, None, None]
+        y = np.arange(h, dtype=np.int64)[None, :, None, None]
+        x = np.arange(w, dtype=np.int64)[None, None, :, None]
+        c = np.arange(3, dtype=np.int64)[None, None, None, :]
+        base = (x * 5 + y * 3 + f * 11 + c * 40 + int(g) % 97) % 256
+        noise = (
+            _splitmix64(
+                np.uint64(g) * np.uint64(769)
+                + np.arange(nf * h * w * 3, dtype=np.uint64)
+            )
+            % np.uint64(16)
+        ).reshape(nf, h, w, 3)
+        frames = ((base + noise.astype(np.int64)) % 256).astype(np.uint8)
+        head = np.array([w, h, nf], dtype="<u2").tobytes()
+        blobs.append(head + frames.tobytes())
+    return pa.table(
+        {
+            "video_id": pa.array([f"vid{g:012d}" for g in idx], pa.string()),
+            "fmt": pa.array(fmts, pa.string()),
+            "w": pa.array(ws, pa.int64()),
+            "h": pa.array(hs, pa.int64()),
+            "n_frames": pa.array(nfs, pa.int64()),
+            "data": pa.array(blobs, pa.large_binary()),
+        }
+    )
+
+
+def video_parquet_path(sf: float, cache_dir: str = CACHE_DIR) -> str:
+    """Generate (once) and return the video-corpus parquet dir at ``sf``
+    (same resumable shard layout as images_parquet_path)."""
+    n = video_rows_for_sf(sf)
+    out_dir = os.path.join(cache_dir, f"video_sf{sf:g}")
+    done = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(done):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    shard = 1_000
+    todo = [
+        s
+        for s in range(0, n, shard)
+        if not os.path.exists(os.path.join(out_dir, f"part-{s:09d}.parquet"))
+    ]
+
+    def _write(s: int) -> None:
+        tbl = generate_videos_batch(s, min(shard, n - s))
+        path = os.path.join(out_dir, f"part-{s:09d}.parquet")
+        tmp = path + f".tmp{os.getpid()}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+
+    try:
+        import ray
+
+        have_ray = ray.is_initialized()
+    except ImportError:  # pragma: no cover
+        have_ray = False
+    if have_ray and len(todo) > 1:
+        import ray
+
+        w = ray.remote(num_cpus=1)(_write)
+        ray.get([w.remote(s) for s in todo])
+    else:
+        for s in todo:
+            _write(s)
+    with open(done, "w") as f:
+        f.write(str(n))
+    return out_dir
+
+
 def documents_scale_dir(n_docs: int, cache_dir: str = CACHE_DIR) -> str:
     """Generate (once) a dedup-scale corpus of ``n_docs`` documents and
     return a directory usable as ``sf_dir`` (contains documents.parquet as
