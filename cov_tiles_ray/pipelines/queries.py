@@ -11605,6 +11605,164 @@ def _sql_image_dedup_savings(sf: float = 0.01) -> str:
     """
 
 
+_QSK_K = 1024
+
+
+def q_quantile_sketch_prices(sf_dir: str):
+    """MERGEABLE quantile sketch over lineitem prices — the bounded-state
+    companion to the exact q_price_quantiles: a deterministic uniform
+    sample (the K=1024 rows with the smallest splitmix64(orderkey*16 +
+    linenumber) — a bijection, so the sample is retry-, partitioning- and
+    cluster-size-invariant) estimates the nine deciles.  Bottom-K of a
+    union == bottom-K of merged bottom-Ks, so partials merge
+    associatively — the property an exact quantile lacks and the reason
+    sketches exist at 100 TB.
+
+    Scale shape: each batch emits its K smallest (hash, cents) rows;
+    the driver merge touches <= K x blocks rows (the same bounded
+    partial-top-k venue as ann_cosine_top5).  Accuracy vs the exact
+    deciles is pinned in tests/test_queries_oracle.py."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = b["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        h = synth._splitmix64((ok * 16 + ln).astype(np.uint64))
+        if len(h) > _QSK_K:
+            idx = np.argpartition(h, _QSK_K)[:_QSK_K]
+            h, cents = h[idx], cents[idx]
+        return pa.table({"h": pa.array(h.astype(np.uint64)), "cents": pa.array(cents)})
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    )  # <= K x blocks rows
+    h = parts["h"].to_numpy(np.uint64)
+    cents = parts["cents"].to_numpy(np.int64)
+    if len(h) > _QSK_K:
+        idx = np.argpartition(h, _QSK_K)[:_QSK_K]
+        cents = cents[idx]
+    cents = np.sort(cents)
+    n = len(cents)
+    qs = np.arange(1, 10, dtype=np.int64)
+    pick = (qs * (n - 1)) // 10
+    return pa.table({"q_x10": pa.array(qs), "est_cents": pa.array(cents[pick])})
+
+
+def _sql_quantile_sketch_prices() -> str:
+    sm = _sql_splitmix64("(CAST(l_orderkey AS HUGEINT) * 16 + l_linenumber)")
+    return f"""
+    WITH t AS (
+      SELECT CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS cents,
+             ({sm}) AS h
+      FROM lineitem
+    ), s AS (
+      SELECT cents FROM t ORDER BY h LIMIT {_QSK_K}
+    ), o AS (
+      SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+             count(*) OVER () AS n
+      FROM s
+    )
+    SELECT CAST(q.q AS BIGINT) AS q_x10, o.cents AS est_cents
+    FROM o JOIN (SELECT unnest(range(1, 10)) AS q) q
+      ON o.rn = (q.q * (o.n - 1)) // 10 + 1
+    """
+
+
+def q_neardup_rate_by_source(sf_dir: str):
+    """Dedup REPORTING rollup: per document source, how many docs exist
+    and how many sit in >= 1 verified near-dup pair (the number a corpus
+    curation dashboard tracks per provider) — composes the shared
+    MinHash-LSH + exact-Jaccard verify pipeline (_verified_pairs) with a
+    broadcast membership probe.
+
+    Scale shape: the pair set reduces to a sorted distinct-id array
+    (pair-bounded, far smaller than the corpus), ships once via ray.put,
+    and the per-source counts come from one map over the (doc_id,
+    source)-pruned read — the same shuffle-free probe shape as
+    q_decontaminate."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from . import rows_only as _ro
+
+    pairs = _ro._verified_pairs(sf_dir).to_pandas()
+    nd = np.unique(
+        np.concatenate(
+            [pairs["doc_a"].to_numpy(np.int64), pairs["doc_b"].to_numpy(np.int64)]
+        )
+        if len(pairs)
+        else np.array([], np.int64)
+    )
+    nd_ref = ray.put(nd)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def combine(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        nd_ids = _ray.get(nd_ref)
+        src = b["source"].to_numpy(zero_copy_only=False).astype("U16")
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = (
+            nd_ids[np.minimum(np.searchsorted(nd_ids, ids), len(nd_ids) - 1)] == ids
+            if len(nd_ids)
+            else np.zeros(len(ids), bool)
+        )
+        u, inv = np.unique(src, return_inverse=True)
+        n = np.zeros(len(u), np.int64)
+        np.add.at(n, inv, 1)
+        d = np.zeros(len(u), np.int64)
+        np.add.at(d, inv[hit], 1)
+        return pa.table(
+            {
+                "source": pa.array(u, pa.string()),
+                "n_docs": pa.array(n),
+                "n_neardup": pa.array(d),
+            }
+        )
+
+    return (
+        docs.map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_neardup", alias_name="n_neardup"))
+    )
+
+
+def _sql_neardup_rate_by_source() -> str:
+    return f"""
+    WITH {_sql_lsh_cand_cte()}, cnt AS (
+      SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cand c
+      JOIN shd sa ON sa.doc_id = c.doc_a
+      JOIN shd sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+      GROUP BY c.doc_a, c.doc_b
+    ), jac AS (
+      SELECT c.doc_a, c.doc_b, coalesce(i.i, 0) AS i,
+             coalesce(ca.n, 0) + coalesce(cb.n, 0) - coalesce(i.i, 0) AS u
+      FROM cand c
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      LEFT JOIN cnt ca ON ca.doc_id = c.doc_a
+      LEFT JOIN cnt cb ON cb.doc_id = c.doc_b
+    ), ver AS (
+      SELECT doc_a, doc_b FROM jac
+      WHERE CASE WHEN u = 0 THEN 1.0 ELSE CAST(i AS DOUBLE) / u END >= 0.5
+    ), nd AS (
+      SELECT doc_a AS doc_id FROM ver UNION SELECT doc_b FROM ver
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(nd.doc_id) AS BIGINT) AS n_neardup
+    FROM documents d LEFT JOIN nd ON nd.doc_id = d.doc_id
+    GROUP BY 1
+    """
+
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -11748,6 +11906,8 @@ SQL_QUERIES: dict[str, tuple] = {
         _sql_order_interarrival_median(),
     ),
     "image_dedup_savings": (q_image_dedup_savings, _sql_image_dedup_savings()),
+    "quantile_sketch_prices": (q_quantile_sketch_prices, _sql_quantile_sketch_prices()),
+    "neardup_rate_by_source": (q_neardup_rate_by_source, _sql_neardup_rate_by_source()),
 }
 
 

@@ -104,3 +104,27 @@ def test_entry_smoke(ray_session):
     assert df["roundtrip_ok"].all()
     qs, sql = e.queries(), e.oracle_sql()
     assert set(sql) <= set(qs)
+
+
+def test_quantile_sketch_accuracy(ray_session):
+    """The K=1024 bottom-hash sample's decile estimates must sit within
+    3 percentile points of the exact deciles (binomial bound for a
+    1024-row uniform sample; the sample is deterministic so this pin is
+    stable, not flaky)."""
+    import pyarrow.parquet as pq
+
+    from cov_tiles_ray.pipelines.queries import q_quantile_sketch_prices
+
+    est = _to_df(q_quantile_sketch_prices(SF_DIR))
+    exact = np.sort(
+        np.floor(
+            pq.read_table(
+                f"{SF_DIR}/lineitem.parquet", columns=["l_extendedprice"]
+            )["l_extendedprice"].to_numpy()
+            * 100.0
+        ).astype(np.int64)
+    )
+    for q, c in zip(est["q_x10"], est["est_cents"]):
+        # percentile rank of the estimate in the exact distribution
+        rank = np.searchsorted(exact, c, side="right") / len(exact)
+        assert abs(rank - q / 10.0) < 0.03, (q, c, rank)
