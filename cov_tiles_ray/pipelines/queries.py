@@ -11763,6 +11763,106 @@ def _sql_neardup_rate_by_source() -> str:
     """
 
 
+def q_user_activity_islands(sf_dir: str):
+    """Gaps-and-islands per user (the streak-analytics SQL pattern): from
+    each user's DISTINCT active days, count the maximal runs of
+    consecutive days (islands) and the longest streak length.
+
+    Scale shape: batches dedupe (user, day) first; ONE user-hash
+    part-exchange co-locates each user's days; each part finishes the
+    dedup and reads islands off one lexsort — an island starts where the
+    user changes or the day gap exceeds 1 — then segment-reduces
+    per-user island counts and max lengths (no per-group dispatch).
+    Output is user-bounded."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    n_parts = int(max(8, min(4096, ds.count() // 200_000 + 1)))
+
+    def dedup_batch(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[D]").astype(np.int64)
+        key = uid * np.int64(1 << 20) + (day - 10000)  # epoch days ~19700: 20 bits
+        u = np.unique(key)
+        uu = (u // np.int64(1 << 20)).astype(np.int64)
+        return pa.table(
+            {
+                "u": pa.array(uu),
+                "day": pa.array((u % np.int64(1 << 20)) + 10000),
+                "part": pa.array(
+                    (synth._splitmix64(uu.astype(np.uint64)) % np.uint64(n_parts)).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "n_active_days": pa.array([], pa.int64()),
+            "n_islands": pa.array([], pa.int64()),
+            "longest_streak": pa.array([], pa.int64()),
+        }
+    )
+
+    def islands_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        u = t["u"].to_numpy(zero_copy_only=False)
+        day = t["day"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, u))
+        u, day = u[order], day[order]
+        keep = np.r_[True, (u[1:] != u[:-1]) | (day[1:] != day[:-1])]  # cross-batch dedup
+        u, day = u[keep], day[keep]
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        new_island = new_user | np.r_[True, (day[1:] - day[:-1]) > 1]
+        isl = np.cumsum(new_island) - 1  # island id per row
+        isl_len = np.bincount(isl)
+        isl_user = u[new_island]
+        # per-user reductions over the island-level arrays
+        nu = np.r_[True, isl_user[1:] != isl_user[:-1]]
+        seg = np.cumsum(nu) - 1
+        n_isl = np.bincount(seg)
+        days_total = np.zeros(len(n_isl), np.int64)
+        np.add.at(days_total, seg, isl_len)
+        longest = np.zeros(len(n_isl), np.int64)
+        np.maximum.at(longest, seg, isl_len)
+        return pa.table(
+            {
+                "user_id": pa.array(isl_user[nu]),
+                "n_active_days": pa.array(days_total),
+                "n_islands": pa.array(n_isl.astype(np.int64)),
+                "longest_streak": pa.array(longest),
+            }
+        )
+
+    return (
+        ds.map_batches(dedup_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(islands_part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+
+
+def _sql_user_activity_islands() -> str:
+    return """
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day
+      FROM events
+    ), g AS (
+      SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      FROM d
+    ), isl AS (
+      SELECT user_id, count(*) AS len FROM g GROUP BY user_id, grp
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(max(len) AS BIGINT) AS longest_streak
+    FROM isl GROUP BY user_id
+    """
+
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -11908,6 +12008,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "image_dedup_savings": (q_image_dedup_savings, _sql_image_dedup_savings()),
     "quantile_sketch_prices": (q_quantile_sketch_prices, _sql_quantile_sketch_prices()),
     "neardup_rate_by_source": (q_neardup_rate_by_source, _sql_neardup_rate_by_source()),
+    "user_activity_islands": (q_user_activity_islands, _sql_user_activity_islands()),
 }
 
 
