@@ -11863,6 +11863,156 @@ def _sql_user_activity_islands() -> str:
     """
 
 
+_GH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GH_BITS = 15  # per axis; 30 interleaved bits = 6 base32 chars
+
+
+def q_geohash_counts(sf_dir: str):
+    """Geohash-6 cell counts over the event points — the third public
+    geo index the engine speaks alongside Bing quadkeys
+    (q_quadkey_tiles) and the hex grid (q_hex_assign_r3): quantize
+    lon/lat to 15 bits each, interleave lon-first into a 30-bit code,
+    emit 6 base32 chars.
+
+    Scale shape: encode + per-batch count combiner in one map over the
+    derived points; only (cell, count) partials reach the groupby.
+    Quantization floors identical float expression trees on both
+    engines, and the oracle builds the same interleave with 30
+    generated arithmetic terms."""
+    from ray.data.aggregate import Sum
+
+    ds = _events_points(sf_dir)
+
+    def encode(b: pa.Table) -> pa.Table:
+        lon = b["lon"].to_numpy(zero_copy_only=False)
+        lat = b["lat"].to_numpy(zero_copy_only=False)
+        n = np.int64(1 << _GH_BITS)
+        qx = np.floor((lon + 180.0) / 360.0 * float(n)).astype(np.int64)
+        qy = np.floor((lat + 90.0) / 180.0 * float(n)).astype(np.int64)
+        v = np.zeros(len(qx), np.int64)
+        for i in range(_GH_BITS):
+            v |= ((qx >> (_GH_BITS - 1 - i)) & 1) << (29 - 2 * i)
+            v |= ((qy >> (_GH_BITS - 1 - i)) & 1) << (28 - 2 * i)
+        u, c = np.unique(v, return_counts=True)
+        chars = np.array(list(_GH_ALPHABET), "U1")
+        gh = chars[(u[:, None] >> (np.arange(5, -1, -1) * 5)) & 31]
+        return pa.table(
+            {
+                "geohash": pa.array(["".join(row) for row in gh], pa.string()),
+                "n": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("geohash")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def _sql_geohash_counts() -> str:
+    n = 1 << _GH_BITS
+    qx = f"CAST(floor((({_LON_SQL}) + 180.0) / 360.0 * {n}.0) AS BIGINT)"
+    qy = f"CAST(floor((({_LAT_SQL}) + 90.0) / 180.0 * {n}.0) AS BIGINT)"
+    terms = []
+    for i in range(_GH_BITS):
+        terms.append(f"((qx // {1 << (_GH_BITS - 1 - i)}) % 2) * {1 << (29 - 2 * i)}")
+        terms.append(f"((qy // {1 << (_GH_BITS - 1 - i)}) % 2) * {1 << (28 - 2 * i)}")
+    v = " + ".join(terms)
+    ch = " || ".join(
+        f"substr('{_GH_ALPHABET}', CAST((v // {1 << (25 - 5 * j)}) % 32 AS INTEGER) + 1, 1)"
+        for j in range(6)
+    )
+    return f"""
+    WITH q AS (
+      SELECT {qx} AS qx, {qy} AS qy FROM events
+    ), iv AS (
+      SELECT ({v}) AS v FROM q
+    )
+    SELECT ({ch}) AS geohash, CAST(count(*) AS BIGINT) AS n
+    FROM iv GROUP BY 1
+    """
+
+
+def q_neardup_containment(sf_dir: str):
+    """Asymmetric CONTAINMENT scoring over the shared LSH candidate
+    pairs — the clone-direction metric (|A n B| / |A|, x100 trunc) that
+    tells WHICH document is the copy, where symmetric Jaccard
+    (q_neardup_verified) only says they overlap.  Output: candidate
+    pairs with containment >= 50 in at least one direction, both
+    directions reported.
+
+    Scale shape: identical to q_neardup_verified (the shared candidate +
+    two-pass payload co-group engine); only the pair score function
+    differs, so the distributed plumbing is reused, not re-derived."""
+    from . import rows_only as _ro
+    from ..functions import dedup as dedup_f
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def texts(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "payload": [t.encode("utf-8") for t in df["text"].astype(str)],
+            }
+        )
+
+    def cont_dir(ta: bytes, tb: bytes):
+        sa = set(dedup_f.shingle_hashes(ta.decode("utf-8")).tolist())
+        sb = set(dedup_f.shingle_hashes(tb.decode("utf-8")).tolist())
+        i = len(sa & sb)
+        ca = 100 if not sa else int(i / len(sa) * 100.0)
+        cb = 100 if not sb else int(i / len(sb) * 100.0)
+        if max(ca, cb) < 50:
+            return None
+        return ca * 1000 + cb  # packed: unpacked by the caller
+
+    cand = _ro._lsh_candidates(ds)
+    payload = ds.map_batches(texts, batch_format="pandas")
+    pairs = _ro._join_pairs_with_payload(
+        cand, payload, cont_dir, "packed", n_keys=ds.count()
+    ).to_pandas()
+    pairs = pairs.drop_duplicates(subset=["doc_a", "doc_b"]).sort_values(["doc_a", "doc_b"])
+    packed = pairs["packed"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "doc_a": pa.array(pairs.doc_a.to_numpy(np.int64)),
+            "doc_b": pa.array(pairs.doc_b.to_numpy(np.int64)),
+            "cont_a_x100": pa.array(packed // 1000),
+            "cont_b_x100": pa.array(packed % 1000),
+        }
+    )
+
+
+def _sql_neardup_containment() -> str:
+    return f"""
+    WITH {_sql_lsh_cand_cte()}, cnt AS (
+      SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cand c
+      JOIN shd sa ON sa.doc_id = c.doc_a
+      JOIN shd sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+      GROUP BY c.doc_a, c.doc_b
+    ), sc AS (
+      SELECT c.doc_a, c.doc_b,
+             CASE WHEN coalesce(ca.n, 0) = 0 THEN 100
+                  ELSE CAST(trunc(CAST(coalesce(i.i, 0) AS DOUBLE) / ca.n * 100.0) AS BIGINT)
+             END AS cont_a_x100,
+             CASE WHEN coalesce(cb.n, 0) = 0 THEN 100
+                  ELSE CAST(trunc(CAST(coalesce(i.i, 0) AS DOUBLE) / cb.n * 100.0) AS BIGINT)
+             END AS cont_b_x100
+      FROM cand c
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      LEFT JOIN cnt ca ON ca.doc_id = c.doc_a
+      LEFT JOIN cnt cb ON cb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, cont_a_x100, cont_b_x100
+    FROM sc WHERE cont_a_x100 >= 50 OR cont_b_x100 >= 50
+    """
+
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -12009,6 +12159,8 @@ SQL_QUERIES: dict[str, tuple] = {
     "quantile_sketch_prices": (q_quantile_sketch_prices, _sql_quantile_sketch_prices()),
     "neardup_rate_by_source": (q_neardup_rate_by_source, _sql_neardup_rate_by_source()),
     "user_activity_islands": (q_user_activity_islands, _sql_user_activity_islands()),
+    "geohash_counts": (q_geohash_counts, _sql_geohash_counts()),
+    "neardup_containment": (q_neardup_containment, _sql_neardup_containment()),
 }
 
 
