@@ -12013,6 +12013,219 @@ def _sql_neardup_containment() -> str:
     """
 
 
+def q_cluster_caption_consistency(sf_dir: str):
+    """Cross-modal dedup validation: for every multi-image perceptual
+    near-dup cluster (q_image_phash_clusters), do the members agree on
+    their CAPTION?  Output per cluster: member count and distinct
+    caption count — disagreeing clusters are what a curation pipeline
+    sends to review before keeping one representative (near-identical
+    pixels with different text labels poison a caption-training set).
+
+    Scale shape: the cluster map is pair-bounded (far smaller than the
+    corpus) and ships once via ray.put; captions stream through one map
+    over the (image_id, caption)-pruned read — captions hash to 8-byte
+    fingerprints in the map, so only (cluster, hash) pairs reach the
+    distinct-count groupby, never caption text."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from . import rows_only as _ro
+    from . import tiling
+
+    clusters = _ro.q_image_phash_clusters(sf_dir)
+    cl_ids = np.array(
+        [int(s[3:]) for s in clusters["image_id"].to_pylist()], np.int64
+    )
+    cl_lbl = np.array(
+        [int(s[3:]) for s in clusters["cluster_id"].to_pylist()], np.int64
+    )
+    order = np.argsort(cl_ids)
+    cl_ids, cl_lbl = cl_ids[order], cl_lbl[order]
+    map_ref = ray.put((cl_ids, cl_lbl))
+
+    images = tiling.read_images(sf_dir, columns=["image_id", "caption"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        import hashlib
+
+        import ray as _ray
+
+        ids_s = b["image_id"].to_pylist()
+        ids = np.fromiter((int(s[3:]) for s in ids_s), np.int64, len(ids_s))
+        k_ids, k_lbl = _ray.get(map_ref)
+        if len(k_ids):
+            pos = np.minimum(np.searchsorted(k_ids, ids), len(k_ids) - 1)
+            hit = k_ids[pos] == ids
+        else:
+            hit = np.zeros(len(ids), bool)
+        caps = b["caption"].to_pylist()
+        h = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(caps[i].encode("utf-8")).digest()[:8], "little")
+                - (1 << 63)
+                for i in np.flatnonzero(hit)
+            ),
+            np.int64,
+            int(hit.sum()),
+        )
+        lbl = k_lbl[pos[hit]] if len(k_ids) else np.array([], np.int64)
+        # per-batch combiner: distinct (cluster, caption-hash) + counts
+        key = np.stack([lbl, h], axis=1)
+        u, c = np.unique(key, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "cluster": pa.array(u[:, 0]),
+                "cap_h": pa.array(u[:, 1]),
+                "n": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "cluster_id": pa.array([], pa.string()),
+            "n_members": pa.array([], pa.int64()),
+            "n_captions": pa.array([], pa.int64()),
+        }
+    )
+
+    def reduce_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _empty
+        cl = b["cluster"].to_numpy(zero_copy_only=False)
+        h = b["cap_h"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((h, cl))
+        cl, h, n = cl[order], h[order], n[order]
+        dup = np.r_[True, (cl[1:] != cl[:-1]) | (h[1:] != h[:-1])]
+        seg = np.cumsum(dup) - 1
+        cnt = np.zeros(int(seg[-1]) + 1, np.int64)
+        np.add.at(cnt, seg, n)
+        cl_u = cl[dup]
+        new = np.r_[True, cl_u[1:] != cl_u[:-1]]
+        cseg = np.cumsum(new) - 1
+        members = np.zeros(int(cseg[-1]) + 1, np.int64)
+        np.add.at(members, cseg, cnt)
+        ncap = np.zeros(len(members), np.int64)
+        np.add.at(ncap, cseg, 1)
+        fmt = np.frompyfunc("img{:012d}".format, 1, 1)
+        return pa.table(
+            {
+                "cluster_id": pa.array(fmt(cl_u[new]).astype("U15"), pa.string()),
+                "n_members": pa.array(members),
+                "n_captions": pa.array(ncap),
+            }
+        )
+
+    return (
+        images.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["cluster", "cap_h"])
+        .aggregate(Sum("n", alias_name="n"))
+        .repartition(1)
+        .map_batches(reduce_block, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def _sql_cluster_caption_consistency(sf: float = 0.01) -> str:
+    from ..sources import synth
+
+    return f"""
+    WITH RECURSIVE {_phash_pair_ctes(sf)}, edges AS (
+      SELECT img_a AS u, img_b AS v FROM pairs
+      UNION
+      SELECT img_b, img_a FROM pairs
+    ), reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ), cl AS (
+      SELECT u AS image_id, least(u, min(v)) AS cluster_id
+      FROM reach GROUP BY u
+    )
+    SELECT cl.cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(DISTINCT i.caption) AS BIGINT) AS n_captions
+    FROM cl JOIN read_parquet('{synth.images_dir(sf)}/*.parquet') i
+      ON i.image_id = cl.image_id
+    GROUP BY 1
+    """
+
+
+def q_orders_seasonality(sf_dir: str):
+    """Seasonality profile — the two-level calendar rollup: per
+    month-of-year (pooled across years), order count, total revenue
+    cents, and the between-year spread (max yearly total - min yearly
+    total for that month, over years WITH orders in that month).
+
+    Scale shape: one map pass combines to (year, month) partials
+    (<= 12 x years rows leave each batch); the (year, month) groupby is
+    calendar-bounded, and the month rollup runs on that tiny table."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        d = b["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[M]")
+        y = d.astype("datetime64[Y]").astype(np.int64) + 1970
+        m = d.astype(np.int64) % 12 + 1
+        cents = np.floor(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        ym = y * 100 + m
+        u, inv = np.unique(ym, return_inverse=True)
+        n = np.zeros(len(u), np.int64)
+        np.add.at(n, inv, 1)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table({"ym": pa.array(u), "n": pa.array(n), "cents": pa.array(s)})
+
+    per_ym = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ym")
+        .aggregate(Sum("n", alias_name="n"), Sum("cents", alias_name="cents"))
+        .to_pandas()  # calendar-bounded
+    )
+    m = (per_ym["ym"] % 100).to_numpy(np.int64)
+    n = per_ym["n"].to_numpy(np.int64)
+    cents = per_ym["cents"].to_numpy(np.int64)
+    rows = []
+    for month in np.unique(m):
+        sel = m == month
+        rows.append(
+            (
+                int(month),
+                int(n[sel].sum()),
+                int(cents[sel].sum()),
+                int(cents[sel].max() - cents[sel].min()),
+            )
+        )
+    return pa.table(
+        {
+            "month": pa.array([r[0] for r in rows], pa.int64()),
+            "n_orders": pa.array([r[1] for r in rows], pa.int64()),
+            "revenue_cents": pa.array([r[2] for r in rows], pa.int64()),
+            "yearly_spread_cents": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _sql_orders_seasonality() -> str:
+    return """
+    WITH ym AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+             CAST(month(o_orderdate) AS BIGINT) AS m,
+             count(*) AS n,
+             SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT m AS month,
+           CAST(SUM(n) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+           CAST(max(cents) - min(cents) AS BIGINT) AS yearly_spread_cents
+    FROM ym GROUP BY m
+    """
+
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -12161,6 +12374,11 @@ SQL_QUERIES: dict[str, tuple] = {
     "user_activity_islands": (q_user_activity_islands, _sql_user_activity_islands()),
     "geohash_counts": (q_geohash_counts, _sql_geohash_counts()),
     "neardup_containment": (q_neardup_containment, _sql_neardup_containment()),
+    "cluster_caption_consistency": (
+        q_cluster_caption_consistency,
+        _sql_cluster_caption_consistency(),
+    ),
+    "orders_seasonality": (q_orders_seasonality, _sql_orders_seasonality()),
 }
 
 
@@ -12213,6 +12431,7 @@ def corpus_sql(sf: float) -> dict[str, str]:
         "image_phash_clusters": _sql_image_phash_clusters(sf),
         "phash_bit_stats": _sql_phash_bit_stats(sf),
         "image_dedup_savings": _sql_image_dedup_savings(sf),
+        "cluster_caption_consistency": _sql_cluster_caption_consistency(sf),
         "image_exact_dedup": _sql_image_exact_dedup(sf),
         "audio_exact_dedup": _sql_audio_exact_dedup(sf),
         "image_size_stats": _sql_image_size_stats(sf),
