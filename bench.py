@@ -231,6 +231,10 @@ def _run_bench(headline_only: bool = False) -> dict:
         "bigram_logprob",
         "tile_pyramid_counts",
         "tile_downsample",
+        # r4 session-3 additions: the rewritten profiler and the
+        # image-cluster composition (pair engine + vectorized Hash-Min)
+        "table_profile",
+        "image_phash_clusters",
     ]
     qtimes: dict[str, float] = {}
     for name in bench_queries:
