@@ -2539,6 +2539,93 @@ def q_doc_compress_ratio(sf_dir: str):
 
 # simhash_docs / langid_detect / quality_scores / doc_fingerprints moved to
 # the SQL-oracle registry (pipelines.queries.SQL_QUERIES, VERDICT r1 #4).
+def q_image_tar_roundtrip(sf_dir: str):
+    """WebDataset tar-shard sink/source round trip over the image corpus
+    — the shipping format of large-scale image/caption training data:
+    write one deterministic tar shard per block
+    (sources.webdataset.write_tar_shards), stream the shards back, and
+    verify every sample survived byte-exactly.  Output: one summary row
+    (n_images, n_shards, tar_bytes, n_mismatch) — n_mismatch must be 0.
+
+    Scale shape: both verification legs digest (bytes, caption) to an
+    8-byte fingerprint where they are read, so only (image_id, digest)
+    rides the compare groupby — blobs cross neither shuffle.  Shards
+    are written where blocks live (map-only, no shuffle), atomically,
+    byte-deterministic — the resumable-output contract."""
+    import hashlib
+    import tempfile
+
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from ..sources import synth, webdataset
+    from . import tiling
+
+    sf = synth.sf_from_dir(sf_dir)
+    out_dir = os.path.join(
+        tempfile.gettempdir(), "cov_tiles_ray_scratch", f"wds_sf{sf:g}"
+    )
+    images = tiling.read_images(sf_dir, columns=["image_id", "bytes", "caption"])
+    manifest = webdataset.write_tar_shards(images, out_dir).to_pandas()
+    n_shards = len(manifest)
+    tar_bytes = int(manifest["tar_bytes"].sum())
+
+    def digest(b: pa.Table) -> pa.Table:
+        ids = b["image_id"].to_pylist()
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(blob + b"\x00" + cap.encode("utf-8")).digest()[:8],
+                    "little",
+                )
+                - (1 << 63)
+                for blob, cap in zip(b["bytes"].to_pylist(), b["caption"].to_pylist())
+            ),
+            np.int64,
+            b.num_rows,
+        )
+        return pa.table({"image_id": pa.array(ids, pa.string()), "h": pa.array(h)})
+
+    both = (
+        images.map_batches(digest, batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            webdataset.read_tar_shards(out_dir).map_batches(
+                digest, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        .groupby("image_id")
+        .aggregate(
+            Count(alias_name="n"),
+            Min("h", alias_name="h_min"),
+            Max("h", alias_name="h_max"),
+        )
+    )
+
+    def mismatch_partial(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        bad = (n != 2) | (
+            b["h_min"].to_numpy(zero_copy_only=False)
+            != b["h_max"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "n_images": pa.array([b.num_rows], pa.int64()),
+                "n_mismatch": pa.array([int(bad.sum())], pa.int64()),
+            }
+        )
+
+    agg = both.map_batches(
+        mismatch_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(Sum("n_images", alias_name="n_images"), Sum("n_mismatch", alias_name="n_mismatch"))
+    return pd.DataFrame(
+        {
+            "n_images": [int(agg["n_images"])],
+            "n_shards": [n_shards],
+            "tar_bytes": [tar_bytes],
+            "n_mismatch": [int(agg["n_mismatch"])],
+        }
+    )
+
+
 def q_video_frame_sample(sf_dir: str):
     """Video frame-sampling manifest — the video leg of the multimodal
     triad (image: q_image_quality, audio: q_audio_features): the
@@ -2746,6 +2833,7 @@ ROWS_ONLY_QUERIES = {
     "audio_features": q_audio_features,
     "audio_resample_stats": q_audio_resample_stats,
     "video_frame_sample": q_video_frame_sample,
+    "image_tar_roundtrip": q_image_tar_roundtrip,
     "image_tile_mosaic": q_image_tile_mosaic,
     "covt_feature_scan": q_covt_feature_scan,
     "dup_ngram_spans_kr": _q_dup_ngram_spans_kr,
