@@ -2560,10 +2560,15 @@ def q_image_tar_roundtrip(sf_dir: str):
     from ..sources import synth, webdataset
     from . import tiling
 
+    import shutil
+
     sf = synth.sf_from_dir(sf_dir)
     out_dir = os.path.join(
         tempfile.gettempdir(), "cov_tiles_ray_scratch", f"wds_sf{sf:g}"
     )
+    # fresh scratch: shard names derive from block boundaries, so shards
+    # left by a run at a DIFFERENT parallelism would duplicate samples
+    shutil.rmtree(out_dir, ignore_errors=True)
     images = tiling.read_images(sf_dir, columns=["image_id", "bytes", "caption"])
     manifest = webdataset.write_tar_shards(images, out_dir).to_pandas()
     n_shards = len(manifest)
@@ -2621,6 +2626,100 @@ def q_image_tar_roundtrip(sf_dir: str):
             "n_images": [int(agg["n_images"])],
             "n_shards": [n_shards],
             "tar_bytes": [tar_bytes],
+            "n_mismatch": [int(agg["n_mismatch"])],
+        }
+    )
+
+
+def q_documents_jsonl_roundtrip(sf_dir: str):
+    """JSONL sink/source round trip over the documents table — the
+    text-side shipping format (one JSON object per line): write one
+    .jsonl shard per block (sources.webdataset.write_jsonl_shards),
+    read back with Ray's native JSON reader, verify every row survived
+    exactly.  Output: one summary row (n_docs, n_shards, jsonl_bytes,
+    n_mismatch) — n_mismatch must be 0.
+
+    Scale shape: like q_image_tar_roundtrip, both legs digest rows to
+    8-byte fingerprints at the read; only (doc_id, hash) rides the
+    compare groupby."""
+    import hashlib
+    import tempfile
+
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from ..sources import synth, webdataset
+
+    import shutil
+
+    sf = synth.sf_from_dir(sf_dir)
+    out_dir = os.path.join(
+        tempfile.gettempdir(), "cov_tiles_ray_scratch", f"jsonl_sf{sf:g}"
+    )
+    # fresh scratch (see q_image_tar_roundtrip: block-derived shard names)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+    manifest = webdataset.write_jsonl_shards(docs, out_dir).to_pandas()
+    n_shards = len(manifest)
+    jsonl_bytes = int(manifest["jsonl_bytes"].sum())
+
+    def digest(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(
+                        "\x00".join((t, lg, sr)).encode("utf-8")
+                    ).digest()[:8],
+                    "little",
+                )
+                - (1 << 63)
+                for t, lg, sr in zip(
+                    b["text"].to_pylist(), b["lang"].to_pylist(), b["source"].to_pylist()
+                )
+            ),
+            np.int64,
+            b.num_rows,
+        )
+        return pa.table({"doc_id": pa.array(ids), "h": pa.array(h)})
+
+    both = (
+        docs.map_batches(digest, batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            webdataset.read_jsonl_shards(out_dir).map_batches(
+                digest, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        .groupby("doc_id")
+        .aggregate(
+            Count(alias_name="n"),
+            Min("h", alias_name="h_min"),
+            Max("h", alias_name="h_max"),
+        )
+    )
+
+    def mismatch_partial(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        bad = (n != 2) | (
+            b["h_min"].to_numpy(zero_copy_only=False)
+            != b["h_max"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "n_docs": pa.array([b.num_rows], pa.int64()),
+                "n_mismatch": pa.array([int(bad.sum())], pa.int64()),
+            }
+        )
+
+    agg = both.map_batches(
+        mismatch_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_mismatch", alias_name="n_mismatch"))
+    return pd.DataFrame(
+        {
+            "n_docs": [int(agg["n_docs"])],
+            "n_shards": [n_shards],
+            "jsonl_bytes": [jsonl_bytes],
             "n_mismatch": [int(agg["n_mismatch"])],
         }
     )
@@ -2834,6 +2933,7 @@ ROWS_ONLY_QUERIES = {
     "audio_resample_stats": q_audio_resample_stats,
     "video_frame_sample": q_video_frame_sample,
     "image_tar_roundtrip": q_image_tar_roundtrip,
+    "documents_jsonl_roundtrip": q_documents_jsonl_roundtrip,
     "image_tile_mosaic": q_image_tile_mosaic,
     "covt_feature_scan": q_covt_feature_scan,
     "dup_ngram_spans_kr": _q_dup_ngram_spans_kr,

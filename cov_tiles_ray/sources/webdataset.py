@@ -88,6 +88,56 @@ def write_tar_shards(images: rd.Dataset, out_dir: str) -> rd.Dataset:
     )
 
 
+def write_jsonl_shards(docs: rd.Dataset, out_dir: str) -> rd.Dataset:
+    """JSONL sink — the text-side shipping format (one JSON object per
+    line, one .jsonl file per block, same deterministic/atomic contract
+    as the tar sink).  Any column set serializes; keys emit in column
+    order.  Returns the lazy shard manifest (shard, n_rows, jsonl_bytes)."""
+    import json
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "shard": pa.array([], pa.string()),
+                    "n_rows": pa.array([], pa.int64()),
+                    "jsonl_bytes": pa.array([], pa.int64()),
+                }
+            )
+        cols = b.column_names
+        data = {c: b[c].to_pylist() for c in cols}
+        lines = [
+            json.dumps({c: data[c][i] for c in cols}, ensure_ascii=False, sort_keys=False)
+            for i in range(b.num_rows)
+        ]
+        blob = ("\n".join(lines) + "\n").encode("utf-8")
+        name = f"docs-{data[cols[0]][0]}.jsonl"
+        path = os.path.join(out_dir, name)
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        return pa.table(
+            {
+                "shard": pa.array([name], pa.string()),
+                "n_rows": pa.array([b.num_rows], pa.int64()),
+                "jsonl_bytes": pa.array([len(blob)], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(
+        write_block, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+
+def read_jsonl_shards(shard_dir: str) -> rd.Dataset:
+    """Source: stream the JSONL shard dir back to rows (Ray's native
+    line-delimited JSON reader; one read task per file)."""
+    return rd.read_json(shard_dir, file_extensions=["jsonl"])
+
+
 def read_tar_shards(shard_dir: str) -> rd.Dataset:
     """Source: stream the shard dir back to (image_id, bytes, caption)
     rows — read_binary_files hands each shard to one untar task, so

@@ -61,3 +61,11 @@ def test_image_tar_roundtrip_query(ray_session):
     assert df["n_mismatch"].iloc[0] == 0
     assert df["n_images"].iloc[0] == 6000
     assert df["n_shards"].iloc[0] >= 1
+
+
+def test_documents_jsonl_roundtrip_query(ray_session):
+    from cov_tiles_ray.pipelines.rows_only import q_documents_jsonl_roundtrip
+
+    df = q_documents_jsonl_roundtrip("/root/testdata/sf0.001")
+    assert df["n_mismatch"].iloc[0] == 0
+    assert df["n_docs"].iloc[0] == 500
