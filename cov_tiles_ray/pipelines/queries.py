@@ -1355,13 +1355,16 @@ def _sql_image_phash_clusters(sf: float = 0.01) -> str:
     """
 
 
-def _sql_ann_lsh_buckets() -> str:
-    # Inline the seeded hyperplanes (functions/ann.hyperplane_lsh_params,
-    # seed 11, 12 bits) as DOUBLE[] literals: the testdata embedding dim is
-    # fixed at 64 (TESTDATA.md), and float32 plane values are exactly
-    # representable in DOUBLE, so DuckDB's sequential list_dot_product and
-    # numpy's float64 matmul agree on every projection sign (min |proj| in
-    # the corpora ~1e-6 vs ~1e-13 summation-order noise).
+def _sql_lsh_bucket_expr(col: str = "embedding") -> str:
+    """The inlined single-table hyperplane-LSH bucket expression.
+
+    Seeded hyperplanes (functions/ann.hyperplane_lsh_params, seed 11,
+    12 bits) inline as DOUBLE[] literals: the testdata embedding dim is
+    fixed at 64 (TESTDATA.md), and float32 plane values are exactly
+    representable in DOUBLE, so DuckDB's sequential list_dot_product and
+    numpy's float64 matmul agree on every projection sign (min |proj| in
+    the corpora ~1e-6 vs ~1e-13 summation-order noise).  Shared by
+    _sql_ann_lsh_buckets and _sql_ann_recall_eval."""
     from ..functions import ann as ann_f
 
     planes = ann_f.hyperplane_lsh_params(64, num_bits=12).astype(np.float64)
@@ -1369,12 +1372,15 @@ def _sql_ann_lsh_buckets() -> str:
     for j, p in enumerate(planes):
         lit = "[" + ",".join("%.17g" % v for v in p) + "]::DOUBLE[]"
         terms.append(
-            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) > 0"
+            f"(CASE WHEN list_dot_product({col}::DOUBLE[], {lit}) > 0"
             f" THEN {1 << j} ELSE 0 END)"
         )
-    expr = "\n         + ".join(terms)
+    return "\n         + ".join(terms)
+
+
+def _sql_ann_lsh_buckets() -> str:
     return f"""
-    SELECT ({expr}) AS bucket, count(*) AS n
+    SELECT ({_sql_lsh_bucket_expr()}) AS bucket, count(*) AS n
     FROM embeddings
     GROUP BY 1
     """
@@ -12226,6 +12232,126 @@ def _sql_orders_seasonality() -> str:
     """
 
 
+_RECALL_Q = 16
+
+
+def q_ann_recall_eval(sf_dir: str):
+    """ANN EVALUATION harness — the measurement loop an index needs
+    before anyone trusts it: recall@5 of the single-table hyperplane-LSH
+    bucketing (ann_lsh_buckets' exact parameters) against brute-force
+    cosine top-5, for the 16 lowest vec_ids.  Output per query: how many
+    of its exact top-5 (self included, rank 0) land in the query's
+    bucket — n/5 is the recall a multi-table config would improve.
+
+    Scale shape: exact top-5 comes from the same blocked-matmul partial
+    top-k as q_ann_cosine_top5 (k rows per query per block to the
+    driver); the bucket membership check then reads ONLY the <= Q*5
+    wanted ids — a broadcast id probe inside one map over the embedding
+    read, never a join."""
+    import ray
+
+    from ..functions import ann as ann_f
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = emb.filter(expr=f"vec_id < {_RECALL_Q}").to_pandas().sort_values("vec_id")
+    qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    qids = qdf["vec_id"].to_numpy(np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        vecs = np.stack(b["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        sims = qn @ vn.T
+        kk = min(5, sims.shape[1])
+        qi, vi, sc = [], [], []
+        for q in range(len(qn)):
+            part = np.argpartition(-sims[q], kk - 1)[:kk]
+            qi.append(np.full(kk, qids[q]))
+            vi.append(ids[part])
+            sc.append(sims[q][part])
+        return pa.table(
+            {
+                "q": pa.array(np.concatenate(qi).astype(np.int64)),
+                "v": pa.array(np.concatenate(vi).astype(np.int64)),
+                "sim": pa.array(np.concatenate(sc)),
+            }
+        )
+
+    parts = emb.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    order = np.lexsort((parts.v.to_numpy(), -parts.sim.to_numpy(), parts.q.to_numpy()))
+    p = parts.iloc[order]
+    top = p.groupby("q", sort=True).head(5)
+    top_q = top["q"].to_numpy(np.int64)
+    top_v = top["v"].to_numpy(np.int64)
+
+    wanted = np.unique(np.concatenate([top_v, qids]))
+    wanted_ref = ray.put(wanted)
+
+    def buckets(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        w = _ray.get(wanted_ref)
+        ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = w[np.minimum(np.searchsorted(w, ids), len(w) - 1)] == ids
+        if not hit.any():
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "bucket": pa.array([], pa.int64())}
+            )
+        vecs = np.stack(b["embedding"].to_numpy(zero_copy_only=False)[hit]).astype(np.float64)
+        planes = ann_f.hyperplane_lsh_params(vecs.shape[1], num_bits=12)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[hit]),
+                "bucket": pa.array(ann_f.hyperplane_bucket(vecs, planes).astype(np.int64)),
+            }
+        )
+
+    bk = (
+        emb.map_batches(buckets, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .set_index("vec_id")["bucket"]
+    )
+    qb = bk.reindex(top_q).to_numpy(np.int64)
+    vb = bk.reindex(top_v).to_numpy(np.int64)
+    same = (qb == vb).astype(np.int64)
+    out_q = np.unique(top_q)
+    n_in = np.zeros(len(out_q), np.int64)
+    np.add.at(n_in, np.searchsorted(out_q, top_q), same)
+    return pa.table(
+        {
+            "query_vec_id": pa.array(out_q),
+            "n_top5_in_bucket": pa.array(n_in),
+        }
+    )
+
+
+def _sql_ann_recall_eval() -> str:
+    return f"""
+    WITH b AS (
+      SELECT vec_id, ({_sql_lsh_bucket_expr()}) AS bucket FROM embeddings
+    ), qs AS (
+      SELECT vec_id AS query_vec_id, embedding AS qe
+      FROM embeddings WHERE vec_id < {_RECALL_Q}
+    ), ranked AS (
+      SELECT q.query_vec_id, e.vec_id,
+             row_number() OVER (
+               PARTITION BY q.query_vec_id
+               ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id
+             ) - 1 AS rank
+      FROM qs q CROSS JOIN embeddings e
+    )
+    SELECT r.query_vec_id,
+           CAST(count(*) FILTER (WHERE bv.bucket = bq.bucket) AS BIGINT)
+             AS n_top5_in_bucket
+    FROM ranked r
+    JOIN b bv ON bv.vec_id = r.vec_id
+    JOIN b bq ON bq.vec_id = r.query_vec_id
+    WHERE r.rank < 5
+    GROUP BY 1
+    """
+
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -12379,6 +12505,7 @@ SQL_QUERIES: dict[str, tuple] = {
         _sql_cluster_caption_consistency(),
     ),
     "orders_seasonality": (q_orders_seasonality, _sql_orders_seasonality()),
+    "ann_recall_eval": (q_ann_recall_eval, _sql_ann_recall_eval()),
 }
 
 
