@@ -12352,6 +12352,213 @@ def _sql_ann_recall_eval() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# relational completeness wrap (r4 session 4): semi join, unpivot,
+# grouping sets, distributed regex filter
+# ---------------------------------------------------------------------------
+
+_SEMI_SHIP_CUT = np.datetime64("1998-06-01", "us")
+
+
+def q_semi_join_suppliers(sf_dir: str):
+    """Broadcast SEMI join: suppliers with at least one recent lineitem.
+
+    Scale shape (the mirror of q_anti_join_customers): the BIG side
+    (lineitem) is reduced to its distinct key set FIRST — a per-batch
+    np.unique partial bounds the exchange at |suppliers| rows per batch,
+    and the final distinct set (bounded by supplier cardinality, ~1e4 per
+    SF) ships once via ray.put; the probe side filters with np.isin.  No
+    all-to-all shuffle and the fact table is read with two columns only."""
+    import ray
+
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_shipdate"])
+
+    def recent_keys(b: pa.Table) -> pa.Table:
+        ship = b["l_shipdate"].to_numpy(zero_copy_only=False)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)[ship >= _SEMI_SHIP_CUT]
+        return pa.table({"l_suppkey": pa.array(np.unique(sk).astype(np.int64))})
+
+    keys = (
+        li.map_batches(recent_keys, batch_format="pyarrow", zero_copy_batch=True)
+        .unique("l_suppkey")
+    )
+    keys_ref = ray.put(np.asarray(keys, dtype=np.int64))
+
+    def semi(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        kset = _ray.get(keys_ref)
+        sk = b["s_suppkey"].to_numpy(zero_copy_only=False)
+        keep = np.isin(sk, kset)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(sk[keep].astype(np.int64)),
+                "s_name": b["s_name"].filter(pa.array(keep)),
+                "nationkey": pa.array(
+                    b["s_nationkey"].to_numpy(zero_copy_only=False)[keep].astype(np.int64)
+                ),
+            }
+        )
+
+    return _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"]).map_batches(
+        semi, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _sql_semi_join_suppliers() -> str:
+    return """
+    SELECT s_suppkey, s_name, cast(s_nationkey as bigint) AS nationkey
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-06-01'
+    )
+    """
+
+
+def q_unpivot_part_attrs(sf_dir: str):
+    """UNPIVOT (wide -> long melt): part's two numeric attributes stacked
+    into (p_partkey, attr, val) rows.  Map-only — each batch emits its own
+    stacked arrays (2x rows, zero shuffle), the long-format mirror of
+    q_pivot_user_events."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+
+    def melt(b: pa.Table) -> pa.Table:
+        pk = b["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        size = b["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(
+            b["p_retailprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        n = len(pk)
+        return pa.table(
+            {
+                "p_partkey": pa.array(np.concatenate([pk, pk])),
+                "attr": pa.array(["size"] * n + ["retail_cents"] * n),
+                "val": pa.array(np.concatenate([size, cents])),
+            }
+        )
+
+    return ds.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_unpivot_part_attrs() -> str:
+    return """
+    SELECT p_partkey, 'size' AS attr, cast(p_size as bigint) AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'retail_cents' AS attr,
+           cast(floor(p_retailprice * 100.0) as bigint) AS val FROM part
+    """
+
+
+def q_grouping_sets_orders(sf_dir: str):
+    """GROUPING SETS ((priority), (status), ()) in ONE pass: each batch
+    emits partial (count, cents) rows for every set tagged by its key
+    columns ('*' = rolled up), so the groupby exchange carries
+    O(|priorities| + |statuses| + 1) rows per batch instead of the table.
+    Complements q_orders_rollup / q_orders_cube with the arbitrary-set
+    shape."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "prio": b["o_orderpriority"].to_numpy(zero_copy_only=False),
+                "stat": b["o_orderstatus"].to_numpy(zero_copy_only=False),
+                "cents": np.floor(
+                    b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+                ).astype(np.int64),
+            }
+        )
+        by_p = df.groupby("prio", sort=False).agg(
+            n=("cents", "size"), cents=("cents", "sum")
+        ).reset_index()
+        by_s = df.groupby("stat", sort=False).agg(
+            n=("cents", "size"), cents=("cents", "sum")
+        ).reset_index()
+        return pa.table(
+            {
+                "k_priority": pa.array(
+                    list(by_p["prio"].astype(str))
+                    + ["*"] * (len(by_s) + 1)
+                ),
+                "k_status": pa.array(
+                    ["*"] * len(by_p) + list(by_s["stat"].astype(str)) + ["*"]
+                ),
+                "n": pa.array(
+                    np.concatenate(
+                        [by_p["n"].to_numpy(), by_s["n"].to_numpy(), [len(df)]]
+                    ).astype(np.int64)
+                ),
+                "cents": pa.array(
+                    np.concatenate(
+                        [
+                            by_p["cents"].to_numpy(),
+                            by_s["cents"].to_numpy(),
+                            [df["cents"].sum()],
+                        ]
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["k_priority", "k_status"])
+        .sum(["n", "cents"])
+        .rename_columns({"sum(n)": "n", "sum(cents)": "cents"})
+    )
+
+
+def _sql_grouping_sets_orders() -> str:
+    return """
+    SELECT coalesce(o_orderpriority, '*') AS k_priority,
+           coalesce(o_orderstatus, '*') AS k_status,
+           count(*) AS n,
+           cast(sum(cast(floor(o_totalprice * 100.0) as bigint)) as bigint) AS cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """
+
+
+_REGEX_PATTERN = r"table\s+(key|part)"
+
+
+def q_regex_match_rate(sf_dir: str):
+    """Distributed regex filter: per-lang count of documents matching an
+    RE2 pattern.  Arrow's match_substring_regex and DuckDB's
+    regexp_matches both compile to RE2, so engine semantics are identical
+    by construction; the scan is a two-column pruned read and the groupby
+    exchange carries one (lang, n) partial row per batch."""
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        hit = pc.match_substring_regex(b["text"], _REGEX_PATTERN)
+        langs = b["lang"].filter(hit)
+        vals, counts = np.unique(
+            np.asarray(langs.to_pandas(), dtype=object), return_counts=True
+        )
+        return pa.table(
+            {
+                "lang": pa.array([str(v) for v in vals]),
+                "n_match": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .sum("n_match")
+        .rename_columns({"sum(n_match)": "n_match"})
+    )
+
+
+def _sql_regex_match_rate() -> str:
+    return f"""
+    SELECT lang, count(*) AS n_match FROM documents
+    WHERE regexp_matches(text, '{_REGEX_PATTERN}')
+    GROUP BY lang
+    """
+
+
 SQL_QUERIES: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, _sql_pricing_summary()),
     "revenue_by_nation": (q_revenue_by_nation, _sql_revenue_by_nation()),
@@ -12506,6 +12713,10 @@ SQL_QUERIES: dict[str, tuple] = {
     ),
     "orders_seasonality": (q_orders_seasonality, _sql_orders_seasonality()),
     "ann_recall_eval": (q_ann_recall_eval, _sql_ann_recall_eval()),
+    "semi_join_suppliers": (q_semi_join_suppliers, _sql_semi_join_suppliers()),
+    "unpivot_part_attrs": (q_unpivot_part_attrs, _sql_unpivot_part_attrs()),
+    "grouping_sets_orders": (q_grouping_sets_orders, _sql_grouping_sets_orders()),
+    "regex_match_rate": (q_regex_match_rate, _sql_regex_match_rate()),
 }
 
 
