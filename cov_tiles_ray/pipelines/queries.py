@@ -3715,13 +3715,21 @@ def _kr_explode_batch(dids: np.ndarray, texts, W: int) -> tuple[np.ndarray, np.n
     return dids[doc_ix[: len(win)][keep]], acc[keep].astype(np.int64)
 
 
+_NW_EXTRA_PARTS = 64
+
+
 def _dup_ngram_spans_impl(sf_dir: str, hash_kind: str):
     from ray.data.aggregate import Sum
 
     W = _NGRAM_W
     meta = _read(sf_dir, "documents", ["n_chars"]).sum("n_chars")
     est_windows = max(int(meta) // 6, 1)  # ~5-char words + separator
-    n_parts = int(max(8, min(4096, est_windows // 50_000 + 1)))
+    # 250k-row parts: a part is one lexsort over 16-byte rows (4 MB), so
+    # wide parts cost nothing in-task while shrinking the range-partition
+    # fan-out (input_blocks x n_parts shuffle objects) — at 250k docs the
+    # 50k-row sizing made the sort coordination the whole query (r4 s4
+    # 5x check: 871 parts -> 63 s; 175 parts -> re-measured below)
+    n_parts = int(max(8, min(4096, est_windows // 250_000 + 1)))
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     _empty = pa.table(
@@ -3737,8 +3745,6 @@ def _dup_ngram_spans_impl(sf_dir: str, hash_kind: str):
         texts = df["text"].astype(str)
         if hash_kind == "kr":
             out_dids, h = _kr_explode_batch(batch_dids, texts, W)
-            if not len(h):
-                return _empty
         else:
             dids: list[np.ndarray] = []
             hs: list[np.ndarray] = []
@@ -3749,29 +3755,65 @@ def _dup_ngram_spans_impl(sf_dir: str, hash_kind: str):
                     continue
                 hs.append(_md5_window_hashes(toks, W))
                 dids.append(np.full(nw, did, np.int64))
-            if not hs:
-                return _empty
-            out_dids, h = np.concatenate(dids), np.concatenate(hs)
+            if hs:
+                out_dids, h = np.concatenate(dids), np.concatenate(hs)
+            else:
+                out_dids = h = np.empty(0, np.int64)
         part = (synth._splitmix64(h.astype(np.uint64)) % np.uint64(n_parts)).astype(
             np.int64
         )
+        # per-doc window TOTALS ride the same exchange in dedicated parts
+        # beyond the window range (part >= n_parts, nw in the h column, one
+        # row per doc) — computed map-side here so the post-exchange stage
+        # only re-ships docs that actually HAVE duplicated windows, instead
+        # of a (part x doc) row per scattered window part (the 2nd exchange
+        # was ~the size of the 1st before this; 5x-scale check, r4 s4)
+        n_toks = texts.str.count(" ").to_numpy(np.int64) + 1
+        nw_doc = n_toks - W + 1
+        keep = nw_doc > 0
+        if not len(h) and not keep.any():
+            return _empty
+        nw_part = n_parts + (batch_dids[keep] % _NW_EXTRA_PARTS)
         return pa.table(
             {
-                "doc_id": pa.array(out_dids),
-                "h": pa.array(h),
-                "part": pa.array(part),
+                "doc_id": pa.array(np.concatenate([out_dids, batch_dids[keep]])),
+                "h": pa.array(np.concatenate([h, nw_doc[keep]])),
+                "part": pa.array(np.concatenate([part, nw_part])),
             }
         )
 
+    _empty_counts = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "nw": pa.array([], pa.int64()),
+            "nd": pa.array([], pa.int64()),
+        }
+    )
+
     def count_dups(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "nw": pa.array([], pa.int64()),
-                    "nd": pa.array([], pa.int64()),
-                }
+            return _empty_counts
+        parts = t["part"].to_numpy(zero_copy_only=False)
+        nw_tables = []
+        if parts[-1] >= n_parts:
+            # window-total rows (part >= n_parts): (doc_id, nw)
+            # pass-throughs.  Split defensively rather than trusting
+            # one-block-per-part: a boundary-straddling block stays correct
+            # (window parts themselves are never split by the sort).
+            is_nw = parts >= n_parts
+            sel = pa.array(is_nw)
+            nw_tables.append(
+                pa.table(
+                    {
+                        "doc_id": t["doc_id"].filter(sel),
+                        "nw": t["h"].filter(sel),
+                        "nd": pa.array(np.zeros(int(is_nw.sum()), np.int64)),
+                    }
+                )
             )
+            t = t.filter(pa.compute.invert(sel))
+            if t.num_rows == 0:
+                return pa.concat_tables(nw_tables)
         h = t["h"].to_numpy(zero_copy_only=False)
         did = t["doc_id"].to_numpy(zero_copy_only=False)
         order = np.lexsort((did, h))
@@ -3783,17 +3825,20 @@ def _dup_ngram_spans_impl(sf_dir: str, hash_kind: str):
         ndocs = np.bincount(seg[new_doc], minlength=seg[-1] + 1)
         dup = (ndocs >= 2)[seg]
         uids, inv = np.unique(did, return_inverse=True)
-        return pa.table(
+        nd = np.bincount(inv, weights=dup, minlength=len(uids)).astype(np.int64)
+        nz = nd > 0  # only docs with duplicated windows re-ship
+        dup_t = pa.table(
             {
-                "doc_id": pa.array(uids),
-                "nw": pa.array(np.bincount(inv, minlength=len(uids))),
-                "nd": pa.array(np.bincount(inv, weights=dup, minlength=len(uids)).astype(np.int64)),
+                "doc_id": pa.array(uids[nz]),
+                "nw": pa.array(np.zeros(int(nz.sum()), np.int64)),
+                "nd": pa.array(nd[nz]),
             }
         )
+        return pa.concat_tables(nw_tables + [dup_t]) if nw_tables else dup_t
 
     out = (
         ds.map_batches(explode, batch_format="pandas")
-        .sort("part", boundaries=list(range(1, n_parts)))
+        .sort("part", boundaries=list(range(1, n_parts + _NW_EXTRA_PARTS)))
         .map_batches(count_dups, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
         .groupby("doc_id")
         .aggregate(Sum("nw", alias_name="n_windows"), Sum("nd", alias_name="n_dup_windows"))
