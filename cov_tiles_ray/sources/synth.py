@@ -211,8 +211,20 @@ def generate_documents_batch(start: int, n: int) -> pa.Table:
             )
             words = np.where(mut, repl, words)
         texts.append(" ".join(vocab[words]))
+    # full driver-documents schema (lang/source/n_chars) so EVERY documents
+    # query — not just the dedup family — runs unmodified on the scale
+    # corpus (r4 session-4: dup_ngram_spans reads n_chars for its
+    # size-estimate pass)
+    langs = np.array(["en", "de", "fr", "es", "pt"], dtype=object)
+    sources = np.array(["web", "books", "wiki", "code"], dtype=object)
     return pa.table(
-        {"doc_id": pa.array(idx, pa.int64()), "text": pa.array(texts, pa.string())}
+        {
+            "doc_id": pa.array(idx, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs[(_splitmix64(idx.astype(np.uint64) + np.uint64(5)) % np.uint64(5)).astype(np.int64)]),
+            "source": pa.array(sources[(_splitmix64(idx.astype(np.uint64) + np.uint64(9)) % np.uint64(4)).astype(np.int64)]),
+            "n_chars": pa.array(np.array([len(t) for t in texts], dtype=np.int64)),
+        }
     )
 
 
