@@ -1941,37 +1941,37 @@ _PQ_SHIFT = 14  # 16384-cent coarse buckets: ~700 buckets over the price
 # groups and a 2.5M-row partial stream — the groupby WAS the query)
 
 
-def q_price_quantiles(sf_dir: str):
-    """EXACT distributed quantiles of l_extendedprice (cents) per return
-    flag via a TWO-PASS rank search.  Pass 1 builds a coarse bucket
-    histogram (cents >> 8, per-batch bincount combiner -> one small
-    groupby) and the driver locates, per (flag, quantile), the bucket the
-    target rank falls in.  Pass 2 re-scans with the candidate-bucket set
-    broadcast and ships only (flag, cents, cnt) partials for rows INSIDE
-    those buckets; the exact rank pick happens over that sliver.
+def _cents_rank_search(ds, flag_col: str, price_col: str, ranks_fn, value_fn=None):
+    """Generic EXACT two-pass rank search: for each flag group, fetch the
+    integer cent value at a set of 1-based ranks over floor(price*100).
 
-    Scale shape: prices are near-unique, so a (flag, cents) value
-    histogram would be ~the table itself (the r4 s4 5x check measured the
-    one-pass form at 12.2 s / 30M rows, the slowest relational op) — the
-    two-pass form bounds every exchange by distinct coarse buckets
-    (domain/256 rows per batch) and the driver pull by |candidate
-    buckets| x bucket occupancy ~ n/4096 per quantile.  20.9s -> measured
-    below at 5x after the switch."""
+    ``ranks_fn(n) -> iterable[int]`` maps a group's row count to the
+    wanted ranks.  ``value_fn(cents, codes, flags)`` optionally maps the
+    raw cent values to the ranked quantity (e.g. |cents - median[flag]|
+    for MAD); it must be deterministic and integer-valued.  Returns
+    ``(totals: {flag: n}, at: {flag: {rank: value}})``.
+
+    Scale shape (shared by price_quantiles / price_percentiles_interp):
+    prices are near-unique, so a (flag, cents) value histogram is ~the
+    table itself — the one-pass form measured 12.2 s on a 30M-row
+    lineitem and its driver pull grew with row count.  Pass 1 ships a
+    coarse histogram (cents >> _PQ_SHIFT, ~700 buckets, dictionary-encoded
+    flag packed with the bucket into one int64 np.unique key per batch);
+    the driver locates each target rank's bucket; pass 2 re-scans with the
+    candidate set broadcast and ships exact (flag, cents) counts only for
+    rows inside those buckets (~n/700 rows per wanted bucket)."""
     import ray
     from ray.data.aggregate import Sum
 
-    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
-
     def coarse(b: pa.Table) -> pa.Table:
-        # dictionary-encode the flag in C, pack (flag_code, bucket) into one
-        # int64 key, and combine with np.unique — a pandas object-key
-        # groupby here was ~half the query's wall time (r4 s4 profile)
-        enc = pc.dictionary_encode(b["l_returnflag"].combine_chunks())
+        enc = pc.dictionary_encode(b[flag_col].combine_chunks())
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         flags = enc.dictionary.to_pylist()
-        cents = np.floor(b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0).astype(
+        cents = np.floor(b[price_col].to_numpy(zero_copy_only=False) * 100.0).astype(
             np.int64
         )
+        if value_fn is not None:
+            cents = value_fn(cents, codes, flags)
         key = (codes << np.int64(44)) | (cents >> _PQ_SHIFT)
         uk, cnt = np.unique(key, return_counts=True)
         fl = np.array(flags, object)[(uk >> np.int64(44)).astype(np.int64)]
@@ -1987,12 +1987,12 @@ def q_price_quantiles(sf_dir: str):
         ds.map_batches(coarse, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["flag", "bucket"])
         .aggregate(Sum("cnt", alias_name="n"))
-        .to_pandas()  # bounded by distinct coarse buckets (domain >> 8)
+        .to_pandas()  # bounded by distinct coarse buckets (domain >> _PQ_SHIFT)
     )
 
-    # per flag: total n, and for each quantile the bucket holding rank
-    # ceil(q*n) plus the rank offset before that bucket
-    want: dict[str, dict[int, list[tuple[float, int]]]] = {}
+    # per flag: total n; per wanted rank, the bucket holding it plus the
+    # residual rank offset inside that bucket
+    want: dict[str, dict[int, list[tuple[int, int]]]] = {}
     totals: dict[str, int] = {}
     for flag, grp in hist_df.groupby("flag", sort=True):
         grp = grp.sort_values("bucket")
@@ -2001,12 +2001,12 @@ def q_price_quantiles(sf_dir: str):
         cum = np.cumsum(counts)
         n = int(cum[-1])
         totals[flag] = n
-        for q in _QUANTILES:
-            k = int(np.ceil(q * n))  # same IEEE expression as the SQL
+        for k in ranks_fn(n):
+            k = int(k)
             i = int(np.searchsorted(cum, k, side="left"))
             before = int(cum[i - 1]) if i else 0
             want.setdefault(flag, {}).setdefault(int(buckets[i]), []).append(
-                (q, k - before)
+                (k, k - before)
             )
     cand_ref = ray.put({f: set(bs) for f, bs in want.items()})
 
@@ -2014,12 +2014,14 @@ def q_price_quantiles(sf_dir: str):
         import ray as _ray
 
         cand = _ray.get(cand_ref)
-        enc = pc.dictionary_encode(b["l_returnflag"].combine_chunks())
+        enc = pc.dictionary_encode(b[flag_col].combine_chunks())
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         flags = enc.dictionary.to_pylist()
-        cents = np.floor(b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0).astype(
+        cents = np.floor(b[price_col].to_numpy(zero_copy_only=False) * 100.0).astype(
             np.int64
         )
+        if value_fn is not None:
+            cents = value_fn(cents, codes, flags)
         bucket = cents >> _PQ_SHIFT
         keep = np.zeros(len(codes), bool)
         for ci, f in enumerate(flags):
@@ -2045,9 +2047,8 @@ def q_price_quantiles(sf_dir: str):
         .aggregate(Sum("cnt", alias_name="n"))
         .to_pandas()  # bounded by |candidate buckets| x in-bucket values
     )
-    rows = []
+    at: dict[str, dict[int, int]] = {}
     for flag in sorted(totals):
-        row = {"flag": flag, "n": np.int64(totals[flag])}
         fsl = sliver_df[sliver_df["flag"] == flag].sort_values("cents")
         vals = fsl["cents"].to_numpy()
         cnts = fsl["n"].to_numpy()
@@ -2056,10 +2057,33 @@ def q_price_quantiles(sf_dir: str):
             inb = bks == bucket
             bvals, bcnts = vals[inb], cnts[inb]
             bcum = np.cumsum(bcnts)
-            for q, off in picks:
-                row[f"p{int(q * 100)}_cents"] = np.int64(
+            for k, off in picks:
+                at.setdefault(flag, {})[k] = int(
                     bvals[np.searchsorted(bcum, off, side="left")]
                 )
+    return totals, at
+
+
+def q_price_quantiles(sf_dir: str):
+    """EXACT distributed quantiles of l_extendedprice (cents) per return
+    flag via the shared two-pass rank search (_cents_rank_search).  The
+    rank convention matches the SQL oracle: value at 1-based rank
+    ceil(q*n) per flag."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    totals, at = _cents_rank_search(
+        ds,
+        "l_returnflag",
+        "l_extendedprice",
+        # same IEEE expression as the SQL
+        lambda n: [int(np.ceil(q * n)) for q in _QUANTILES],
+    )
+    rows = []
+    for flag in sorted(totals):
+        n = totals[flag]
+        row = {"flag": flag, "n": np.int64(n)}
+        for q in _QUANTILES:
+            k = int(np.ceil(q * n))
+            row[f"p{int(q * 100)}_cents"] = np.int64(at[flag][k])
         rows.append(row)
     cols = ["flag", "n"] + [f"p{int(q * 100)}_cents" for q in _QUANTILES]
     return pd.DataFrame(rows)[cols]
@@ -6245,45 +6269,31 @@ def q_price_percentiles_interp(sf_dir: str):
     the identical fixed-arity IEEE expression over exact integers, so
     the quantized output is bit-exact.
 
-    Scale shape: per-batch np.unique histogram combiner -> one small
-    groupby; the driver interpolates over the value-domain-bounded
-    histogram, never the rows."""
-    from ray.data.aggregate import Sum
-
+    Scale shape: the shared two-pass rank search (_cents_rank_search)
+    fetches the two bracketing ranks per quantile; the one-pass value
+    histogram this replaced measured 30.6 s at sf0.1 (near-unique cents
+    made the partial stream ~the table; see the helper docstring)."""
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
 
-    def hist(df: pd.DataFrame) -> pa.Table:
-        cents = np.floor(df["l_extendedprice"].to_numpy(np.float64) * 100.0).astype(np.int64)
-        g = pd.DataFrame({"flag": df["l_returnflag"].to_numpy(object), "v": cents}).groupby(
-            ["flag", "v"], sort=False
-        ).size()
-        idx = g.index.to_frame(index=False)
-        return pa.table(
-            {
-                "flag": pa.array(idx["flag"].to_numpy(object), pa.string()),
-                "v": pa.array(idx["v"].to_numpy(np.int64)),
-                "n": pa.array(g.to_numpy(np.int64)),
-            }
-        )
+    def ranks(n: int) -> list[int]:
+        out = []
+        for q, _pct in _INTERP_QS:
+            pos = (n - 1) * q  # same IEEE expression as the SQL
+            klo = int(np.floor(pos))
+            khi = min(klo + 1, n - 1)
+            out += [klo + 1, khi + 1]  # 1-based bracketing ranks
+        return out
 
-    h = (
-        ds.map_batches(hist, batch_format="pandas")
-        .groupby(["flag", "v"])
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()  # bounded by |flags| x |distinct cents|
-        .sort_values(["flag", "v"], ignore_index=True)
-    )
+    totals, at = _cents_rank_search(ds, "l_returnflag", "l_extendedprice", ranks)
     rows = []
-    for flag, g in h.groupby("flag", sort=True):
-        v = g["v"].to_numpy(np.int64)
-        c = np.cumsum(g["n"].to_numpy(np.int64))
-        n = int(c[-1])
+    for flag in sorted(totals):
+        n = totals[flag]
         for q, pct in _INTERP_QS:
             pos = (n - 1) * q
             klo = int(np.floor(pos))
             khi = min(klo + 1, n - 1)
-            lo = int(v[np.searchsorted(c, klo + 1)])
-            hi = int(v[np.searchsorted(c, khi + 1)])
+            lo = at[flag][klo + 1]
+            hi = at[flag][khi + 1]
             res = lo + (hi - lo) * (pos - np.floor(pos))
             rows.append((flag, pct, int(np.floor(res * 100.0))))
     return pa.table(
@@ -6823,59 +6833,36 @@ def q_mad_prices(sf_dir: str):
     price cents and the median absolute deviation around it (both the
     rank-ceil(n/2) order statistic, no interpolation — exact integers).
 
-    Scale shape: ONE histogram exchange serves both passes — the
-    |v - med| histogram is derived on the driver by folding the value
-    histogram around the median, so the distributed work is a single
-    combiner + small groupby regardless of n."""
-    from ray.data.aggregate import Sum
-
+    Scale shape: two chained two-pass rank searches (_cents_rank_search).
+    Search 1 finds each flag's median; search 2 ranks the DERIVED value
+    |cents - median[flag]| (the broadcast medians applied inside the
+    combiner via value_fn).  Four pruned scans total, every exchange
+    coarse-bucket-bounded — the one-pass value-histogram form this
+    replaced pulled the near-unique price domain to the driver and
+    measured 32.3 s at sf0.1."""
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    k_fn = lambda n: [(n + 1) // 2]
+    totals, med_at = _cents_rank_search(ds, "l_returnflag", "l_extendedprice", k_fn)
+    med = {f: med_at[f][(totals[f] + 1) // 2] for f in totals}
 
-    def hist(df: pd.DataFrame) -> pa.Table:
-        cents = np.floor(df["l_extendedprice"].to_numpy(np.float64) * 100.0).astype(np.int64)
-        g = pd.DataFrame({"flag": df["l_returnflag"].to_numpy(object), "v": cents}).groupby(
-            ["flag", "v"], sort=False
-        ).size()
-        idx = g.index.to_frame(index=False)
-        return pa.table(
-            {
-                "flag": pa.array(idx["flag"].to_numpy(object), pa.string()),
-                "v": pa.array(idx["v"].to_numpy(np.int64)),
-                "n": pa.array(g.to_numpy(np.int64)),
-            }
-        )
+    def deviation(cents, codes, flags):
+        m = np.array([med.get(f, 0) for f in flags], np.int64)
+        return np.abs(cents - m[codes])
 
-    h = (
-        ds.map_batches(hist, batch_format="pandas")
-        .groupby(["flag", "v"])
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
-        .sort_values(["flag", "v"], ignore_index=True)
+    ds2 = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    _, mad_at = _cents_rank_search(
+        ds2, "l_returnflag", "l_extendedprice", k_fn, value_fn=deviation
     )
-
-    def rank_pick(v: np.ndarray, c: np.ndarray, k: int) -> int:
-        return int(v[np.searchsorted(c, k)])
-
-    rows = []
-    for flag, g in h.groupby("flag", sort=True):
-        v = g["v"].to_numpy(np.int64)
-        cnt = g["n"].to_numpy(np.int64)
-        c = np.cumsum(cnt)
-        n = int(c[-1])
-        k = (n + 1) // 2
-        med = rank_pick(v, c, k)
-        # fold the histogram around med: |v - med| keyed counts
-        av = np.abs(v - med)
-        fold = pd.DataFrame({"av": av, "n": cnt}).groupby("av", sort=True)["n"].sum()
-        mad = rank_pick(
-            fold.index.to_numpy(np.int64), np.cumsum(fold.to_numpy(np.int64)), k
-        )
-        rows.append((flag, med, mad))
+    flags = sorted(totals)
     return pa.table(
         {
-            "l_returnflag": pa.array([r[0] for r in rows], pa.string()),
-            "median_cents": pa.array(np.array([r[1] for r in rows], np.int64)),
-            "mad_cents": pa.array(np.array([r[2] for r in rows], np.int64)),
+            "l_returnflag": pa.array(flags, pa.string()),
+            "median_cents": pa.array(
+                np.array([med[f] for f in flags], np.int64)
+            ),
+            "mad_cents": pa.array(
+                np.array([mad_at[f][(totals[f] + 1) // 2] for f in flags], np.int64)
+            ),
         }
     )
 
