@@ -2801,14 +2801,18 @@ def q_order_price_deciles(sf_dir: str):
     priority class (NTILE(10) OVER (PARTITION BY priority ORDER BY cents,
     orderkey)) — the window that normally forces a single sorted pass.
 
-    Two-phase exact rank, nothing driver-side scales with rows:
-      1. a (priority, cents) count histogram (bounded by the value
-         domain) gives every tie-group's exclusive START RANK and each
-         priority's total via one driver cumsum, shipped back via ray.put;
-      2. rows hash into parts BY TIE-GROUP (splitmix of priority x cents,
-         so a tie-group never splits); each part sorts its rows once and
-         assigns rank = group start + within-group orderkey position,
-         then the NTILE quotient/remainder formula — all vectorized."""
+    Two-phase exact rank, nothing driver-side or broadcast scales with
+    rows (the earlier form shipped the full near-unique (priority, cents)
+    start-rank histogram through ray.put — ~the table at scale):
+      1. a COARSE (priority, cents >> _PQ_SHIFT) count histogram (~700
+         buckets/priority, np.unique packed-key combiner) gives every
+         bucket's exclusive start rank and each priority's total via one
+         driver cumsum — a few-k-row table shipped back via ray.put;
+      2. rows hash into parts BY COARSE BUCKET (so a bucket never splits);
+         each part sorts its rows once by (priority, cents, orderkey) —
+         the global order within a bucket — and assigns rank = bucket
+         start + in-bucket position, then the NTILE quotient/remainder
+         formula — all vectorized."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -2829,40 +2833,45 @@ def q_order_price_deciles(sf_dir: str):
 
     prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
 
-    def hist(t: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
+    def coarse(t: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(t["priority"].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        prios = enc.dictionary.to_pylist()
+        bucket = t["cents"].to_numpy(zero_copy_only=False) >> _PQ_SHIFT
+        key = (codes << np.int64(44)) | bucket
+        uk, cnt = np.unique(key, return_counts=True)
+        pr = np.array(prios, object)[(uk >> np.int64(44)).astype(np.int64)]
+        return pa.table(
             {
-                "priority": t["priority"].to_numpy(zero_copy_only=False),
-                "cents": t["cents"].to_numpy(zero_copy_only=False),
+                "priority": pa.array(pr, pa.string()),
+                "bucket": pa.array(uk & np.int64((1 << 44) - 1)),
+                "c": pa.array(cnt.astype(np.int64)),
             }
         )
-        g = df.groupby(["priority", "cents"], sort=False).size().reset_index(name="c")
-        g["c"] = g["c"].astype(np.int64)
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     hdf = (
-        prepped.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["priority", "cents"])
+        prepped.map_batches(coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["priority", "bucket"])
         .aggregate(Sum("c", alias_name="n"))
-        .to_pandas()  # bounded by the (priority, cents) domain
-        .sort_values(["priority", "cents"])
+        .to_pandas()  # bounded: |priorities| x coarse buckets (domain >> 14)
+        .sort_values(["priority", "bucket"])
     )
     hdf["start"] = (hdf.groupby("priority")["n"].cumsum() - hdf["n"]).astype(np.int64)
     totals = hdf.groupby("priority")["n"].sum().astype(np.int64)
     lookup_ref = ray.put(
-        (hdf[["priority", "cents", "start"]], dict(zip(totals.index, totals.to_numpy())))
+        (hdf[["priority", "bucket", "start"]], dict(zip(totals.index, totals.to_numpy())))
     )
     n_parts = 64
 
     def add_part(t: pa.Table) -> pa.Table:
         from ..sources.synth import _splitmix64
 
-        # tie-group key: a (priority, cents) group must stay in ONE part.
-        # pd.util.hash_array is a fixed-key siphash — deterministic across
-        # batches/processes (a batch-local factorize would not be)
+        # partition key: a (priority, coarse bucket) group must stay in ONE
+        # part so its in-bucket sort is the global order.  pd.util.
+        # hash_array is a fixed-key siphash — deterministic across batches
         pr = pd.util.hash_array(t["priority"].to_numpy(zero_copy_only=False))
-        key = t["cents"].to_numpy(zero_copy_only=False).astype(np.uint64) ^ pr
-        part = (_splitmix64(key) % np.uint64(n_parts)).astype(np.int64)
+        bucket = (t["cents"].to_numpy(zero_copy_only=False) >> _PQ_SHIFT).astype(np.uint64)
+        part = (_splitmix64(bucket ^ pr) % np.uint64(n_parts)).astype(np.int64)
         return t.append_column("part", pa.array(part))
 
     def rank_part(t: pa.Table) -> pa.Table:
@@ -2885,8 +2894,12 @@ def q_order_price_deciles(sf_dir: str):
                 "cents": t["cents"].to_numpy(zero_copy_only=False),
             }
         ).sort_values(["priority", "cents", "o_orderkey"])
-        df = df.merge(starts_df, on=["priority", "cents"], how="left")
-        grp = (df["priority"].ne(df["priority"].shift()) | df["cents"].ne(df["cents"].shift())).cumsum()
+        df["bucket"] = df["cents"].to_numpy(np.int64) >> _PQ_SHIFT
+        df = df.merge(starts_df, on=["priority", "bucket"], how="left")
+        grp = (
+            df["priority"].ne(df["priority"].shift())
+            | df["bucket"].ne(df["bucket"].shift())
+        ).cumsum()
         local = df.groupby(grp.values).cumcount().to_numpy(np.int64)
         rn = df["start"].to_numpy(np.int64) + local + 1  # 1-based global rank
         n = df["priority"].map(tot).to_numpy(np.int64)
