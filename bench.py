@@ -235,6 +235,11 @@ def _run_bench(headline_only: bool = False) -> dict:
         # image-cluster composition (pair engine + vectorized Hash-Min)
         "table_profile",
         "image_phash_clusters",
+        # r4 session-4: the two-pass rank-search family (these were the
+        # two slowest queries in the registry before the rewrite — keep
+        # them in the suite so a regression is visible)
+        "price_percentiles_interp",
+        "mad_prices",
     ]
     qtimes: dict[str, float] = {}
     for name in bench_queries:
