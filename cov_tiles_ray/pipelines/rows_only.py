@@ -1243,87 +1243,131 @@ def q_embedding_neardup_lsh(sf_dir: str):
     """Embedding near-dup via multi-table hyperplane LSH — the sub-quadratic
     scale path that q_embedding_neardup's exact block-pair join documents.
 
-    8 tables x 6-bit sign buckets (seeds 11+t) generate candidates with a
-    groupby per (table, bucket) — only vec ids ride the bucket shuffle —
-    then exact float64 cosine verifies candidates only, payloads attached
-    with the same two hash-shuffle co-group passes the minhash verify uses.
-    At cos >= 0.4 a single 6-bit table collides ~6% of true pairs; 8 tables
-    lift recall to ~40% while candidate volume stays ~10% of all-pairs
-    (bucket cap MAX_LSH_BUCKET bounds a degenerate hub bucket).  Output is
-    deterministic: the same seeded planes are inlined as DOUBLE[] literals
-    in the SQL oracle, which replays bucketing + cap + exact cosine."""
+    NEARDUP_LSH_TABLES sign-bucket tables (seeds 11+t) generate candidate
+    buckets; table width is data-derived (target ~16 vectors/bucket,
+    floor NEARDUP_LSH_BITS=6 so the driver corpora and the inlined-plane
+    SQL oracle are untouched).  Scoring happens IN the bucket part: each
+    (table, bucket) row carries its float32 vector payload (the source
+    dtype — one ship per table, ~8x linear), the part task caps each
+    bucket at MAX_LSH_BUCKET by lowest id, generates the in-bucket pair
+    triangle and computes exact float64 cosines vectorized; only scored
+    (vec_a, vec_b, sim) rows leave the part, deduped across tables by one
+    slim groupby.  The earlier shape attached payloads to PAIRS via the
+    minhash engine's co-group join — right for 64-u64 signatures, but at
+    100k+ vectors the pair exchange carried GBs of duplicated vector
+    bytes (the r4 s4 500k run exceeded 15 min and was killed; measured
+    rewrite timings in BASELINE)."""
     from ..functions import ann as ann_f
 
     DIM = 64  # testdata embedding dim (TESTDATA.md); the oracle inlines
     # DIM-length plane literals, so both sides pin it
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    n_vecs = ds.count()
+    # data-derived table width: target ~16 vectors per bucket, so each
+    # row pays ~16 x NEARDUP_LSH_TABLES exact-cosine candidates — O(n)
+    # verify work.  At the driver corpus sizes (n <= 1024, incl. the
+    # sf0.01 gate) this resolves to the baked NEARDUP_LSH_BITS=6 the SQL
+    # oracle inlines, so oracle parity is untouched; at ANN-scale corpora
+    # fixed 6-bit tables saturate (64 buckets x 512-cap pairing = ~67M
+    # candidates at 100k rows, and the cap throws away most true pairs).
+    # Wider tables trade borderline-cos recall for per-row cost; true
+    # near-dups (cos >= .99, bit-flip prob ~1.4%/plane) still collide in
+    # >= 1 of the tables w.p. ~1 at any width here (recall pinned by
+    # tests/test_dedup_scale.py)
+    num_bits = max(NEARDUP_LSH_BITS, int(np.ceil(np.log2(max(n_vecs, 1) / 16.0))))
     planes = [
-        ann_f.hyperplane_lsh_params(DIM, num_bits=NEARDUP_LSH_BITS, seed=11 + t)
+        ann_f.hyperplane_lsh_params(DIM, num_bits=num_bits, seed=11 + t)
         for t in range(NEARDUP_LSH_TABLES)
     ]
+    n_band_rows = n_vecs * NEARDUP_LSH_TABLES
+    n_parts = int(max(8, min(4096, n_band_rows // 50_000 + 1)))
 
     def bucket(df: pd.DataFrame) -> pa.Table:
         vecs = np.stack(df["embedding"].to_numpy()).astype(np.float64)
         ids = df["vec_id"].to_numpy(np.int64)
-        bands, keys, dids = [], [], []
+        pay = [v.astype(np.float32).tobytes() for v in vecs]
+        bands, keys = [], []
         for t in range(NEARDUP_LSH_TABLES):
-            # table index maps onto the shared pairing engine's
-            # (band, key) bucket schema
             bands.append(np.full(len(ids), t, dtype=np.int64))
             keys.append(ann_f.hyperplane_bucket(vecs, planes[t]).astype(np.int64))
-            dids.append(ids)
+        band = np.concatenate(bands)
+        key = np.concatenate(keys)
+        bk = (band.astype(np.uint64) << np.uint64(32)) | key.astype(np.uint64)
+        part = (synth._splitmix64(bk) % np.uint64(n_parts)).astype(np.int64)
         # arrow out: keeps the part-exchange sort off the pandas slow path
         return pa.table(
             {
-                "band": pa.array(np.concatenate(bands)),
-                "key": pa.array(np.concatenate(keys)),
-                "doc_id": pa.array(np.concatenate(dids)),
+                "band": pa.array(band),
+                "key": pa.array(key),
+                "doc_id": pa.array(np.tile(ids, NEARDUP_LSH_TABLES)),
+                "payload": pa.array(pay * NEARDUP_LSH_TABLES, pa.binary()),
+                "part": pa.array(part),
             }
         )
 
-    cand = _part_candidate_pairs(
-        ds.map_batches(bucket, batch_format="pandas"),
-        ds.count() * NEARDUP_LSH_TABLES,
+    _empty = pa.table(
+        {
+            "vec_a": pa.array([], pa.int64()),
+            "vec_b": pa.array([], pa.int64()),
+            "sim_x1000": pa.array([], pa.int64()),
+        }
     )
 
-    def payloads(df: pd.DataFrame) -> pd.DataFrame:
-        vecs = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        # bytes payloads (see q_minhash_lsh_pairs: object column survives
-        # the union; TensorArray rejects mixed None/ndarray)
-        return pd.DataFrame(
-            {
-                "doc_id": df["vec_id"].to_numpy(np.int64),
-                "payload": [v.tobytes() for v in vecs],
-            }
-        )
-
-    def cos_batch(pa_list, pb_list):
-        A = np.frombuffer(b"".join(pa_list), dtype=np.float64).reshape(len(pa_list), -1)
-        B = np.frombuffer(b"".join(pb_list), dtype=np.float64).reshape(len(pb_list), -1)
-        # float64 normalize-then-dot, exactly q_embedding_neardup's formula
-        # (the floor(s*1000) boundaries sit >= 3e-3 from every corpus value)
+    def score_in_part(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2:
+            return _empty
+        band = t["band"].to_numpy(zero_copy_only=False)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, key, band))
+        band, key, ids = band[order], key[order], ids[order]
+        pay = t["payload"].to_numpy(zero_copy_only=False)[order]
+        V = np.frombuffer(b"".join(pay), dtype=np.float32).reshape(len(ids), -1)
+        # same segment/cap/triangle machinery as _part_candidate_pairs
+        new = np.r_[True, (band[1:] != band[:-1]) | (key[1:] != key[:-1])]
+        seg = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        full_len = np.diff(np.r_[starts, len(band)])
+        rank = np.arange(len(band)) - np.repeat(starts, full_len)
+        keep = rank < MAX_LSH_BUCKET
+        ids, seg, rank, V = ids[keep], seg[keep], rank[keep], V[keep]
+        n = np.bincount(seg, minlength=seg[-1] + 1)
+        reps = n[seg] - rank - 1
+        total = int(reps.sum())
+        if total == 0:
+            return _empty
+        ai = np.repeat(np.arange(len(ids)), reps)
+        off = np.arange(total) - np.repeat(np.cumsum(reps) - reps, reps)
+        bi = ai + off + 1
+        # exact float64 normalize-then-dot, q_embedding_neardup's formula
+        # (f32 -> f64 cast of the source floats is exact; the floor
+        # boundaries sit >= 3e-3 from every corpus value)
+        A = V[ai].astype(np.float64)
+        B = V[bi].astype(np.float64)
         na = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
         nb = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
         sims = (na * nb).sum(axis=1)
-        out = np.floor(sims * 1000.0).astype(np.int64)
-        out[sims < 0.4] = -1
-        return out
+        ok = sims >= 0.4
+        if not ok.any():
+            return _empty
+        return pa.table(
+            {
+                "vec_a": pa.array(ids[ai[ok]]),
+                "vec_b": pa.array(ids[bi[ok]]),
+                "sim_x1000": pa.array(np.floor(sims[ok] * 1000.0).astype(np.int64)),
+            }
+        )
 
-    pairs = _join_pairs_with_payload(
-        cand,
-        ds.map_batches(payloads, batch_format="pandas"),
-        None,
-        "sim_x1000",
-        batch_score_fn=cos_batch,
-        n_keys=ds.count(),
-    ).to_pandas()
-    pairs = pairs.drop_duplicates(subset=["doc_a", "doc_b"]).sort_values(["doc_a", "doc_b"])
-    return pa.table(
-        {
-            "vec_a": pa.array(pairs.doc_a.to_numpy(np.int64)),
-            "vec_b": pa.array(pairs.doc_b.to_numpy(np.int64)),
-            "sim_x1000": pa.array(pairs.sim_x1000.to_numpy(np.int64)),
-        }
+    from ray.data.aggregate import Max
+
+    return (
+        ds.map_batches(bucket, batch_format="pandas")
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(
+            score_in_part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+        .groupby(["vec_a", "vec_b"])
+        .aggregate(Max("sim_x1000", alias_name="sim_x1000"))
     )
 
 

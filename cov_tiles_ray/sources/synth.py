@@ -495,6 +495,97 @@ def documents_scale_dir(n_docs: int, cache_dir: str = CACHE_DIR) -> str:
     return root
 
 
+_EMB_DIM = 64
+
+
+def generate_embeddings_batch(start: int, n: int) -> pa.Table:
+    """Rows [start, start+n) of a SCALABLE embeddings corpus matching the
+    driver table schema (vec_id:int64, embedding:list<float>, label:int32)
+    for ANN/near-dup scale checks — the driver embeddings table is 2k rows
+    at sf0.1, so corpus-growth behavior (LSH bucket occupancy, k-means
+    combiner width) needs a synthesized table.
+
+    Counter-based (any shard range regenerates identically).  Structure:
+    ~10% of rows are near-duplicates of a cluster base (clusters <=5,
+    base vector + 3% perturbation, renormalized — cosine ~0.999 so the
+    LSH near-dup path has real positives without exact-copy bucket
+    degeneracy); unit-normalized symmetric-uniform components."""
+    idx = np.arange(start, start + n, dtype=np.int64)
+    near = _u01(idx, 171) < 0.10
+    base = np.where(near, idx - (idx % 5), idx)
+    d = _EMB_DIM
+
+    def _vecs(seed_ids: np.ndarray, salt: int) -> np.ndarray:
+        h = _splitmix64(
+            (seed_ids[:, None].astype(np.uint64) * np.uint64(d))
+            + np.arange(d, dtype=np.uint64)[None, :]
+            + np.uint64(salt)
+        )
+        return ((h >> np.uint64(11)).astype(np.float64) / float(1 << 53)) * 2.0 - 1.0
+
+    v = _vecs(base, 0)
+    pert = _vecs(idx, 7919)
+    mix = np.where((near & (idx != base))[:, None], 0.03, 0.0)
+    v = v * (1.0 - mix) + pert * mix
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    label = (_splitmix64(idx.astype(np.uint64) + np.uint64(23)) % np.uint64(10)).astype(
+        np.int32
+    )
+    return pa.table(
+        {
+            "vec_id": pa.array(idx, pa.int64()),
+            "embedding": pa.array(
+                list(v.astype(np.float32)), pa.list_(pa.float32())
+            ),
+            "label": pa.array(label, pa.int32()),
+        }
+    )
+
+
+def embeddings_scale_dir(n_vecs: int, cache_dir: str = CACHE_DIR) -> str:
+    """Generate (once) an ANN-scale embeddings corpus of ``n_vecs`` rows
+    and return a directory usable as ``sf_dir`` (contains
+    embeddings.parquet as a shard DIRECTORY).  Same resumable shard
+    layout as documents_scale_dir."""
+    root = os.path.join(cache_dir, f"embscale_{n_vecs}")
+    out_dir = os.path.join(root, "embeddings.parquet")
+    done = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(done):
+        return root
+    os.makedirs(out_dir, exist_ok=True)
+    shard = 50_000
+    todo = [
+        s
+        for s in range(0, n_vecs, shard)
+        if not os.path.exists(os.path.join(out_dir, f"part-{s:09d}.parquet"))
+    ]
+
+    def _write(s: int) -> None:
+        tbl = generate_embeddings_batch(s, min(shard, n_vecs - s))
+        path = os.path.join(out_dir, f"part-{s:09d}.parquet")
+        tmp = path + f".tmp{os.getpid()}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+
+    try:
+        import ray
+
+        have_ray = ray.is_initialized()
+    except ImportError:  # pragma: no cover
+        have_ray = False
+    if have_ray and len(todo) > 1:
+        import ray
+
+        w = ray.remote(num_cpus=1)(_write)
+        ray.get([w.remote(s) for s in todo])
+    else:
+        for s in todo:
+            _write(s)
+    with open(done, "w") as f:
+        f.write(str(n_vecs))
+    return root
+
+
 def images_dir(sf: float, cache_dir: str = CACHE_DIR) -> str:
     """Pure path of the corpus cache dir at ``sf`` (no generation)."""
     return os.path.join(cache_dir, f"images_sf{sf:g}")

@@ -355,3 +355,25 @@ def test_documents_scale_generator_shard_independent():
             if len(sa & sb) / len(sa | sb) > 0.6:
                 sims += 1
     assert sims >= 10  # near-dup clusters present
+
+
+def test_embeddings_scale_generator_shard_independent():
+    """The ANN-scale embeddings corpus is counter-based (any shard range
+    regenerates identically), unit-normalized, and ~10% of rows are
+    near-duplicates (cosine ~0.999) of a cluster base — the structure the
+    embedding-LSH scale runs rely on."""
+    import numpy as np
+
+    from cov_tiles_ray.sources import synth
+
+    a = synth.generate_embeddings_batch(0, 120)
+    b = synth.generate_embeddings_batch(60, 60)
+    assert a.slice(60, 60).equals(b)
+    v = np.array(a["embedding"].to_pylist(), np.float32)
+    assert np.allclose(np.linalg.norm(v, axis=1), 1.0, atol=1e-5)
+    near = sum(
+        1
+        for i in range(1, 120)
+        if (i - (i % 5)) != i and float(v[i] @ v[i - (i % 5)]) > 0.99
+    )
+    assert near >= 10
