@@ -386,10 +386,15 @@ def q_minhash_lsh_pairs(sf_dir: str):
     signature-agreement estimate (shingle -> minhash -> band -> bucket
     groupby -> distributed signature join -> estimate; the canonical LSH
     pipeline).  Signatures ride the exchange twice total, not once per
-    band."""
+    band.
+
+    The text is scanned and min-hashed ONCE: the slim signature table
+    (id + 64xu64 bytes) materializes first, and the band keys feeding the
+    candidate exchange are derived FROM the stored signatures — the
+    earlier shape ran minhash_signatures a second time inside the
+    candidate sketch (measured 5.8 s of a 24.8 s run at 250k docs)."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     NUM_PERM, BANDS = 64, 16
-    cand = _lsh_candidates(ds, NUM_PERM, BANDS)
 
     def sigs(df: pd.DataFrame) -> pd.DataFrame:
         sig = dedup_f.minhash_signatures(df["text"], num_perm=NUM_PERM)
@@ -402,6 +407,27 @@ def q_minhash_lsh_pairs(sf_dir: str):
             }
         )
 
+    payload = ds.map_batches(sigs, batch_format="pandas").materialize()
+    n_rows = payload.count()
+
+    def bands_from_sigs(df: pd.DataFrame) -> pa.Table:
+        sig = np.frombuffer(b"".join(df["payload"]), dtype=np.uint64).reshape(
+            len(df), NUM_PERM
+        )
+        keys = dedup_f.lsh_band_keys(sig, num_bands=BANDS)
+        n = len(df)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(df["doc_id"].to_numpy(np.int64), BANDS)),
+                "band": pa.array(np.tile(np.arange(BANDS, dtype=np.int64), n)),
+                "key": pa.array(keys.reshape(-1).astype(np.int64)),
+            }
+        )
+
+    cand = _part_candidate_pairs(
+        payload.map_batches(bands_from_sigs, batch_format="pandas"), n_rows * BANDS
+    )
+
     def est_batch(sa_list, sb_list):
         # stack the fixed-width uint64 signature buffers and score every
         # pair of the part in ONE vectorized compare (VERDICT r2 #4 —
@@ -413,9 +439,8 @@ def q_minhash_lsh_pairs(sf_dir: str):
         s[e < 0.5] = -1
         return s
 
-    payload = ds.map_batches(sigs, batch_format="pandas")
     pairs = _join_pairs_with_payload(
-        cand, payload, None, "est_x100", batch_score_fn=est_batch, n_keys=ds.count()
+        cand, payload, None, "est_x100", batch_score_fn=est_batch, n_keys=n_rows
     ).to_pandas()
     pairs = pairs.drop_duplicates(subset=["doc_a", "doc_b"]).sort_values(["doc_a", "doc_b"])
     return pa.table(
