@@ -2620,29 +2620,78 @@ def _sql_events_retention() -> str:
 
 def q_user_top_event(sf_dir: str):
     """Mode / argmax aggregate: each user's most frequent event type (ties
-    to the lexicographically smallest type).  Per-batch (user, type) count
-    combiner -> one groupby sum -> bounded per-user argmax groups (at most
-    |event types| rows each)."""
-    from ray.data.aggregate import Sum
+    to the lexicographically smallest type).
+
+    Scale shape: the event-type domain is tiny, so a sorted distinct pass
+    fixes a type->code dictionary and EVERYTHING else is int64: per-batch
+    packed (user << 8 | code, c) np.unique combiners, ONE user-hash part
+    exchange, and a fused segment-sum + per-user argmax inside each part.
+    A string-keyed groupby(user_id, event_type).aggregate here measured
+    11.9 s on 310k partial rows at the 5x corpus (the Ray sort-based
+    aggregate crawls on string keys); codes are assigned in sorted order
+    so the code tie-break IS the lexicographic tie-break."""
+    from ..sources.synth import _splitmix64
 
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    types = sorted(ds.unique("event_type"))
+    if len(types) > 256:
+        raise ValueError(f"event_type domain too wide for 8-bit codes: {len(types)}")
+    code_of = {t: i for i, t in enumerate(types)}
+    n_parts = int(max(8, min(4096, ds.count() // 200_000 + 1)))
 
     def partial(df: pd.DataFrame) -> pa.Table:
-        g = df.groupby(["user_id", "event_type"], sort=False).size().reset_index(name="c")
-        g["c"] = g["c"].astype(np.int64)
-        # arrow out: pandas-origin blocks made this aggregate 10x slower
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        uid = df["user_id"].to_numpy(np.int64)
+        code = df["event_type"].map(code_of).to_numpy(np.int64)
+        key = (uid << np.int64(8)) | code
+        uk, cnt = np.unique(key, return_counts=True)
+        part = (_splitmix64((uk >> np.int64(8)).astype(np.uint64)) % np.uint64(n_parts)).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(uk),
+                "c": pa.array(cnt.astype(np.int64)),
+                "part": pa.array(part),
+            }
+        )
 
-    counts = (
+    def pick_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        key = t["key"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        order = np.argsort(key, kind="mergesort")
+        key, c = key[order], c[order]
+        new = np.r_[True, key[1:] != key[:-1]]
+        seg = np.cumsum(new) - 1
+        n = np.bincount(seg, weights=c).astype(np.int64)  # per (user, code)
+        ukey = key[new]
+        uid = ukey >> np.int64(8)
+        code = ukey & np.int64(255)
+        # per-user argmax: sort by (uid, -n, code) and keep first per uid
+        o2 = np.lexsort((code, -n, uid))
+        uid, code, n = uid[o2], code[o2], n[o2]
+        first = np.r_[True, uid[1:] != uid[:-1]]
+        tarr = np.array(types, object)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[first]),
+                "event_type": pa.array(tarr[code[first]], pa.string()),
+                "n": pa.array(n[first]),
+            }
+        )
+
+    return (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby(["user_id", "event_type"])
-        .aggregate(Sum("c", alias_name="n"))
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(
+            pick_part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
     )
-
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["n", "event_type"], ascending=[False, True]).head(1)
-
-    return counts.groupby("user_id").map_groups(pick, batch_format="pandas")
 
 
 def _sql_user_top_event() -> str:
