@@ -1460,35 +1460,67 @@ def q_vocab_topk(sf_dir: str):
     space character like the dedup tokenizer) by frequency, deterministic
     (count desc, token asc) tie-break.
 
-    Scale shape: a per-batch value_counts COMBINER inside map_batches keeps
-    the groupby exchange at distinct-tokens-per-batch (not one row per
-    token occurrence); after the global sum, each block emits its local
-    top-100 so the driver sees only blocks x 100 candidate rows — the
-    aggregated vocab table itself never lands on the driver."""
-    from ray.data.aggregate import Sum
+    Scale shape: a per-batch value_counts COMBINER keeps the exchange at
+    distinct-tokens-per-batch; tokens then hash into parts by a
+    deterministic siphash (a token lands in exactly ONE part, so per-part
+    sums are exact global sums) and each part aggregates its vocab slice
+    with one pandas C-hash groupby and emits its local top-100 — the
+    driver sees only parts x 100 candidate rows.  A string-keyed Ray
+    groupby here measured 49 s at 50k docs (Ray's sort-based aggregate
+    crawls on string keys; same finding as q_user_top_event)."""
+    from ..sources.synth import _splitmix64
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    meta = _read(sf_dir, "documents", ["n_chars"]).sum("n_chars")
+    n_parts = int(max(8, min(512, int(meta) // 6 // 2_000_000 + 1)))
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame) -> pa.Table:
         toks = df["text"].astype(str).str.lower().str.split(" ").explode()
         toks = toks[toks.notna() & (toks != "")]
         vc = toks.value_counts()
-        # arrow out: pandas-origin blocks put the groupby shuffle on a
-        # ~10x slower sort path (measured)
-        return pa.table({"tok": pa.array(vc.index.to_numpy(object), pa.string()),
-                         "n": pa.array(vc.to_numpy(np.int64))})
+        tok = vc.index.to_numpy(object)
+        part = (
+            _splitmix64(pd.util.hash_array(tok)) % np.uint64(n_parts)
+        ).astype(np.int64)
+        # arrow out: pandas-origin blocks put the part sort on a ~10x
+        # slower path (measured)
+        return pa.table(
+            {
+                "tok": pa.array(tok, pa.string()),
+                "n": pa.array(vc.to_numpy(np.int64)),
+                "part": pa.array(part),
+            }
+        )
 
-    counts = ds.map_batches(partial, batch_format="pandas").groupby("tok").aggregate(Sum("n"))
+    def part_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"tok": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        df = pd.DataFrame(
+            {
+                "tok": t["tok"].to_numpy(zero_copy_only=False),
+                "n": t["n"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("tok", sort=False)["n"].sum().reset_index()
+        g = g.sort_values(["n", "tok"], ascending=[False, True]).head(100)
+        return pa.table(
+            {
+                "tok": pa.array(g["tok"].to_numpy(object), pa.string()),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+            }
+        )
 
-    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(["sum(n)", "tok"], ascending=[False, True]).head(100)
-
-    top = counts.map_batches(block_topk, batch_format="pandas").to_pandas()
-    top = top.sort_values(["sum(n)", "tok"], ascending=[False, True]).head(100)
+    top = (
+        ds.map_batches(partial, batch_format="pandas")
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(part_topk, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .to_pandas()  # bounded: parts x 100 candidate rows
+    )
+    top = top.sort_values(["n", "tok"], ascending=[False, True]).head(100)
     return pa.table(
         {
             "tok": pa.array(top["tok"].astype(str)),
-            "n": pa.array(top["sum(n)"].to_numpy(np.int64)),
+            "n": pa.array(top["n"].to_numpy(np.int64)),
         }
     )
 
