@@ -948,6 +948,18 @@ def q_embedding_neardup(sf_dir: str):
 NEARDUP_LSH_TABLES = 8  # hash tables (OR-amplification across tables)
 NEARDUP_LSH_BITS = 6  # hyperplane bits per table (AND within a table)
 
+
+def neardup_lsh_num_bits(n_vecs: int) -> int:
+    """Hyperplane-table width for embedding near-dup LSH — the SINGLE
+    source of truth shared by the Ray pipeline and the SQL-oracle builder
+    (queries._sql_embedding_neardup_lsh): target ~16 vectors per bucket so
+    each row pays ~16 x NEARDUP_LSH_TABLES exact-cosine candidates (O(n)
+    verify work), floored at NEARDUP_LSH_BITS.  Resolves to the floor for
+    n <= 1024 (sf0.001 / sf0.01 = 500 rows) and to 7 bits at sf0.1's 2000
+    rows — the oracle derives the same width from the table's row count,
+    so parity holds at every gate scale (ADVICE r4, medium)."""
+    return max(NEARDUP_LSH_BITS, int(np.ceil(np.log2(max(n_vecs, 1) / 16.0))))
+
 SIMHASH_BANDS = 4  # 16-bit bands of the 64-bit fingerprint (small-corpus config)
 SIMHASH_HAMMING_MAX = 3  # <= bands-1 differing bits -> one band matches exactly
 
@@ -1288,18 +1300,16 @@ def q_embedding_neardup_lsh(sf_dir: str):
     # DIM-length plane literals, so both sides pin it
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     n_vecs = ds.count()
-    # data-derived table width: target ~16 vectors per bucket, so each
-    # row pays ~16 x NEARDUP_LSH_TABLES exact-cosine candidates — O(n)
-    # verify work.  At the driver corpus sizes (n <= 1024, incl. the
-    # sf0.01 gate) this resolves to the baked NEARDUP_LSH_BITS=6 the SQL
-    # oracle inlines, so oracle parity is untouched; at ANN-scale corpora
-    # fixed 6-bit tables saturate (64 buckets x 512-cap pairing = ~67M
-    # candidates at 100k rows, and the cap throws away most true pairs).
-    # Wider tables trade borderline-cos recall for per-row cost; true
-    # near-dups (cos >= .99, bit-flip prob ~1.4%/plane) still collide in
-    # >= 1 of the tables w.p. ~1 at any width here (recall pinned by
-    # tests/test_dedup_scale.py)
-    num_bits = max(NEARDUP_LSH_BITS, int(np.ceil(np.log2(max(n_vecs, 1) / 16.0))))
+    # data-derived table width via the shared neardup_lsh_num_bits helper;
+    # the SQL oracle builder derives the SAME width from the table's row
+    # count (queries.corpus_sql passes it through), so parity holds at
+    # every gate scale.  At ANN-scale corpora fixed 6-bit tables saturate
+    # (64 buckets x 512-cap pairing = ~67M candidates at 100k rows, and
+    # the cap throws away most true pairs).  Wider tables trade
+    # borderline-cos recall for per-row cost; true near-dups (cos >= .99,
+    # bit-flip prob ~1.4%/plane) still collide in >= 1 of the tables
+    # w.p. ~1 at any width here (recall pinned by tests/test_dedup_scale.py)
+    num_bits = neardup_lsh_num_bits(n_vecs)
     planes = [
         ann_f.hyperplane_lsh_params(DIM, num_bits=num_bits, seed=11 + t)
         for t in range(NEARDUP_LSH_TABLES)

@@ -170,6 +170,50 @@ _DOC_VOCAB_N = 30_000
 _DOC_VOCAB: np.ndarray | None = None
 
 
+def _ensure_cache_schema(out_dir: str, gen_fn) -> None:
+    """Version a resumable shard cache by the GENERATOR's current schema
+    (ADVICE r4: generate_documents_batch grew lang/source/n_chars in r4,
+    but an old docscale cache would resume/serve the old columns — and a
+    partially generated old cache resumed under new code yields mixed
+    schemas in one parquet directory).  A ``_SCHEMA`` marker records the
+    schema the shards were written with; on mismatch (or a pre-marker
+    cache) every shard and the _SUCCESS sentinel are wiped so generation
+    restarts clean.  A PRE-marker cache whose every shard footer already
+    matches the generator is ADOPTED (marker written, nothing wiped) —
+    footer reads are cheap and this avoids regenerating a multi-GB
+    corpus for a missing marker.  Called BEFORE the _SUCCESS early-return
+    in every *_parquet_path / *_scale_dir cache.  The 1-row probe
+    generation is counter-based and costs ~ms."""
+    sig_schema = gen_fn(0, 1).schema.remove_metadata()
+    sig = str(sig_schema)
+    marker = os.path.join(out_dir, "_SCHEMA")
+    if os.path.isdir(out_dir):
+        old = None
+        if os.path.exists(marker):
+            with open(marker) as f:
+                old = f.read()
+        if old != sig:
+            parts = [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
+            adopt = False
+            if old is None and parts:
+                try:
+                    adopt = all(
+                        pq.read_schema(os.path.join(out_dir, p))
+                        .remove_metadata()
+                        .equals(sig_schema)
+                        for p in parts
+                    )
+                except Exception:
+                    adopt = False
+            if not adopt:
+                for f in os.listdir(out_dir):
+                    if f.endswith(".parquet") or ".tmp" in f or f in ("_SUCCESS", "_SCHEMA"):
+                        os.remove(os.path.join(out_dir, f))
+    os.makedirs(out_dir, exist_ok=True)
+    with open(marker, "w") as f:
+        f.write(sig)
+
+
 def _doc_vocab() -> np.ndarray:
     global _DOC_VOCAB
     if _DOC_VOCAB is None:
@@ -307,6 +351,7 @@ def audio_parquet_path(sf: float, cache_dir: str = CACHE_DIR) -> str:
     (same resumable shard layout as images_parquet_path)."""
     n = audio_rows_for_sf(sf)
     out_dir = os.path.join(cache_dir, f"audio_sf{sf:g}")
+    _ensure_cache_schema(out_dir, generate_audio_batch)
     done = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(done):
         return out_dir
@@ -414,6 +459,7 @@ def video_parquet_path(sf: float, cache_dir: str = CACHE_DIR) -> str:
     (same resumable shard layout as images_parquet_path)."""
     n = video_rows_for_sf(sf)
     out_dir = os.path.join(cache_dir, f"video_sf{sf:g}")
+    _ensure_cache_schema(out_dir, generate_videos_batch)
     done = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(done):
         return out_dir
@@ -458,6 +504,7 @@ def documents_scale_dir(n_docs: int, cache_dir: str = CACHE_DIR) -> str:
     resumable shard layout as images_parquet_path."""
     root = os.path.join(cache_dir, f"docscale_{n_docs}")
     out_dir = os.path.join(root, "documents.parquet")
+    _ensure_cache_schema(out_dir, generate_documents_batch)
     done = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(done):
         return root
@@ -549,6 +596,7 @@ def embeddings_scale_dir(n_vecs: int, cache_dir: str = CACHE_DIR) -> str:
     layout as documents_scale_dir."""
     root = os.path.join(cache_dir, f"embscale_{n_vecs}")
     out_dir = os.path.join(root, "embeddings.parquet")
+    _ensure_cache_schema(out_dir, generate_embeddings_batch)
     done = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(done):
         return root
@@ -599,6 +647,7 @@ def images_parquet_path(sf: float, cache_dir: str = CACHE_DIR) -> str:
     """
     n = rows_for_sf(sf)
     out_dir = os.path.join(cache_dir, f"images_sf{sf:g}")
+    _ensure_cache_schema(out_dir, generate_images_batch)
     done = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(done):
         return out_dir

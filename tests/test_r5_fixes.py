@@ -1,0 +1,168 @@
+"""Round-5 regression coverage for the r4 ADVICE items and VERDICT #3.
+
+- embedding_neardup_lsh: the plane-table width is data-derived; the SQL
+  oracle must derive the SAME width from the table's row count (ADVICE r4
+  medium: a fixed 6-bit oracle silently diverged at sf0.1's 2000 rows,
+  where num_bits resolves to 7).
+- synth shard caches: schema-versioned via the _SCHEMA marker (ADVICE r4
+  low: resuming an old-schema docscale cache under new code produced a
+  mixed-schema parquet directory).
+- q_user_top_event: user_id range guard for the 8-bit pack, int64-exact
+  segment sums, and single-execution sizing (VERDICT r4 #3 + two ADVICE
+  lows).
+"""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def test_neardup_lsh_num_bits_shared_helper():
+    from cov_tiles_ray.pipelines.rows_only import NEARDUP_LSH_BITS, neardup_lsh_num_bits
+
+    # floor at every driver-oracle corpus size (sf0.001/sf0.01 = 500 rows)
+    assert neardup_lsh_num_bits(1) == NEARDUP_LSH_BITS
+    assert neardup_lsh_num_bits(500) == NEARDUP_LSH_BITS
+    assert neardup_lsh_num_bits(1024) == NEARDUP_LSH_BITS
+    # the ADVICE case: sf0.1's 2000-row table widens to 7
+    assert neardup_lsh_num_bits(2000) == 7
+    # ANN-scale widths keep ~16/bucket
+    assert neardup_lsh_num_bits(100_000) == 13
+
+
+def test_embedding_neardup_lsh_oracle_parity_sf01(ray_session):
+    """The exact ADVICE r4 scenario: at sf0.1 (2000 vectors -> 7-bit
+    tables) the Ray pipeline must match a same-width SQL oracle."""
+    from cov_tiles_ray.pipelines.queries import _sql_embedding_neardup_lsh
+    from cov_tiles_ray.pipelines.rows_only import q_embedding_neardup_lsh
+
+    sf_dir = "/root/testdata/sf0.1"
+    n_vecs = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    assert n_vecs == 2000  # the corpus size the latent break needed
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    got = _norm(q_embedding_neardup_lsh(sf_dir).to_pandas())
+    want = _norm(con.execute(_sql_embedding_neardup_lsh(n_vecs)).fetchdf())
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    for c in got.columns:
+        np.testing.assert_array_equal(
+            got[c].to_numpy().astype(np.int64), want[c].to_numpy().astype(np.int64), err_msg=c
+        )
+
+
+def test_corpus_sql_rebuilds_neardup_lsh_width():
+    from cov_tiles_ray.pipelines.queries import SQL_QUERIES, corpus_sql
+
+    rebuilt = corpus_sql(0.1)
+    assert "embedding_neardup_lsh" in rebuilt
+    # 7-bit tables carry a CASE term for plane index 6 (weight 64) that
+    # the 6-bit registration default lacks
+    assert "THEN 64 ELSE" in rebuilt["embedding_neardup_lsh"]
+    assert "THEN 64 ELSE" not in SQL_QUERIES["embedding_neardup_lsh"][1]
+    # sf0.01 rebuild equals the registered default (500 rows -> floor)
+    assert corpus_sql(0.01)["embedding_neardup_lsh"] == SQL_QUERIES["embedding_neardup_lsh"][1]
+
+
+def test_cache_schema_marker_wipes_stale_shards(tmp_path):
+    """A cache directory holding shards written by an OLDER generator
+    schema is wiped and regenerated, not resumed (ADVICE r4)."""
+    from cov_tiles_ray.sources import synth
+
+    root = tmp_path / "docscale_30"
+    out = root / "documents.parquet"
+    out.mkdir(parents=True)
+    # simulate a pre-r4 cache: old schema (no lang/source/n_chars), half
+    # generated (no _SUCCESS) — resuming it would mix schemas
+    old = synth.generate_documents_batch(0, 10).select(["doc_id", "text"])
+    pq.write_table(old, out / "part-000000000.parquet")
+    sf_dir = synth.documents_scale_dir(30, cache_dir=str(tmp_path))
+    files = sorted(os.listdir(out))
+    assert "_SCHEMA" in files and "_SUCCESS" in files
+    schemas = {
+        str(pq.read_schema(out / f).remove_metadata())
+        for f in files
+        if f.endswith(".parquet")
+    }
+    assert len(schemas) == 1  # no mixed-schema directory
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet")
+    assert tbl.num_rows == 30
+    assert {"lang", "source", "n_chars"} <= set(tbl.schema.names)
+
+
+def test_cache_schema_marker_adopts_matching_premarker_cache(tmp_path):
+    """A completed pre-marker cache whose shards already match the current
+    generator is adopted without regeneration (shard mtimes unchanged)."""
+    from cov_tiles_ray.sources import synth
+
+    root = tmp_path / "docscale_20"
+    out = root / "documents.parquet"
+    out.mkdir(parents=True)
+    pq.write_table(synth.generate_documents_batch(0, 10), out / "part-000000000.parquet")
+    pq.write_table(synth.generate_documents_batch(10, 10), out / "part-000000010.parquet")
+    (out / "_SUCCESS").write_text("20")
+    mtimes = {f: os.path.getmtime(out / f) for f in os.listdir(out) if f.endswith(".parquet")}
+    synth.documents_scale_dir(20, cache_dir=str(tmp_path))
+    assert (out / "_SCHEMA").exists()
+    for f, m in mtimes.items():
+        assert os.path.getmtime(out / f) == m  # not rewritten
+
+
+def test_user_top_event_uid_range_guard(ray_session):
+    """ids >= 2^55 (or negative) must raise, not silently corrupt the
+    packed (user << 8 | code) keys (ADVICE r4)."""
+    import ray.data as rd
+
+    from cov_tiles_ray.pipelines.queries import q_user_top_event
+
+    for bad_uid in [1 << 55, -1]:
+        tmp = f"/tmp/r5_uidguard_{bad_uid & 0xFFFF}"
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array([1, bad_uid], pa.int64()),
+                    "event_type": pa.array(["a", "b"], pa.string()),
+                }
+            ),
+            f"{tmp}/events.parquet",
+        )
+        with pytest.raises(Exception, match="user_id outside"):
+            q_user_top_event(tmp).to_pandas()
+
+
+def test_user_top_event_oracle_and_single_pass(ray_session):
+    """Values still match DuckDB, and the pipeline no longer runs domain
+    probes (unique/count) — sizing comes from parquet footer metadata."""
+    from cov_tiles_ray.pipelines.queries import (
+        SQL_QUERIES,
+        _table_rows_meta,
+        q_user_top_event,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')")
+    got = _norm(q_user_top_event(sf_dir).to_pandas())
+    want = _norm(con.execute(SQL_QUERIES["user_top_event"][1]).fetchdf())
+    con.close()
+    assert got.shape == want.shape
+    assert (got["event_type"].to_numpy() == want["event_type"].to_numpy()).all()
+    np.testing.assert_array_equal(got["n"].to_numpy(), want["n"].to_numpy().astype(np.int64))
+    # the metadata row count is exact (the thing that replaced ds.count())
+    assert _table_rows_meta(sf_dir, "events") == pq.read_metadata(
+        f"{sf_dir}/events.parquet"
+    ).num_rows
