@@ -12602,6 +12602,147 @@ def _sql_ann_recall_eval() -> str:
     """
 
 
+# Multi-probe multi-table ANN config (VERDICT r4 #5): 8 tables x 8 bits,
+# probe every bucket within Hamming radius 1 of the query's code in ANY
+# table — equivalently, candidate iff min-over-tables
+# popcount(code_q XOR code_v) <= radius.  Measured recall@5 vs brute force
+# at sf0.01: single-table 12-bit bucket 0.20 -> this config 0.74 (curve
+# with runtimes in BASELINE.md).  Seeds 211+t keep the tables independent
+# of the near-dup LSH family (seeds 11+t).
+ANN_MP_TABLES = 8
+ANN_MP_BITS = 8
+ANN_MP_RADIUS = 1
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1).astype(np.uint8)
+
+
+def q_ann_multiprobe_top5(sf_dir: str):
+    """Multi-probe LSH ANN: top-5 by exact cosine among CANDIDATES only,
+    where a vector is a candidate for a query iff some table's bucket
+    codes agree within ANN_MP_RADIUS bits (the standard multi-probe trick:
+    perturbing the query code by <=r bits probes the neighboring buckets
+    a near-miss projection sign would have landed in).
+
+    Scale shape: the Q=16 query matrix + codes broadcast into ONE map over
+    the embedding read; each batch computes its vectors' 8 codes, takes a
+    per-table XOR+popcount minimum against the query codes ((Q x B) per
+    table — no (Q x B x T) tensor), scores candidates with the same
+    blocked matmul as q_ann_cosine_top5 and emits <= Q*5 partial rows.
+    No shuffle, no join; driver merge is Q*5*n_blocks rows.  Candidate
+    fraction is governed by T * probes / 2^bits, so at larger corpora the
+    width grows like the near-dup path (neardup_lsh_num_bits) — here it
+    is pinned to the oracle-checked config."""
+    from ..functions import ann as ann_f
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = emb.filter(expr=f"vec_id < {_RECALL_Q}").to_pandas().sort_values("vec_id")
+    qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    qids = qdf["vec_id"].to_numpy(np.int64)
+    planes = [
+        ann_f.hyperplane_lsh_params(qmat.shape[1], num_bits=ANN_MP_BITS, seed=211 + t)
+        for t in range(ANN_MP_TABLES)
+    ]
+    qcodes = np.stack(
+        [ann_f.hyperplane_bucket(qmat, p) for p in planes], axis=1
+    )  # (Q, T) int64, values < 2^8
+
+    def partial(b: pa.Table) -> pa.Table:
+        vecs = np.stack(b["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        best = np.full((len(qn), len(ids)), 255, np.uint8)
+        for t in range(ANN_MP_TABLES):
+            codes_t = ann_f.hyperplane_bucket(vecs, planes[t])
+            x = (qcodes[:, t : t + 1] ^ codes_t[None, :]).astype(np.int64)
+            np.minimum(best, _POP8[x], out=best)
+        cand = best <= ANN_MP_RADIUS  # (Q, B)
+        sims = qn @ vn.T
+        qi, vi, sc = [], [], []
+        for q in range(len(qn)):
+            idx = np.flatnonzero(cand[q])
+            if len(idx) == 0:
+                continue
+            kk = min(5, len(idx))
+            part = idx[np.argpartition(-sims[q][idx], kk - 1)[:kk]]
+            qi.append(np.full(kk, qids[q]))
+            vi.append(ids[part])
+            sc.append(sims[q][part])
+        if not qi:
+            return pa.table(
+                {
+                    "q": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "q": pa.array(np.concatenate(qi).astype(np.int64)),
+                "v": pa.array(np.concatenate(vi).astype(np.int64)),
+                "sim": pa.array(np.concatenate(sc)),
+            }
+        )
+
+    parts = emb.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    order = np.lexsort((parts.v.to_numpy(), -parts.sim.to_numpy(), parts.q.to_numpy()))
+    p = parts.iloc[order]
+    top = p.groupby("q", sort=True).head(5).copy()
+    top["rank"] = top.groupby("q").cumcount().astype(np.int64)
+    return pa.table(
+        {
+            "query_vec_id": pa.array(top.q.to_numpy(np.int64)),
+            "vec_id": pa.array(top.v.to_numpy(np.int64)),
+            "rank": pa.array(top["rank"].to_numpy(np.int64)),
+        }
+    )
+
+
+def _sql_ann_multiprobe_top5() -> str:
+    """SQL mirror: the 8x8-bit seeded plane tables inline as DOUBLE[]
+    literals; the multi-probe candidate predicate is
+    bit_count(xor(code_q, code_v)) <= radius in ANY table — identical
+    semantics to probing every radius-<=1 bucket."""
+    from ..functions import ann as ann_f
+
+    tbl_sel = []
+    for t in range(ANN_MP_TABLES):
+        planes = ann_f.hyperplane_lsh_params(
+            64, num_bits=ANN_MP_BITS, seed=211 + t
+        ).astype(np.float64)
+        terms = []
+        for j, p in enumerate(planes):
+            lit = "[" + ",".join("%.17g" % v for v in p) + "]::DOUBLE[]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) > 0"
+                f" THEN {1 << j} ELSE 0 END)"
+            )
+        tbl_sel.append("(" + "\n         + ".join(terms) + f") AS b{t}")
+    cond = " OR ".join(
+        f"bit_count(xor(q.qb{t}, e.b{t})::BIGINT) <= {ANN_MP_RADIUS}"
+        for t in range(ANN_MP_TABLES)
+    )
+    qb_sel = ", ".join(f"b{t} AS qb{t}" for t in range(ANN_MP_TABLES))
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+      {", ".join(tbl_sel)}
+      FROM embeddings
+    ), qs AS (
+      SELECT vec_id AS query_vec_id, embedding AS qe, {qb_sel}
+      FROM b WHERE vec_id < {_RECALL_Q}
+    ), ranked AS (
+      SELECT q.query_vec_id, e.vec_id,
+             row_number() OVER (
+               PARTITION BY q.query_vec_id
+               ORDER BY list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+                        e.vec_id
+             ) - 1 AS rank
+      FROM qs q JOIN b e ON {cond}
+    )
+    SELECT query_vec_id, vec_id, rank FROM ranked WHERE rank < 5
+    """
+
+
 # ---------------------------------------------------------------------------
 # relational completeness wrap (r4 session 4): semi join, unpivot,
 # grouping sets, distributed regex filter
@@ -12963,6 +13104,7 @@ SQL_QUERIES: dict[str, tuple] = {
     ),
     "orders_seasonality": (q_orders_seasonality, _sql_orders_seasonality()),
     "ann_recall_eval": (q_ann_recall_eval, _sql_ann_recall_eval()),
+    "ann_multiprobe_top5": (q_ann_multiprobe_top5, _sql_ann_multiprobe_top5()),
     "semi_join_suppliers": (q_semi_join_suppliers, _sql_semi_join_suppliers()),
     "unpivot_part_attrs": (q_unpivot_part_attrs, _sql_unpivot_part_attrs()),
     "grouping_sets_orders": (q_grouping_sets_orders, _sql_grouping_sets_orders()),

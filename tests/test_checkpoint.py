@@ -153,3 +153,78 @@ class TestJobEntrypoint:
         t = pq.read_table(f"{out}/z=4")
         ids = t["tile_id"].to_pylist()
         assert len(ids) == len(set(ids)) == s["tiles"]  # no debris, no dupes
+
+
+class TestResumeUnderChunking:
+    """VERDICT r4 #8: the chunked mega-tile merge is now the library
+    DEFAULT, so kill/resume must hold when a partition's mega-tile took
+    the chunked path — lineage dedup across chunk boundaries, byte-equal
+    output to a clean single-shot run, green under BOTH chunk settings."""
+
+    @pytest.mark.parametrize("chunk_rows", [0, 400])
+    def test_kill_resume_matches_clean_run(self, ray_session, tmp_path, chunk_rows):
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from cov_tiles_ray.model.format import CHUNKED_TILE_MARKER
+        from cov_tiles_ray.pipelines import tiling
+        from cov_tiles_ray.sources import synth
+
+        def pyramid():
+            images = rd.read_parquet(
+                synth.images_parquet_path(0.001),
+                columns=tiling.LIGHT_COLUMNS,
+                override_num_blocks=4,
+            )
+            # hot_zooms=(2,) forces base-level fragmentation; sf0.001 z2
+            # tiles hold >400 rows, so chunk_rows=400 chunks their merge
+            return tiling.build_tile_pyramid(
+                images, zooms=(2, 4), hot_zooms=(2,), with_cells=True
+            )
+
+        old = tiling.CHUNK_MERGE_ROWS
+        tiling.CHUNK_MERGE_ROWS = chunk_rows
+        try:
+            clean = str(tmp_path / "clean")
+            s0 = tiling.write_tiles(pyramid(), clean, input_desc={"run": "clean"})
+            assert s0["tiles"] > 0
+
+            # killed run: z=2 (the chunked partition) finished with lineage;
+            # z=4 left mid-write debris WITHOUT a lineage record
+            out = str(tmp_path / "killed")
+            s1 = tiling.write_tiles(
+                pyramid().filter(expr="z == 2"), out, input_desc={"run": "k1"}
+            )
+            assert checkpoint.finished_partitions(out) == {"z=2"}
+            os.makedirs(f"{out}/z=4", exist_ok=True)
+            pd.DataFrame({"tile_id": [1], "covt": [b"junk"]}).to_parquet(
+                f"{out}/z=4/partial-debris.parquet"
+            )
+
+            # resume with the full pyramid: z=2 must be SKIPPED (not
+            # re-encoded through the chunk scheduler), z=4 rebuilt clean
+            s2 = tiling.write_tiles(pyramid(), out, input_desc={"run": "k2"})
+            assert s2["skipped_partitions"] == ["z=2"]
+            assert s2["tiles"] == s0["tiles"] - s1["tiles"]
+
+            n_chunked = 0
+            for z in (2, 4):
+                a = pq.read_table(f"{out}/z={z}").sort_by("tile_id")
+                b = pq.read_table(f"{clean}/z={z}").sort_by("tile_id")
+                ids = a["tile_id"].to_pylist()
+                assert len(ids) == len(set(ids)), f"z={z}: duplicate tiles after resume"
+                assert ids == b["tile_id"].to_pylist(), f"z={z}: tile set differs"
+                ac = [bytes(x) for x in a["covt"].to_pylist()]
+                bc = [bytes(x) for x in b["covt"].to_pylist()]
+                assert ac == bc, f"z={z}: bytes differ from the clean run"
+                assert a["roundtrip_ok"].to_pandas().all()
+                n_chunked += sum(c[:1] == bytes([CHUNKED_TILE_MARKER]) for c in ac)
+            if chunk_rows:
+                assert n_chunked >= 1  # the chunked path actually engaged
+            else:
+                assert n_chunked == 0
+            # the killed run's z=2 lineage still records the FIRST run
+            lin = json.load(open(os.path.join(checkpoint.lineage_dir(out), "z=2.json")))
+            assert lin["inputs"] == {"run": "k1"}
+        finally:
+            tiling.CHUNK_MERGE_ROWS = old

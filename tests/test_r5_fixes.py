@@ -166,3 +166,28 @@ def test_user_top_event_oracle_and_single_pass(ray_session):
     assert _table_rows_meta(sf_dir, "events") == pq.read_metadata(
         f"{sf_dir}/events.parquet"
     ).num_rows
+
+
+def test_ann_multiprobe_recall_beats_single_bucket(ray_session):
+    """VERDICT r4 #5: the multi-probe multi-table config must lift
+    recall@5 well above the single-bucket baseline.  Deterministic corpus
+    + seeded planes -> the recall is a constant; pin the measured floor
+    (0.688 at sf0.01; 0.85 at the 100k scale corpus — curve in
+    BASELINE.md)."""
+    from cov_tiles_ray.pipelines import queries as Q
+
+    sf_dir = "/root/testdata/sf0.01"
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    V = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    o = np.argsort(ids)
+    ids, Vn = ids[o], Vn[o]
+    qn = Vn[:16]
+    sims = qn @ Vn.T
+    exact = {
+        int(ids[q]): set(ids[np.lexsort((ids, -sims[q]))[:5]].tolist()) for q in range(16)
+    }
+    res = Q.q_ann_multiprobe_top5(sf_dir).to_pandas()
+    hit = sum(len(set(g.vec_id) & exact[qid]) for qid, g in res.groupby("query_vec_id"))
+    assert hit / 80 >= 0.65  # measured 0.688; single-12-bit-bucket reads 0.20
