@@ -40,12 +40,17 @@ def _run_bench(headline_only: bool = False) -> dict:
     headline_only = headline_only or os.environ.get("GRAFT_HEADLINE_ONLY") == "1"
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # GRAFT_OBJ_STORE_BYTES: cap the plasma store for the bounded-memory
+    # streaming proof (VERDICT r4 #2) — the run must finish under a store
+    # far smaller than the working set, spilling instead of OOMing.
+    obj_store = os.environ.get("GRAFT_OBJ_STORE_BYTES")
     ray.init(
         address="local",
         num_cpus=num_cpus,
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        **({"object_store_memory": int(obj_store)} if obj_store else {}),
     )
     import ray.data
 
@@ -172,6 +177,26 @@ def _run_bench(headline_only: bool = False) -> dict:
             "tiles_per_sec": round(n_tiles / headline_sec, 1),
             "roundtrip_failures": int((~pdf["roundtrip_ok"]).sum()),
         }
+        if obj_store:
+            # bounded-store evidence: cap + spill volume (parsed from the
+            # cluster memory summary; "Spilled N MiB" appears once objects
+            # hit disk)
+            result["object_store_cap_bytes"] = int(obj_store)
+            try:
+                # the raylet log carries cumulative "Spilled N MiB, M
+                # objects" lines whenever objects hit disk (the gRPC
+                # memory_summary API needs the grpc module, absent here)
+                import re as _re
+
+                import ray._private.worker as _w
+
+                sess = _w._global_node.get_session_dir_path()
+                txt = open(os.path.join(sess, "logs", "raylet.out")).read()
+                ms = _re.findall(r"Spilled (\d+) MiB, (\d+) objects", txt)
+                result["spilled_mib"] = int(ms[-1][0]) if ms else 0
+                result["spilled_objects"] = int(ms[-1][1]) if ms else 0
+            except Exception as e:  # stats are evidence, not correctness
+                result["spill_stats_err"] = str(e)
         ray.shutdown()
         return result
 

@@ -1953,9 +1953,21 @@ def _running_group(g: pd.DataFrame) -> pd.DataFrame:
 
 def q_running_totals(sf_dir: str):
     """Cumulative windowed aggregate (SUM ... OVER (PARTITION BY customer
-    ORDER BY date)): per-customer running spend.  groupby(o_custkey) is the
-    one shuffle; the in-group sort+cumsum is vectorized."""
+    ORDER BY date)): per-customer running spend.
+
+    Scale shape (r5 rewrite, from the 5x sweep's 3.06x ratio — VERDICT r4
+    #7): groupby(cust).map_groups invoked a Python callback per CUSTOMER
+    (~n_cust small pandas frames), so per-group overhead scaled with
+    customer count.  Now ONE customer-hash part exchange (a customer's
+    rows land wholly in one part) and a single vectorized kernel per
+    ~200k-row part: lexsort((okey, day, cust)) + segment-cumsum (global
+    cumsum minus per-segment base) + segment-relative arange for rn —
+    no per-group Python at any scale.  Part count sizes from parquet
+    footer metadata (no probe execution)."""
+    from ..sources.synth import _splitmix64
+
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    n_parts = int(max(8, min(4096, _table_rows_meta(sf_dir, "orders") // 200_000 + 1)))
 
     def prep(b: pa.Table) -> pa.Table:
         d = (
@@ -1963,19 +1975,57 @@ def q_running_totals(sf_dir: str):
             // 86_400_000_000
         )
         p = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        cust = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
                 "o_orderkey": b["o_orderkey"],
                 "o_custkey": b["o_custkey"],
                 "day": pa.array(d),
                 "cents": pa.array(np.floor(p * 100.0).astype(np.int64)),
+                "part": pa.array(
+                    (_splitmix64(cust.astype(np.uint64)) % np.uint64(n_parts)).astype(np.int64)
+                ),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "o_orderkey": pa.array([], pa.int64()),
+            "o_custkey": pa.array([], pa.int64()),
+            "rn": pa.array([], pa.int64()),
+            "run_cents": pa.array([], pa.int64()),
+        }
+    )
+
+    def run_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        cust = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = t["day"].to_numpy(zero_copy_only=False)
+        okey = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, day, cust))
+        cust, day, okey, cents = cust[order], day[order], okey[order], cents[order]
+        n = len(cust)
+        new = np.r_[True, cust[1:] != cust[:-1]]
+        starts = np.flatnonzero(new)
+        seg_len = np.diff(np.r_[starts, n])
+        run = np.cumsum(cents)
+        base = np.repeat(np.r_[np.int64(0), run[starts[1:] - 1]], seg_len)
+        rn = np.arange(n, dtype=np.int64) - np.repeat(starts, seg_len) + 1
+        return pa.table(
+            {
+                "o_orderkey": pa.array(okey),
+                "o_custkey": pa.array(cust),
+                "rn": pa.array(rn),
+                "run_cents": pa.array((run - base).astype(np.int64)),
             }
         )
 
     return (
         ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("o_custkey")
-        .map_groups(_running_group, batch_format="pandas")
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(run_part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     )
 
 
@@ -10833,7 +10883,12 @@ def q_table_profile(sf_dir: str):
 
     ds = _read(sf_dir, "lineitem", list(_PROFILE_COLS))
     names = list(_PROFILE_COLS)
-    n_parts = int(max(8, min(4096, ds.count() // 200_000 + 1)))
+    # footer-metadata sizing (r5): ds.count() on a raw read resolves from
+    # metadata in Ray 2.49 (no execution), but that is an internals
+    # dependency — _table_rows_meta is explicit.  The 3.57x sweep ratio
+    # (VERDICT r4 #7) root-causes to the distinct-value exchange itself:
+    # see the profile note in BASELINE.md r5
+    n_parts = int(max(8, min(4096, _table_rows_meta(sf_dir, "lineitem") // 200_000 + 1)))
 
     def encode(b: pa.Table) -> pa.Table:
         cids: list[np.ndarray] = []
