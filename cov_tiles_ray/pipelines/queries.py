@@ -379,10 +379,15 @@ def q_hex_pyramid(sf_dir: str):
     res — the combiner), so the shuffle carries at most one row per
     (res, cell) per batch instead of 13x the input rows; the resolution is
     already packed into the cell id (res * 2^52), so one groupby key
-    covers the whole pyramid."""
-    from ray.data.aggregate import Sum
+    covers the whole pyramid.  r5: the Ray sort-based Aggregate replaced
+    by the engine's cell-hash part exchange + per-part reduceat merge
+    (A/B in BASELINE.md); exchange volume is unchanged — res 10-12 cells
+    are near-unique per event so the combiner cannot compress the top
+    resolutions, the 2.74x-for-5x residual recorded in the r4 sweep."""
+    from ..sources.synth import _splitmix64
 
     ds = _events_points(sf_dir)
+    n_parts = int(max(8, min(4096, _table_rows_meta(sf_dir, "events") // 100_000 + 1)))
 
     def assign(b: pa.Table) -> pa.Table:
         lon = b["lon"].to_numpy(zero_copy_only=False)
@@ -392,30 +397,49 @@ def q_hex_pyramid(sf_dir: str):
             u, c = np.unique(S.lonlat_to_hex(lon, lat, res), return_counts=True)
             ids.append(u)
             counts.append(c.astype(np.int64))
+        hid = np.concatenate(ids)
         return pa.table(
             {
-                "hex_id": pa.array(np.concatenate(ids)),
+                "hex_id": pa.array(hid),
                 "partial": pa.array(np.concatenate(counts)),
+                "part": pa.array(
+                    (_splitmix64(hid.view(np.uint64)) % np.uint64(n_parts)).astype(np.int64)
+                ),
             }
         )
 
-    out = (
-        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("hex_id")
-        .aggregate(Sum("partial", alias_name="n"))
+    _empty = pa.table(
+        {
+            "res": pa.array([], pa.int64()),
+            "hex_id": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
     )
 
-    def finalize(b: pa.Table) -> pa.Table:
-        res, _q, _r = S.unpack_hex_id(b["hex_id"].to_numpy(zero_copy_only=False))
+    def sum_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        hid = t["hex_id"].to_numpy(zero_copy_only=False)
+        cnt = t["partial"].to_numpy(zero_copy_only=False)
+        order = np.argsort(hid, kind="mergesort")
+        hid, cnt = hid[order], cnt[order]
+        new = np.r_[True, hid[1:] != hid[:-1]]
+        n = np.add.reduceat(cnt, np.flatnonzero(new))
+        hid_u = hid[new]
+        res, _q, _r = S.unpack_hex_id(hid_u)
         return pa.table(
             {
                 "res": pa.array(res.astype(np.int64)),
-                "hex_id": b["hex_id"],
-                "n": pc.cast(b["n"], pa.int64()),
+                "hex_id": pa.array(hid_u),
+                "n": pa.array(n.astype(np.int64)),
             }
         )
 
-    return out.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(sum_part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
 
 
 def _sql_hex_pyramid() -> str:
@@ -758,23 +782,67 @@ def _sql_raster_pixel_counts() -> str:
 
 def q_sessionize(sf_dir: str):
     """Gap-based sessionization per user (30-min inactivity gap): the
-    canonical streaming-shaped stateful operator, expressed as
-    groupby(user_id).map_groups with an in-group sort by timestamp."""
-    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    canonical streaming-shaped stateful operator.
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        t = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // 1_000_000)
-        gaps = np.diff(t)
-        n_sessions = 1 + int((gaps > 1800).sum())
-        return pd.DataFrame(
+    Scale shape (r5 rewrite): groupby(user).map_groups invoked a Python
+    callback per USER; now one user-hash part exchange (a user's events
+    land wholly in one part) and a single vectorized kernel per part —
+    lexsort((t, user)), per-user event counts via segment boundaries, and
+    session count = 1 + within-user count of gaps > 1800 s.  Same output,
+    no per-group Python at any scale (the same rewrite as
+    q_running_totals; engine rule in BASELINE.md r5)."""
+    from ..sources.synth import _splitmix64
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    n_parts = int(max(8, min(4096, _table_rows_meta(sf_dir, "events") // 200_000 + 1)))
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64) // 1_000_000
+        return pa.table(
             {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "n_sessions": np.array([n_sessions], dtype=np.int64),
-                "n_events": np.array([len(t)], dtype=np.int64),
+                "user_id": pa.array(uid),
+                "t": pa.array(t),
+                "part": pa.array(
+                    (_splitmix64(uid.astype(np.uint64)) % np.uint64(n_parts)).astype(np.int64)
+                ),
             }
         )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    _empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "n_sessions": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+        }
+    )
+
+    def sessions_part(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return _empty
+        uid = tb["user_id"].to_numpy(zero_copy_only=False)
+        t = tb["t"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, uid))
+        uid, t = uid[order], t[order]
+        new = np.r_[True, uid[1:] != uid[:-1]]
+        starts = np.flatnonzero(new)
+        n_events = np.diff(np.r_[starts, len(uid)])
+        # gap breaks count only within a user: mask out segment boundaries
+        brk = np.r_[False, (np.diff(t) > 1800) & (uid[1:] == uid[:-1])].astype(np.int64)
+        n_sessions = 1 + np.add.reduceat(brk, starts)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[new]),
+                "n_sessions": pa.array(n_sessions.astype(np.int64)),
+                "n_events": pa.array(n_events.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(sessions_part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
 
 
 def _sql_sessionize() -> str:
@@ -867,14 +935,52 @@ def _sql_supplier_balance() -> str:
 
 
 def q_dedup_exact(sf_dir: str):
-    """Exact dedup: hash-partition by content, keep min doc_id per text."""
+    """Exact dedup: hash-partition by content, keep min doc_id per text.
+
+    Scale shape (r5 rewrite): Ray's sort-based groupby compared multi-KB
+    TEXT keys through the whole exchange (the r4 engine rule — never
+    feed a Ray groupby a string sort key — applied to its last holdout).
+    The exchange key is now an int64 content-hash part (all copies of a
+    text share it, so a text's group is complete within one part); the
+    in-part pandas C-hash groupby runs on the FULL text, so exactness
+    never relies on hash collision-freedom.  The text column rides the
+    exchange once either way (it is the group identity); only the sort
+    comparisons changed."""
+    from ..sources.synth import _splitmix64
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_parts = int(max(8, min(4096, _table_rows_meta(sf_dir, "documents") // 100_000 + 1)))
 
-    from ray.data.aggregate import Count, Min
+    def prep(df: pd.DataFrame) -> pa.Table:
+        h = pd.util.hash_pandas_object(df["text"], index=False).to_numpy(np.uint64)
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+                "text": pa.array(df["text"], pa.string()),
+                "part": pa.array((_splitmix64(h) % np.uint64(n_parts)).astype(np.int64)),
+            }
+        )
 
-    return ds.groupby("text").aggregate(
-        Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_copies")
-    ).select_columns(["keep_doc_id", "n_copies"])
+    _empty = pa.table(
+        {"keep_doc_id": pa.array([], pa.int64()), "n_copies": pa.array([], pa.int64())}
+    )
+
+    def dedup_part(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return _empty
+        g = df.groupby("text", sort=False)["doc_id"].agg(["min", "count"])
+        return pa.table(
+            {
+                "keep_doc_id": pa.array(g["min"].to_numpy(np.int64)),
+                "n_copies": pa.array(g["count"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pandas")
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(dedup_part, batch_format="pandas", batch_size=None)
+    )
 
 
 def _sql_dedup_exact() -> str:
@@ -1862,10 +1968,86 @@ def q_asof_join(sf_dir: str):
             }
         )
 
+    # r5: per-key map_groups replaced by a key-hash part exchange + one
+    # vectorized merge per part.  Keys dense-rank within the part; both
+    # sides map to a segment-composite axis comp = rank * SPAN + (t - t0)
+    # (SPAN > the part's t-range, so probes cannot cross keys); orders
+    # sort ascending (comp, rid) and searchsorted-right lands each event
+    # on the greatest (t, rid) order with t <= event t.  A hit in a
+    # foreign segment (event's key has no orders at-or-before) is masked
+    # by comparing the matched order's key rank.  Same rewrite family as
+    # q_running_totals (BASELINE.md r5).
+    from ..sources.synth import _splitmix64
+
+    n_rows = _table_rows_meta(sf_dir, "events") + _table_rows_meta(sf_dir, "orders")
+    n_parts = int(max(8, min(4096, n_rows // 200_000 + 1)))
+
+    def add_part(b: pa.Table) -> pa.Table:
+        key = b["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return b.append_column(
+            "part", pa.array((_splitmix64(key) % np.uint64(n_parts)).astype(np.int64))
+        )
+
+    _empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "order_key": pa.array([], pa.int64()),
+            "order_day": pa.array([], pa.int64()),
+        }
+    )
+
+    def asof_part(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return _empty
+        key = tb["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = tb["t"].to_numpy(zero_copy_only=False)
+        rid = tb["rid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        side = tb["side"].to_numpy(zero_copy_only=False)
+        _uk, rank = np.unique(key, return_inverse=True)
+        t0 = t.min()
+        span = int(t.max()) - int(t0) + 2
+        if (len(_uk)) * span >= (1 << 62):  # pragma: no cover — overflow guard
+            import pandas as _pd
+
+            return pa.Table.from_pandas(
+                _pd.concat(
+                    [
+                        _asof_group(g)
+                        for _, g in _pd.DataFrame(
+                            {"key": key, "t": t, "rid": rid, "side": side}
+                        ).groupby("key", sort=False)
+                    ],
+                    ignore_index=True,
+                ),
+                preserve_index=False,
+            )
+        comp = rank.astype(np.int64) * np.int64(span) + (t - t0)
+        om = side == 1
+        oc, oid, orank = comp[om], rid[om], rank[om]
+        o_order = np.lexsort((oid, oc))
+        oc, oid, orank = oc[o_order], oid[o_order], orank[o_order]
+        ot = t[om][o_order]
+        ec, eid, erank = comp[~om], rid[~om], rank[~om]
+        if len(oc) == 0 or len(ec) == 0:
+            return _empty
+        idx = np.searchsorted(oc, ec, side="right") - 1
+        m = (idx >= 0) & (orank[np.maximum(idx, 0)] == erank)
+        return pa.table(
+            {
+                "event_id": pa.array(eid[m].astype(np.int64)),
+                "order_key": pa.array(oid[idx[m]].astype(np.int64)),
+                "order_day": pa.array(ot[idx[m]].astype(np.int64)),
+            }
+        )
+
     both = ev.map_batches(ev_side, batch_format="pyarrow", zero_copy_batch=True).union(
         od.map_batches(od_side, batch_format="pyarrow", zero_copy_batch=True)
     )
-    return both.groupby("key").map_groups(_asof_group, batch_format="pandas")
+    return (
+        both.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(asof_part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
 
 
 def _sql_asof_join() -> str:
@@ -1910,14 +2092,73 @@ def q_range_join_followups(sf_dir: str):
     overlap shipped to the next salt."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
+    # r5: per-user map_groups replaced by a user-hash part exchange + ONE
+    # pair of searchsorteds per part over a segment-composite axis: rows
+    # sort by (user, t) and map to comp = seg * SPAN + (t - t_min) with
+    # SPAN > t-range + window, so a window probe can never cross into the
+    # next user's segment and a single global searchsorted answers every
+    # per-user range count.  Falls back to the per-segment loop only if
+    # seg * SPAN would overflow int64 (never at sane part sizes — parts
+    # are ~200k rows and SPAN is the part's own time range).
+    from ..sources.synth import _splitmix64
+
+    n_parts = int(max(8, min(4096, _table_rows_meta(sf_dir, "events") // 200_000 + 1)))
+
     def prep(b: pa.Table) -> pa.Table:
         t = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
-        return pa.table({"event_id": b["event_id"], "user_id": b["user_id"], "t": pa.array(t)})
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "t": pa.array(t),
+                "part": pa.array((_splitmix64(uid) % np.uint64(n_parts)).astype(np.int64)),
+            }
+        )
+
+    _empty = pa.table(
+        {"event_id": pa.array([], pa.int64()), "n_follow": pa.array([], pa.int64())}
+    )
+
+    def follow_part(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return _empty
+        uid = tb["user_id"].to_numpy(zero_copy_only=False)
+        t = tb["t"].to_numpy(zero_copy_only=False)
+        eid = tb["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, uid))
+        uid, t, eid = uid[order], t[order], eid[order]
+        new = np.r_[True, uid[1:] != uid[:-1]]
+        seg = np.cumsum(new) - 1
+        t0 = t.min()
+        span = int(t.max()) - int(t0) + _FOLLOW_WINDOW_US + 2
+        if (int(seg[-1]) + 1) * span < (1 << 62):
+            comp = seg * np.int64(span) + (t - t0)
+            # right-side both probes (NOT arange+1): duplicate timestamps
+            # within a user must all see the same "rows <= t" count,
+            # matching _followups_group's semantics
+            n_follow = np.searchsorted(comp, comp + _FOLLOW_WINDOW_US, side="right") - (
+                np.searchsorted(comp, comp, side="right")
+            )
+        else:  # pragma: no cover — overflow guard
+            n_follow = np.empty(len(t), np.int64)
+            for s in range(int(seg[-1]) + 1):
+                sl = slice(*np.searchsorted(seg, [s, s + 1]))
+                ts = t[sl]
+                n_follow[sl] = np.searchsorted(ts, ts + _FOLLOW_WINDOW_US, side="right") - (
+                    np.searchsorted(ts, ts, side="right")
+                )
+        return pa.table(
+            {
+                "event_id": pa.array(eid.astype(np.int64)),
+                "n_follow": pa.array(n_follow.astype(np.int64)),
+            }
+        )
 
     return (
         ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("user_id")
-        .map_groups(_followups_group, batch_format="pandas")
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(follow_part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     )
 
 
@@ -2282,15 +2523,57 @@ def q_topk_orders_per_customer(sf_dir: str):
             df.groupby("o_custkey", sort=False).head(_TOPK_ORDERS), preserve_index=False
         )
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cents", "o_orderkey"], ascending=[False, True]).head(_TOPK_ORDERS).copy()
-        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    # r5: the final per-customer pick ran as map_groups (one Python
+    # callback per customer).  Now a customer-hash part exchange + one
+    # lexsort per part: rank = position within the (cust) segment of the
+    # (cents desc, okey asc) order, keep rank <= k.  Same rewrite family
+    # as q_running_totals (BASELINE.md r5).
+    from ..sources.synth import _splitmix64
+
+    n_parts = int(max(8, min(4096, _table_rows_meta(sf_dir, "orders") // 200_000 + 1)))
+
+    def add_part(b: pa.Table) -> pa.Table:
+        cust = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return b.append_column(
+            "part", pa.array((_splitmix64(cust) % np.uint64(n_parts)).astype(np.int64))
+        )
+
+    _empty = pa.table(
+        {
+            "o_custkey": pa.array([], pa.int64()),
+            "o_orderkey": pa.array([], pa.int64()),
+            "cents": pa.array([], pa.int64()),
+            "rk": pa.array([], pa.int64()),
+        }
+    )
+
+    def final_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        cust = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        okey = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, -cents, cust))
+        cust, okey, cents = cust[order], okey[order], cents[order]
+        new = np.r_[True, cust[1:] != cust[:-1]]
+        starts = np.flatnonzero(new)
+        seg_len = np.diff(np.r_[starts, len(cust)])
+        rk = np.arange(len(cust), dtype=np.int64) - np.repeat(starts, seg_len) + 1
+        keep = rk <= _TOPK_ORDERS
+        return pa.table(
+            {
+                "o_custkey": pa.array(cust[keep]),
+                "o_orderkey": pa.array(okey[keep]),
+                "cents": pa.array(cents[keep]),
+                "rk": pa.array(rk[keep]),
+            }
+        )
 
     return (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("o_custkey")
-        .map_groups(final, batch_format="pandas")
+        .map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(final_part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     )
 
 
@@ -2685,31 +2968,75 @@ def q_events_retention(sf_dir: str):
     combiner rows; each bounded per-user group derives its cohort week and
     offsets in one pass, and the final count is a small groupby over the
     (cohort x offset) grid."""
-    from ray.data.aggregate import Count
-
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
-    def weeks(b: pa.Table) -> pa.Table:
-        us = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
-        df = pd.DataFrame(
-            {"user_id": b["user_id"].to_numpy(zero_copy_only=False), "week": us // _WEEK_US}
-        ).drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+    # r5: per-user map_groups replaced by a user-hash part exchange (each
+    # user's weeks land in one part, so cohort/offset derive locally) +
+    # per-part partial counts over the bounded (cohort x offset) grid; the
+    # final groupby merges |parts| x grid rows.  Same rewrite family as
+    # q_running_totals (BASELINE.md r5).
+    from ..sources.synth import _splitmix64
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        wks = np.unique(g["week"].to_numpy(np.int64))
-        off = wks - wks[0]
-        off = off[off <= _RETENTION_MAX_WEEKS]
-        return pd.DataFrame(
-            {"cohort_week": np.full(len(off), wks[0], dtype=np.int64), "offset": off}
+    n_parts = int(max(8, min(4096, _table_rows_meta(sf_dir, "events") // 200_000 + 1)))
+
+    def weeks_part(b: pa.Table) -> pa.Table:
+        us = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        wk = us // _WEEK_US
+        key = np.unique((uid << np.int64(16)) | wk)  # weeks fit 16 bits (epoch weeks < 3000)
+        u_uid = key >> np.int64(16)
+        return pa.table(
+            {
+                "user_id": pa.array(u_uid),
+                "week": pa.array(key & np.int64(0xFFFF)),
+                "part": pa.array(
+                    (_splitmix64(u_uid.astype(np.uint64)) % np.uint64(n_parts)).astype(np.int64)
+                ),
+            }
         )
 
+    _empty = pa.table(
+        {
+            "cohort_week": pa.array([], pa.int64()),
+            "offset": pa.array([], pa.int64()),
+            "partial": pa.array([], pa.int64()),
+        }
+    )
+
+    def count_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        wk = t["week"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((wk, uid))
+        uid, wk = uid[order], wk[order]
+        # cross-batch (user, week) dedup, then per-user cohort/offset
+        keep = np.r_[True, (uid[1:] != uid[:-1]) | (wk[1:] != wk[:-1])]
+        uid, wk = uid[keep], wk[keep]
+        new = np.r_[True, uid[1:] != uid[:-1]]
+        starts = np.flatnonzero(new)
+        seg_len = np.diff(np.r_[starts, len(uid)])
+        cohort = np.repeat(wk[starts], seg_len)
+        off = wk - cohort
+        m = off <= _RETENTION_MAX_WEEKS
+        key = (cohort[m] << np.int64(8)) | off[m]  # offset <= 12 fits 8 bits
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "cohort_week": pa.array(uk >> np.int64(8)),
+                "offset": pa.array(uk & np.int64(255)),
+                "partial": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
     return (
-        ds.map_batches(weeks, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        ds.map_batches(weeks_part, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(count_part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
         .groupby(["cohort_week", "offset"])
-        .aggregate(Count(alias_name="n_users"))
+        .aggregate(Sum("partial", alias_name="n_users"))
     )
 
 
@@ -2919,11 +3246,43 @@ def q_pivot_user_events(sf_dir: str):
         g = df.groupby("user_id", sort=False).sum().reset_index()
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
-    aggs = [Sum(f"n_{t}", alias_name=f"n_{t}") for t in _EVENT_TYPES]
+    # r5: Ray's sort-based Aggregate on the user key replaced by the
+    # user-hash part exchange + per-part reduceat merge of the indicator
+    # partials (the hex_pyramid rewrite; A/B in BASELINE.md r5)
+    from ..sources.synth import _splitmix64
+
+    n_parts = int(max(8, min(4096, _table_rows_meta(sf_dir, "events") // 200_000 + 1)))
+
+    def add_part(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return b.append_column(
+            "part", pa.array((_splitmix64(uid) % np.uint64(n_parts)).astype(np.int64))
+        )
+
+    cols = [f"n_{t}" for t in _EVENT_TYPES]
+    _empty = pa.table(
+        {"user_id": pa.array([], pa.int64()), **{c: pa.array([], pa.int64()) for c in cols}}
+    )
+
+    def sum_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(uid, kind="mergesort")
+        uid = uid[order]
+        new = np.r_[True, uid[1:] != uid[:-1]]
+        starts = np.flatnonzero(new)
+        out = {"user_id": pa.array(uid[new].astype(np.int64))}
+        for c in cols:
+            v = t[c].to_numpy(zero_copy_only=False)[order]
+            out[c] = pa.array(np.add.reduceat(v, starts).astype(np.int64))
+        return pa.table(out)
+
     return (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("user_id")
-        .aggregate(*aggs)
+        .map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(sum_part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     )
 
 
@@ -7968,11 +8327,16 @@ def q_tile_pyramid_counts(sf_dir: str):
     whole pyramid.  (A two-stage variant — aggregate z10 first, derive
     coarser zooms from the tile-domain table — was A/B'd at 8.9-16 s vs
     4.3 s: the second exchange's per-block fixed cost dominates, so the
-    single-exchange form is kept.)"""
-    from ray.data.aggregate import Sum
+    single-exchange form is kept.)  r5: Ray's sort-based Aggregate
+    replaced by the tile-hash part exchange + per-part reduceat merge —
+    the same rewrite that took hex_pyramid from 14.5 s to 1.0 s at the
+    5x corpus (the Aggregate machinery, not the exchange volume, was the
+    term; A/B in BASELINE.md)."""
+    from ..sources.synth import _splitmix64
 
     ds = _events_points(sf_dir)
     base_z = TILE_PYRAMID_ZOOMS[-1]
+    n_parts = int(max(8, min(4096, _table_rows_meta(sf_dir, "events") // 100_000 + 1)))
 
     def assign(b: pa.Table) -> pa.Table:
         lon = b["lon"].to_numpy(zero_copy_only=False)
@@ -7984,17 +8348,34 @@ def q_tile_pyramid_counts(sf_dir: str):
             u, cnt = np.unique(S.pack_tile_id(z, tx >> sh, ty >> sh), return_counts=True)
             ids.append(u)
             counts.append(cnt.astype(np.int64))
+        tid = np.concatenate(ids)
         return pa.table(
             {
-                "tile_id": pa.array(np.concatenate(ids)),
+                "tile_id": pa.array(tid),
                 "partial": pa.array(np.concatenate(counts)),
+                "part": pa.array(
+                    (_splitmix64(tid.view(np.uint64)) % np.uint64(n_parts)).astype(np.int64)
+                ),
             }
         )
 
+    _empty = pa.table({"tile_id": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+
+    def sum_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        tid = t["tile_id"].to_numpy(zero_copy_only=False)
+        cnt = t["partial"].to_numpy(zero_copy_only=False)
+        order = np.argsort(tid, kind="mergesort")
+        tid, cnt = tid[order], cnt[order]
+        new = np.r_[True, tid[1:] != tid[:-1]]
+        n = np.add.reduceat(cnt, np.flatnonzero(new))
+        return pa.table({"tile_id": pa.array(tid[new]), "n": pa.array(n.astype(np.int64))})
+
     return (
         ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("tile_id")
-        .aggregate(Sum("partial", alias_name="n"))
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(sum_part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     )
 
 
