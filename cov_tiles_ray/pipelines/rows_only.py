@@ -114,13 +114,65 @@ def q_validate_images(sf_dir: str):
 
 def q_phash_dedup(sf_dir: str):
     """Exact near-duplicate dedup on the image corpus by perceptual hash:
-    hash-partition by phash, keep the first image_id per bucket."""
+    hash-partition by phash, keep the first image_id per bucket.
+
+    r5: Ray's sort-based Aggregate over the ~n near-unique phash keys
+    measured 4.95 s for 600k rows; the phash-hash part exchange + one
+    lexsort/reduceat kernel per part runs the same reduction in ~1 s
+    (BASELINE.md r5 part-exchange sweep).  image_id order is decided on
+    the numeric suffix — 'img%012d' ids are zero-padded so int order IS
+    lexicographic order."""
     from . import tiling
-    from ray.data.aggregate import Count, Min
 
     images = tiling.read_images(sf_dir, columns=["image_id", "phash"])
-    return images.groupby("phash").aggregate(
-        Min("image_id", alias_name="keep_image_id"), Count(alias_name="n_copies")
+    n_parts = int(max(8, min(4096, synth.rows_for_sf(synth.sf_from_dir(sf_dir)) // 100_000 + 1)))
+
+    def prep(b: pa.Table) -> pa.Table:
+        ph = b["phash"].to_numpy(zero_copy_only=False)
+        iid = np.char.lstrip(
+            b["image_id"].to_numpy(zero_copy_only=False).astype("U15"), "img"
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "phash": pa.array(ph),
+                "iid": pa.array(iid),
+                "part": pa.array(
+                    (synth._splitmix64(ph.view(np.uint64)) % np.uint64(n_parts)).astype(np.int64)
+                ),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "phash": pa.array([], pa.int64()),
+            "keep_image_id": pa.array([], pa.string()),
+            "n_copies": pa.array([], pa.int64()),
+        }
+    )
+
+    def dedup_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty
+        ph = t["phash"].to_numpy(zero_copy_only=False)
+        iid = t["iid"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((iid, ph))
+        ph, iid = ph[order], iid[order]
+        new = np.r_[True, ph[1:] != ph[:-1]]
+        starts = np.flatnonzero(new)
+        n = np.diff(np.r_[starts, len(ph)])
+        fmt = np.frompyfunc("img{:012d}".format, 1, 1)
+        return pa.table(
+            {
+                "phash": pa.array(ph[new]),
+                "keep_image_id": pa.array(fmt(iid[starts]).astype("U15"), pa.string()),
+                "n_copies": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    return (
+        images.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("part", boundaries=list(range(1, n_parts)))
+        .map_batches(dedup_part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     )
 
 
