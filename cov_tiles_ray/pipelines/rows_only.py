@@ -264,6 +264,58 @@ def _part_candidate_pairs(sketched: rd.Dataset, n_band_rows: int) -> rd.Dataset:
     )
 
 
+def _sketch_dir(tag: str) -> str:
+    """Fresh scratch directory for a sketch/co-group checkpoint (see
+    _sketch_checkpoint for why disk, not the object store)."""
+    import uuid
+
+    out = os.path.join(synth.CACHE_DIR, "sketch", f"{tag}_{uuid.uuid4().hex[:12]}")
+    os.makedirs(out, exist_ok=True)
+    return out
+
+
+def _link_parquet(src_dir: str, dst_dir: str, prefix: str) -> None:
+    """Hardlink every parquet shard of src into dst under a name prefix —
+    the zero-copy way to make one directory serve as the UNION of two
+    schema-aligned streams (Ray write jobs use unique uuid basenames, the
+    prefix just makes collisions impossible by construction)."""
+    for f in os.listdir(src_dir):
+        if f.endswith(".parquet"):
+            os.link(os.path.join(src_dir, f), os.path.join(dst_dir, prefix + f))
+
+
+def _sketch_checkpoint(ds, tag: str):
+    """Checkpoint a bounded sketch Dataset to local parquet and return a
+    lazy reader over it, plus its row count.
+
+    Replaces Dataset.materialize() where a sketch feeds MULTIPLE
+    consumers: materialized blocks pin the object store, and Ray 2.49's
+    streaming executor LIVELOCKS on the union-of-materialized shape under
+    a constrained store — measured r5: minhash at 1M docs runs 42 s with
+    an 8 GB store but spins forever (driver 100% CPU, workers idle, zero
+    spills) at 4 GB, with or without explicit resource_limits.  A parquet
+    checkpoint streams at any store size, still executes the upstream
+    exactly once, and is the operationally-correct artifact at 100 TB
+    (the sketch doubles as a resume point).  Scratch lives under the
+    corpus cache dir; each invocation writes a fresh uuid dir (runs are
+    isolated; /tmp is the sandbox's scratch)."""
+    import uuid
+
+    out = os.path.join(
+        synth.CACHE_DIR, "sketch", f"{tag}_{uuid.uuid4().hex[:12]}"
+    )
+    ds.write_parquet(out)
+    files = (
+        [f for f in os.listdir(out) if f.endswith(".parquet")] if os.path.isdir(out) else []
+    )
+    if not files:  # empty result: write_parquet emits no files
+        sch = ds.schema()
+        pa_sch = getattr(sch, "base_schema", sch)
+        return rd.from_arrow(pa_sch.empty_table()), 0
+    lazy = rd.read_parquet(out)
+    return lazy, int(lazy.count())
+
+
 def _join_pairs_with_payload(
     cand, payload_ds, score_fn, out_col: str, batch_score_fn=None, n_keys: int = 100_000
 ):
@@ -404,24 +456,51 @@ def _join_pairs_with_payload(
             }
         )
 
-    # materialize ONCE: both co-group hops union this stream, and a lazy
+    # checkpoint ONCE: both co-group hops union this stream, and a lazy
     # dataset re-executes its whole upstream per consumer — here that meant
     # reading the text and recomputing every signature twice more
-    # (measured at 250k docs: 112 s -> 56 s warm).  The payload sketch is
-    # bounded (id + fixed-width payload, no text), so this is a
-    # sketch-sized pin, not a dataset materialization.
-    payload_tagged = payload_ds.map_batches(tag_payloads, batch_format="pandas").materialize()
+    # (measured at 250k docs: 112 s -> 56 s warm).  r5: parquet checkpoint
+    # instead of materialize() — the union-of-materialized shape livelocks
+    # under a constrained object store (_sketch_checkpoint docstring); the
+    # sketch is bounded (id + fixed-width payload, no text) so the write
+    # is sketch-sized.
+    # r5 UNION-FREE STAGED co-group.  The earlier single-graph form
+    # chained [band sort + Aggregate] → union → sort → union → sort; under
+    # a CAPPED object store Ray 2.49's streaming executor livelocked on it
+    # (driver spin, idle workers, zero spills), and the operator log
+    # showed the UnionOperator forwarding 0 blocks even when both inputs
+    # were pure parquet reads — its budget reservation starves before a
+    # single block moves.  Both streams of each co-group hop share one
+    # 6-column schema, so the union DEGENERATES to writing them into the
+    # same parquet directory (the payload files enter by hardlink — no
+    # second copy) and letting one read feed the sort.  Every executed
+    # graph is then read → map → sort → map — the headline pipeline's
+    # shape, which streams (and spills) under a 1 GB store.  Measured r5:
+    # minhash at 1M docs livelocked at an 8 GB cap in the union form and
+    # completes in ~46 s at 4 GB staged (BASELINE.md); the checkpoints
+    # double as resume points.
+    pay_dir = _sketch_dir("pairjoin_pay")
+    payload_ds.map_batches(tag_payloads, batch_format="pandas").write_parquet(pay_dir)
+    hop1_dir = _sketch_dir("pairjoin_hop1")
+    cand.map_batches(tag_pairs, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        hop1_dir
+    )
+    _link_parquet(pay_dir, hop1_dir, "pay-")
+    if not any(f.endswith(".parquet") for f in os.listdir(hop1_dir)):
+        return rd.from_arrow(_empty2)  # both sides empty (empty input table)
     stage1 = (
-        cand.map_batches(tag_pairs, batch_format="pyarrow", zero_copy_batch=True)
-        .union(payload_tagged)
+        rd.read_parquet(hop1_dir)
         .map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
         .sort("part", boundaries=bounds)
         .map_batches(
             attach_a_part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
         )
     )
+    hop2_dir = _sketch_dir("pairjoin_hop2")
+    stage1.write_parquet(hop2_dir)
+    _link_parquet(pay_dir, hop2_dir, "pay-")
     return (
-        stage1.union(payload_tagged)
+        rd.read_parquet(hop2_dir)
         .map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
         .sort("part", boundaries=bounds)
         .map_batches(
@@ -459,8 +538,11 @@ def q_minhash_lsh_pairs(sf_dir: str):
             }
         )
 
-    payload = ds.map_batches(sigs, batch_format="pandas").materialize()
-    n_rows = payload.count()
+    # r5: parquet checkpoint, not materialize() — the signature table
+    # feeds the band-key scan AND the pair join; see _sketch_checkpoint
+    payload, n_rows = _sketch_checkpoint(
+        ds.map_batches(sigs, batch_format="pandas"), "minhash_sigs"
+    )
 
     def bands_from_sigs(df: pd.DataFrame) -> pa.Table:
         sig = np.frombuffer(b"".join(df["payload"]), dtype=np.uint64).reshape(
