@@ -264,12 +264,33 @@ def _part_candidate_pairs(sketched: rd.Dataset, n_band_rows: int) -> rd.Dataset:
     )
 
 
+_SKETCH_TTL_S = int(os.environ.get("GRAFT_SKETCH_TTL_S", "3600"))
+
+
 def _sketch_dir(tag: str) -> str:
     """Fresh scratch directory for a sketch/co-group checkpoint (see
-    _sketch_checkpoint for why disk, not the object store)."""
+    _sketch_checkpoint for why disk, not the object store).
+
+    Each call also sweeps SIBLING sketch dirs older than _SKETCH_TTL_S
+    (default 1 h): the dirs are per-invocation scratch — a minhash run
+    leaves ~1.4 GB at 1M docs, and a test/bench session invokes the
+    family dozens of times.  A live pipeline's dirs are minutes old, so
+    the TTL can't race a running query on this single-driver sandbox."""
+    import shutil
+    import time as _time
     import uuid
 
-    out = os.path.join(synth.CACHE_DIR, "sketch", f"{tag}_{uuid.uuid4().hex[:12]}")
+    root = os.path.join(synth.CACHE_DIR, "sketch")
+    if os.path.isdir(root):
+        cutoff = _time.time() - _SKETCH_TTL_S
+        for d in os.listdir(root):
+            p = os.path.join(root, d)
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+    out = os.path.join(root, f"{tag}_{uuid.uuid4().hex[:12]}")
     os.makedirs(out, exist_ok=True)
     return out
 
@@ -294,16 +315,13 @@ def _sketch_checkpoint(ds, tag: str):
     a constrained store — measured r5: minhash at 1M docs runs 42 s with
     an 8 GB store but spins forever (driver 100% CPU, workers idle, zero
     spills) at 4 GB, with or without explicit resource_limits.  A parquet
-    checkpoint streams at any store size, still executes the upstream
-    exactly once, and is the operationally-correct artifact at 100 TB
-    (the sketch doubles as a resume point).  Scratch lives under the
-    corpus cache dir; each invocation writes a fresh uuid dir (runs are
-    isolated; /tmp is the sandbox's scratch)."""
-    import uuid
-
-    out = os.path.join(
-        synth.CACHE_DIR, "sketch", f"{tag}_{uuid.uuid4().hex[:12]}"
-    )
+    checkpoint streams at any store size and still executes the upstream
+    exactly once.  Scratch lives under the corpus cache dir; each
+    invocation writes a fresh uuid dir (within-run staging, NOT a
+    cross-run resume point — a rerun recomputes; _sketch_dir sweeps
+    stale dirs).  At 100-TB operation the same stage boundary is where a
+    keyed, durable checkpoint would go."""
+    out = _sketch_dir(tag)
     ds.write_parquet(out)
     files = (
         [f for f in os.listdir(out) if f.endswith(".parquet")] if os.path.isdir(out) else []
@@ -476,9 +494,11 @@ def _join_pairs_with_payload(
     # second copy) and letting one read feed the sort.  Every executed
     # graph is then read → map → sort → map — the headline pipeline's
     # shape, which streams (and spills) under a 1 GB store.  Measured r5:
-    # minhash at 1M docs livelocked at an 8 GB cap in the union form and
-    # completes in ~46 s at 4 GB staged (BASELINE.md); the checkpoints
-    # double as resume points.
+    # minhash at 1M docs livelocked at a 4 GB cap in the union form and
+    # completes within 8% of uncapped at 4/2/1 GB staged (BASELINE.md).
+    # The stage dirs are within-run scratch (swept by _sketch_dir), not
+    # cross-run resume points — at 100-TB operation this boundary is
+    # where a keyed durable checkpoint would go.
     pay_dir = _sketch_dir("pairjoin_pay")
     payload_ds.map_batches(tag_payloads, batch_format="pandas").write_parquet(pay_dir)
     hop1_dir = _sketch_dir("pairjoin_hop1")
