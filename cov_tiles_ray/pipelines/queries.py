@@ -2983,7 +2983,15 @@ def q_events_retention(sf_dir: str):
         us = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
         uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         wk = us // _WEEK_US
-        key = np.unique((uid << np.int64(16)) | wk)  # weeks fit 16 bits (epoch weeks < 3000)
+        # pack guard, mirroring q_user_top_event's (ADVICE r4 pattern):
+        # a week outside [0, 2^16) or a user outside [0, 2^47) would
+        # silently corrupt the dedup key (epoch weeks reach 65536 in
+        # year ~3225)
+        if len(wk) and (
+            wk.min() < 0 or wk.max() >= (1 << 16) or uid.min() < 0 or uid.max() >= (1 << 47)
+        ):
+            raise ValueError("user_id/week outside packable range for (uid << 16 | week)")
+        key = np.unique((uid << np.int64(16)) | wk)
         u_uid = key >> np.int64(16)
         return pa.table(
             {
