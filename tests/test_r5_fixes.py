@@ -191,3 +191,38 @@ def test_ann_multiprobe_recall_beats_single_bucket(ray_session):
     res = Q.q_ann_multiprobe_top5(sf_dir).to_pandas()
     hit = sum(len(set(g.vec_id) & exact[qid]) for qid, g in res.groupby("query_vec_id"))
     assert hit / 80 >= 0.65  # measured 0.688; single-12-bit-bucket reads 0.20
+
+
+def test_sketch_checkpoint_empty_input(ray_session):
+    """write_parquet of an empty Dataset emits no files; the checkpoint
+    helper must hand back an empty Dataset with the upstream schema
+    instead of a failing read (guards the union-free co-group path on
+    empty corpora)."""
+    import ray.data as rd
+
+    from cov_tiles_ray.pipelines.rows_only import _sketch_checkpoint
+
+    src = rd.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()), "payload": pa.array([], pa.large_binary())})
+    )
+    out, n = _sketch_checkpoint(src, "emptytest")
+    assert n == 0
+    # NOTE: Dataset.to_pandas() drops columns for a 0-row dataset (Ray
+    # quirk), so assert on the schema, which is preserved
+    assert out.schema().names == ["doc_id", "payload"]
+    assert out.count() == 0
+
+
+def test_sketch_dir_sweeps_stale_siblings(tmp_path, monkeypatch):
+    import time as _time
+
+    from cov_tiles_ray.pipelines import rows_only as ro
+    from cov_tiles_ray.sources import synth
+
+    monkeypatch.setattr(synth, "CACHE_DIR", str(tmp_path))
+    stale = tmp_path / "sketch" / "old_abc"
+    stale.mkdir(parents=True)
+    os.utime(stale, (_time.time() - 7200, _time.time() - 7200))
+    fresh = ro._sketch_dir("newtag")
+    assert not stale.exists()
+    assert os.path.isdir(fresh)
