@@ -275,12 +275,17 @@ def _sketch_dir(tag: str) -> str:
     (default 1 h): the dirs are per-invocation scratch — a minhash run
     leaves ~1.4 GB at 1M docs, and a test/bench session invokes the
     family dozens of times.  A live pipeline's dirs are minutes old, so
-    the TTL can't race a running query on this single-driver sandbox."""
+    the TTL can't race a running query on this single-driver sandbox.
+
+    On a multi-node cluster this root must be SHARED storage — set
+    GRAFT_SKETCH_DIR to an NFS path every node mounts (write_parquet /
+    read_parquet then work unchanged; _link_parquet falls back to a file
+    copy when hardlinks can't cross the filesystem)."""
     import shutil
     import time as _time
     import uuid
 
-    root = os.path.join(synth.CACHE_DIR, "sketch")
+    root = os.environ.get("GRAFT_SKETCH_DIR") or os.path.join(synth.CACHE_DIR, "sketch")
     if os.path.isdir(root):
         cutoff = _time.time() - _SKETCH_TTL_S
         for d in os.listdir(root):
@@ -299,10 +304,18 @@ def _link_parquet(src_dir: str, dst_dir: str, prefix: str) -> None:
     """Hardlink every parquet shard of src into dst under a name prefix —
     the zero-copy way to make one directory serve as the UNION of two
     schema-aligned streams (Ray write jobs use unique uuid basenames, the
-    prefix just makes collisions impossible by construction)."""
+    prefix just makes collisions impossible by construction).  Falls back
+    to a plain copy when the link crosses filesystems (EXDEV on some
+    shared-storage layouts)."""
+    import shutil
+
     for f in os.listdir(src_dir):
         if f.endswith(".parquet"):
-            os.link(os.path.join(src_dir, f), os.path.join(dst_dir, prefix + f))
+            src, dst = os.path.join(src_dir, f), os.path.join(dst_dir, prefix + f)
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
 
 
 def _sketch_checkpoint(ds, tag: str):
